@@ -1,0 +1,97 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference pipeline's record-at-a-time semantics, re-expressed as pure
+  * `DataFrame => DataFrame` transforms (declarative, so Catalyst prunes/pushes
+  * them; no driver-side loops — each stage scales with partitions).
+  *
+  * Reference behavior reproduced (file:line cite into /root/reference):
+  *  - base64 + JSON decode of the Kinesis payload (lambda_function.py:45)
+  *  - derive `@timestamp` as a copy of `datetime` (lambda_function.py:46-47)
+  *  - drop `ip` when present-but-falsy (lambda_function.py:48-49) — Spark's
+  *    fixed-width schema models "absent key" as NULL
+  *  - 9-field allowlist projection for the OpenSearch sink
+  *    (lambda_function.py:16-19,52-54)
+  *  - daily index routing key `prefix + date(datetime)` and idempotency key
+  *    `_id = random_id` (lambda_function.py:80-81)
+  *  - null-record skip before sinking (lambda_function.py:78-79,118-119)
+  *  - Splunk HEC envelope `{"event":…, "sourcetype":"json", "index":…}`
+  *    (lambda_function.py:121-125)
+  */
+object AuditPipeline {
+
+  /** ES_ALLOWED_FIELDS, lambda_function.py:16-19 (canonical column order). */
+  val EsAllowedFields: Seq[String] = Seq(
+    "random_id", "kind_id", "account_id", "performer_id",
+    "repository_id", "ip", "metadata", "datetime", "@timestamp")
+
+  /** Full 18-field record shape (test_lambda_function.py:26-45). All nullable:
+    * the reference is schema-on-read. `metadata` is the one nested field. */
+  val auditSchema: StructType = StructType(Seq(
+    StructField("datetime", StringType),
+    StructField("random_id", StringType),
+    StructField("kind_id", LongType),
+    StructField("account_id", LongType),
+    StructField("performer_id", LongType),
+    StructField("repository_id", LongType),
+    StructField("ip", StringType),
+    StructField("metadata", MapType(StringType, StringType)),
+    StructField("request_url", StringType),
+    StructField("http_method", StringType),
+    StructField("performer_username", StringType),
+    StructField("performer_email", StringType),
+    StructField("performer_kind", StringType),
+    StructField("auth_type", StringType),
+    StructField("user_agent", StringType),
+    StructField("request_id", StringType),
+    StructField("x_forwarded_for", StringType)))
+
+  /** Decode a base64(JSON) payload column into the full record shape
+    * (lambda_function.py:45). Malformed input becomes NULL columns rather
+    * than failing the batch — route those rows to a dead-letter sink if the
+    * reference's fail-the-batch semantics are wanted. */
+  def decodeKinesis(df: DataFrame, dataCol: String): DataFrame =
+    df.withColumn("_json", unbase64(col(dataCol)).cast("string"))
+      .withColumn("_rec", from_json(col("_json"), auditSchema))
+      .select(col("_rec.*"))
+
+  /** `message["@timestamp"] = message["datetime"]` (lambda_function.py:46-47). */
+  def withTimestamp(df: DataFrame): DataFrame =
+    df.withColumn("@timestamp", col("datetime"))
+
+  /** Drop present-but-falsy `ip` (lambda_function.py:48-49). The falsy string
+    * case is the empty string; absent maps to NULL either way. */
+  def nullOutEmptyIp(df: DataFrame): DataFrame =
+    df.withColumn("ip", when(col("ip") === "", lit(null: String)).otherwise(col("ip")))
+
+  /** Allowlist projection for the ES sink (lambda_function.py:52-54). Keeps
+    * the canonical field order; tolerates records that already lack fields. */
+  def filterForEs(df: DataFrame): DataFrame = {
+    val present = EsAllowedFields.filter(df.columns.contains)
+    df.select(present.map(col): _*)
+  }
+
+  /** Skip null records before sinking (lambda_function.py:78-79,118-119). */
+  def skipNulls(df: DataFrame): DataFrame =
+    df.filter(col("random_id").isNotNull)
+
+  /** Daily index + idempotency key (lambda_function.py:80-81):
+    * `_index = prefix + str(date(datetime))`, `_id = random_id`. */
+  def withRoutingKeys(df: DataFrame, indexPrefix: String): DataFrame =
+    df.withColumn("_index",
+        concat(lit(indexPrefix), to_date(col("datetime")).cast("string")))
+      .withColumn("_id", col("random_id"))
+
+  /** Splunk HEC envelope columns (lambda_function.py:121-125). */
+  def withSplunkEnvelope(df: DataFrame, splunkIndex: String): DataFrame =
+    df.withColumn("sourcetype", lit("json"))
+      .withColumn("index", lit(splunkIndex))
+
+  /** Full enrich path in reference order: decode happens upstream;
+    * this is `_process_kinesis_record` minus the decode. */
+  def enrich(df: DataFrame): DataFrame =
+    nullOutEmptyIp(withTimestamp(df))
+}

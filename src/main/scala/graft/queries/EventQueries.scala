@@ -1,0 +1,244 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Exact._
+import graft.pipeline.AuditPipeline
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+
+/** Typed weighted-average aggregator (SURVEY.md §2b "UDF surface").
+  *
+  * Works in exact integer cents so partial aggregates merge exactly in any
+  * shuffle order — the same reason Exact uses decimals. Input is
+  * (cents, weight); output is the weighted mean in currency units.
+  */
+object WeightedAvgAgg extends Aggregator[(Long, Long), (Long, Long), Double] {
+  override def zero: (Long, Long) = (0L, 0L)
+  override def reduce(b: (Long, Long), in: (Long, Long)): (Long, Long) =
+    (b._1 + in._1 * in._2, b._2 + in._2)
+  override def merge(a: (Long, Long), b: (Long, Long)): (Long, Long) =
+    (a._1 + b._1, a._2 + b._2)
+  override def finish(r: (Long, Long)): Double =
+    if (r._2 == 0L) 0.0 else r._1.toDouble / (100.0 * r._2)
+  override def bufferEncoder = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+  override def outputEncoder = Encoders.scalaDouble
+}
+
+/** Queries over the `events` stream table: the reference pipeline's record
+  * shape (decode → enrich → prune → route, lambda_function.py:43-54,80-81)
+  * expressed as batch DataFrames, plus event-time windowing (tumbling /
+  * sliding / session), pivot, JSON extraction, and the typed UDAF.
+  */
+object EventQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val IsoSec = "yyyy-MM-dd'T'HH:mm:ss"
+
+  /** `k` extracted from the JSON `props` payload (schema-on-read, the
+    * from_json analog of lambda_function.py:45's json.loads). */
+  private def withK(df: DataFrame): DataFrame =
+    df.withColumn("k", from_json(col("props"), "k BIGINT").getField("k"))
+
+  // ---------------------------------------------------------------- q22
+  private val q22: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0)
+      .orderBy(col("user_id"))
+
+  private val q22Sql =
+    """SELECT user_id,
+      | COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+      | COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+      | COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      | COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+      | COUNT(*) FILTER (WHERE event_type = 'view') AS view
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q23
+  private val q23: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(money(col("value"))).cast("double").as("val_sum"))
+      .select(date_format(col("window.start"), IsoSec).as("w_start"),
+        col("event_type"), col("n"), col("val_sum"))
+      .orderBy(col("w_start"), col("event_type"))
+
+  private val q23Sql =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%dT%H:%M:%S') AS w_start, event_type,
+      | COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS val_sum
+      |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q24
+  private val q24: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"), sum(money(col("value"))).cast("double").as("val_sum"))
+      .select(date_format(col("window.start"), IsoSec).as("w_start"), col("n"), col("val_sum"))
+      .orderBy(col("w_start"))
+
+  private val q24Sql =
+    """WITH x AS (SELECT time_bucket(INTERVAL '30 minutes', ts) AS b, value FROM events),
+      | w AS (SELECT b AS ws, value FROM x
+      |       UNION ALL SELECT b - INTERVAL '30 minutes' AS ws, value FROM x)
+      |SELECT strftime(ws, '%Y-%m-%dT%H:%M:%S') AS w_start, COUNT(*) AS n,
+      | CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS val_sum
+      |FROM w GROUP BY ws ORDER BY w_start""".stripMargin
+
+  // ---------------------------------------------------------------- q25
+  private val q25: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), min(col("event_id")).as("first_event"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("s_start_us"),
+        col("n"), col("first_event"))
+      .orderBy(col("user_id"), col("s_start_us"))
+
+  private val q25Sql =
+    """WITH o AS (
+      |  SELECT user_id, ts, event_id,
+      |   CASE WHEN lag(ts) OVER w IS NULL
+      |        OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      | g AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+      |SELECT user_id, CAST(epoch_us(min(ts)) AS BIGINT) AS s_start_us,
+      | COUNT(*) AS n, min(event_id) AS first_event
+      |FROM g GROUP BY user_id, sid ORDER BY user_id, s_start_us""".stripMargin
+
+  // ---------------------------------------------------------------- q26
+  private val q26: Q = (s, d) =>
+    withK(Tables.events(s, d))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("k")).as("sum_k"),
+        (sum(col("k")).cast("double") / count(col("k"))).as("avg_k"),
+        max(col("k")).as("max_k"),
+        min(col("k")).as("min_k"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  private val q26Sql =
+    """WITH e AS (SELECT event_type,
+      |  CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k FROM events)
+      |SELECT event_type, CAST(SUM(k) AS BIGINT) AS sum_k,
+      | CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k,
+      | max(k) AS max_k, min(k) AS min_k, COUNT(*) AS n
+      |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q29
+  private val q29: Q = (s, d) => {
+    val wavg = udaf(WeightedAvgAgg, Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+    withK(Tables.events(s, d))
+      .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(wavg(col("cents"), col("k")).as("wavg_value"), count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q29Sql =
+    """WITH e AS (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents,
+      |  CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k FROM events)
+      |SELECT event_type,
+      | CASE WHEN SUM(k) = 0 THEN 0.0
+      |      ELSE CAST(SUM(cents * k) AS DOUBLE) / (100.0 * SUM(k)) END AS wavg_value,
+      | COUNT(*) AS n
+      |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q45
+  private val q45: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("event_id")).as("keep_event"), count(lit(1)).as("n_dups"))
+      .orderBy(col("user_id"), col("event_type"))
+
+  private val q45Sql =
+    """SELECT user_id, event_type, min(event_id) AS keep_event, COUNT(*) AS n_dups
+      |FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q60 (flagship: reference core path)
+  /** The reference's full decode→enrich→prune→route path (operators 1-9 of
+    * SURVEY.md §2a) on the events table standing in for the Kinesis stream. */
+  val q60: Q = (s, d) => {
+    val rec = withK(Tables.events(s, d)).select(
+      col("event_id").cast("string").as("random_id"),
+      date_format(col("ts"), IsoSec).as("datetime"),
+      col("k").as("kind_id"),
+      col("user_id").as("account_id"),
+      (col("user_id") % 100).as("performer_id"),
+      (col("event_id") % 1000).as("repository_id"),
+      when(col("value") < 5, "").otherwise(
+        concat(lit("10."), (col("user_id") % 256).cast("string"), lit(".0.1"))).as("ip"))
+    val enriched = AuditPipeline.enrich(rec) // @timestamp + empty-ip null-out
+    val pruned = AuditPipeline.filterForEs(enriched)
+    AuditPipeline.withRoutingKeys(AuditPipeline.skipNulls(pruned), "audit-")
+      .orderBy(col("random_id"))
+  }
+
+  private val q60Sql =
+    """SELECT CAST(event_id AS VARCHAR) AS random_id,
+      | CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS kind_id,
+      | user_id AS account_id,
+      | user_id % 100 AS performer_id,
+      | event_id % 1000 AS repository_id,
+      | CASE WHEN value < 5 THEN NULL ELSE '10.' || (user_id % 256) || '.0.1' END AS ip,
+      | strftime(ts, '%Y-%m-%dT%H:%M:%S') AS datetime,
+      | strftime(ts, '%Y-%m-%dT%H:%M:%S') AS "@timestamp",
+      | 'audit-' || strftime(ts, '%Y-%m-%d') AS _index,
+      | CAST(event_id AS VARCHAR) AS _id
+      |FROM events ORDER BY random_id""".stripMargin
+
+  // ---------------------------------------------------------------- q61
+  private val q61: Q = (s, d) => {
+    val w = Window.orderBy(col("event_id"))
+    AuditPipeline.withSplunkEnvelope(Tables.events(s, d), "audit-splunk")
+      .withColumn("batch_no", expr("(row_number() OVER (ORDER BY event_id) - 1) div 500"))
+      .select(col("event_id"), col("sourcetype"), col("index"), col("batch_no"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q61Sql =
+    """SELECT event_id, 'json' AS sourcetype, 'audit-splunk' AS index,
+      | (ROW_NUMBER() OVER (ORDER BY event_id) - 1) // 500 AS batch_no, value
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q62
+  private val q62: Q = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("index_date", date_format(col("ts"), "yyyy-MM-dd"))
+      .groupBy(col("index_date"))
+      .agg(count(lit(1)).as("n"), sum(money(col("value"))).cast("double").as("val_sum"))
+      .orderBy(col("index_date"))
+
+  private val q62Sql =
+    """SELECT strftime(ts, '%Y-%m-%d') AS index_date, COUNT(*) AS n,
+      | CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS val_sum
+      |FROM events GROUP BY 1 ORDER BY index_date""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q22_pivot_event_counts" -> q22,
+    "q23_tumbling_window" -> q23,
+    "q24_sliding_window" -> q24,
+    "q25_session_window" -> q25,
+    "q26_json_extract_stats" -> q26,
+    "q29_weighted_avg_udaf" -> q29,
+    "q45_dedup_exact_events" -> q45,
+    "q60_pipeline_es_projection" -> q60,
+    "q61_pipeline_splunk_envelope" -> q61,
+    "q62_pipeline_daily_index_counts" -> q62)
+
+  val oracle: Map[String, String] = Map(
+    "q22_pivot_event_counts" -> q22Sql,
+    "q23_tumbling_window" -> q23Sql,
+    "q24_sliding_window" -> q24Sql,
+    "q25_session_window" -> q25Sql,
+    "q26_json_extract_stats" -> q26Sql,
+    "q29_weighted_avg_udaf" -> q29Sql,
+    "q45_dedup_exact_events" -> q45Sql,
+    "q60_pipeline_es_projection" -> q60Sql,
+    "q61_pipeline_splunk_envelope" -> q61Sql,
+    "q62_pipeline_daily_index_counts" -> q62Sql)
+}

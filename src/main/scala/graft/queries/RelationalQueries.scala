@@ -1,0 +1,530 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Exact._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator inventory (SURVEY.md §2b): scans, filters, joins
+  * (broadcast / shuffle / semi / anti / theta), aggregation (incl. distinct,
+  * rollup, median), window functions, sort/limit, set ops, scalar function
+  * families, pivot, and event-time windows in batch mode.
+  *
+  * Every query is written for scale first: filters sit directly on the scan
+  * (pushed to parquet), dimension joins are explicitly broadcast, aggregates
+  * are partial+final hash aggregates, and top-k uses per-group windows (no
+  * global collect). Money aggregates use graft.functions.Exact so results are
+  * bit-identical to the DuckDB oracle regardless of partition merge order.
+  *
+  * Each query carries its DuckDB oracle SQL with IDENTICAL column names and
+  * a total-order ORDER BY so the driver's hash compare is deterministic.
+  */
+object RelationalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- q01
+  private val q01: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sumIntegral(col("l_quantity")).as("sum_qty"),
+        sumMoney(col("l_extendedprice")).as("sum_base_price"),
+        sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast("double").as("sum_disc_price"),
+        sum(charge(col("l_extendedprice"), col("l_discount"), col("l_tax"))).cast("double").as("sum_charge"),
+        (sumIntegral(col("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
+        avgMoney(col("l_extendedprice")).as("avg_price"),
+        (sum(pct(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val q01Sql =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_base_price,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+      | CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+      | CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      | COUNT(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+      |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q02
+  private val q02: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24 &&
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("long").as("qty"),
+        col("l_extendedprice"),
+        discPrice(col("l_extendedprice"), col("l_discount")).cast("double").as("disc_price"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private val q02Sql =
+    """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty, l_extendedprice,
+      | CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS disc_price
+      |FROM lineitem
+      |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---------------------------------------------------------------- q03
+  private val q03: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sumMoney(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") > 5)
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  private val q03Sql =
+    """SELECT r_name, n_name,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS revenue,
+      | COUNT(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      | JOIN nation ON c_nationkey = n_nationkey
+      | JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name HAVING COUNT(*) > 5 ORDER BY r_name, n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q04
+  private val q04: Q = (s, d) => {
+    val rev = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"))
+    Tables.orders(s, d)
+      .join(rev, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"), col("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  private val q04Sql =
+    """SELECT o_orderkey, o_orderdate, o_totalprice, revenue
+      |FROM orders JOIN (
+      |  SELECT l_orderkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |  FROM lineitem GROUP BY l_orderkey
+      |) ON o_orderkey = l_orderkey
+      |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q05
+  private val q05: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit("2001-06-01").cast("timestamp"))
+    Tables.orders(s, d)
+      .join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q05Sql =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey AND l_shipdate > TIMESTAMP '2001-06-01')
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q06
+  private val q06: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+
+  private val q06Sql =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q07
+  private val q07: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"),
+        sum_distinct(col("l_quantity").cast("long")).as("sum_dist_qty"))
+      .orderBy(col("l_returnflag"))
+
+  private val q07Sql =
+    """SELECT l_returnflag,
+      | COUNT(DISTINCT l_orderkey) AS n_orders,
+      | COUNT(DISTINCT l_suppkey) AS n_supps,
+      | COUNT(*) AS n_rows,
+      | CAST(SUM(DISTINCT CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_dist_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q08
+  private val q08: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sumIntegral(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  private val q08Sql =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      | CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q09
+  private val q09: Q = (s, d) => {
+    val rev = Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"))
+    val w = Window.partitionBy(col("l_suppkey")).orderBy(col("revenue").desc, col("l_partkey"))
+    rev.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("l_suppkey"), col("rn"))
+  }
+
+  private val q09Sql =
+    """SELECT l_suppkey, l_partkey, revenue, rn FROM (
+      | SELECT l_suppkey, l_partkey, revenue,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY l_suppkey ORDER BY revenue DESC, l_partkey) AS BIGINT) AS rn
+      | FROM (
+      |  SELECT l_suppkey, l_partkey,
+      |   CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |  FROM lineitem GROUP BY l_suppkey, l_partkey))
+      |WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin
+
+  // ---------------------------------------------------------------- q10
+  private val q10: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("run_total",
+        sum(money(col("o_totalprice")))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("double"))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("run_total"), col("prev_price"), col("next_price"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  private val q10Sql =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total,
+      | lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+      | lead(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q11
+  private val q11: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+
+  private val q11Sql =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------- q12
+  private val q12: Q = (s, d) => {
+    val rich = Tables.customer(s, d).filter(col("c_acctbal") > 5000).select(col("c_custkey"))
+    val urgent = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("c_custkey"))
+    rich.union(urgent).distinct().withColumn("op", lit("union"))
+      .unionByName(rich.intersect(urgent).withColumn("op", lit("intersect")))
+      .unionByName(rich.except(urgent).withColumn("op", lit("except")))
+      .select(col("op"), col("c_custkey"))
+      .orderBy(col("op"), col("c_custkey"))
+  }
+
+  private val q12Sql =
+    """WITH rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+      | urgent AS (SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |SELECT 'union' AS op, c_custkey FROM (SELECT c_custkey FROM rich UNION SELECT c_custkey FROM urgent)
+      |UNION ALL SELECT 'intersect' AS op, c_custkey FROM (SELECT c_custkey FROM rich INTERSECT SELECT c_custkey FROM urgent)
+      |UNION ALL SELECT 'except' AS op, c_custkey FROM (SELECT c_custkey FROM rich EXCEPT SELECT c_custkey FROM urgent)
+      |ORDER BY op, c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q13
+  private val q13: Q = (s, d) =>
+    Tables.part(s, d)
+      .select(
+        col("p_partkey"),
+        upper(col("p_type")).as("type_up"),
+        lower(col("p_brand")).as("brand_lo"),
+        substring(col("p_name"), 1, 10).as("name10"),
+        length(col("p_name")).cast("long").as("name_len"),
+        regexp_replace(col("p_type"), " ", "_").as("type_us"),
+        concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+        lpad(col("p_brand"), 12, "*").as("brand_pad"),
+        instr(col("p_type"), "a").cast("long").as("a_pos"))
+      .orderBy(col("p_partkey"))
+
+  private val q13Sql =
+    """SELECT p_partkey, upper(p_type) AS type_up, lower(p_brand) AS brand_lo,
+      | substr(p_name, 1, 10) AS name10, CAST(length(p_name) AS BIGINT) AS name_len,
+      | replace(p_type, ' ', '_') AS type_us,
+      | p_brand || ':' || p_type AS brand_type,
+      | lpad(p_brand, 12, '*') AS brand_pad,
+      | CAST(strpos(p_type, 'a') AS BIGINT) AS a_pos
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- q14
+  private val q14: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        month(col("o_orderdate")).cast("long").as("o_month"),
+        dayofmonth(col("o_orderdate")).cast("long").as("o_day"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01")).cast("long").as("days_since"),
+        date_format(date_add(to_date(col("o_orderdate")), 30), "yyyy-MM-dd").as("plus30"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("eom"))
+      .orderBy(col("o_orderkey"))
+
+  private val q14Sql =
+    """SELECT o_orderkey,
+      | CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+      | CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS o_month,
+      | CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS o_day,
+      | strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+      | CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
+      | strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS plus30,
+      | strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS eom
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q15
+  private val q15: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_extendedprice") - 30000.0).as("absdiff"),
+        floor(col("l_quantity") / 7).as("qdiv7"),
+        ceil(col("l_quantity") / 7).as("qdiv7c"),
+        sqrt(col("l_quantity")).as("qsqrt"),
+        (col("l_orderkey") % 97).as("okmod"),
+        round(log(col("l_extendedprice")), 6).as("lnp"),
+        round(exp(col("l_discount")), 6).as("expd"),
+        (col("l_discount") * col("l_discount")).as("dsq"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private val q15Sql =
+    """SELECT l_orderkey, l_linenumber,
+      | abs(l_extendedprice - 30000.0) AS absdiff,
+      | CAST(floor(l_quantity / 7) AS BIGINT) AS qdiv7,
+      | CAST(ceil(l_quantity / 7) AS BIGINT) AS qdiv7c,
+      | sqrt(l_quantity) AS qsqrt,
+      | l_orderkey % 97 AS okmod,
+      | round(ln(l_extendedprice), 6) AS lnp,
+      | round(exp(l_discount), 6) AS expd,
+      | l_discount * l_discount AS dsq
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---------------------------------------------------------------- q16
+  private val q16: Q = (s, d) =>
+    Tables.customer(s, d)
+      .withColumn("bucket",
+        when(col("c_acctbal") < 0, "neg")
+          .when(col("c_acctbal") < 3000, "low")
+          .when(col("c_acctbal") < 7000, "mid")
+          .otherwise("high"))
+      .withColumn("seg_nb", nullif(col("c_mktsegment"), lit("BUILDING")))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("seg_nb")).as("n_not_building"),
+        sumMoney(col("c_acctbal")).as("sum_bal"))
+      .orderBy(col("bucket"))
+
+  private val q16Sql =
+    """SELECT CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 3000 THEN 'low'
+      |  WHEN c_acctbal < 7000 THEN 'mid' ELSE 'high' END AS bucket,
+      | COUNT(*) AS n,
+      | COUNT(nullif(c_mktsegment, 'BUILDING')) AS n_not_building,
+      | CAST(SUM(CAST(c_acctbal AS DECIMAL(15,2))) AS DOUBLE) AS sum_bal
+      |FROM customer GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------- q17
+  private val q17: Q = (s, d) => {
+    val p = Tables.part(s, d)
+    val li = Tables.lineitem(s, d)
+    li.join(broadcast(p),
+        li("l_partkey") === p("p_partkey") &&
+          li("l_quantity") >= p("p_size") - 5 && li("l_quantity") <= p("p_size") + 5)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"), sumIntegral(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("p_brand"))
+  }
+
+  private val q17Sql =
+    """SELECT p_brand, COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      | AND l_quantity >= p_size - 5 AND l_quantity <= p_size + 5
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  // ---------------------------------------------------------------- q18
+  private val q18: Q = (s, d) => {
+    val p = Tables.part(s, d)
+    val b = p.groupBy(col("p_brand").as("b_brand"))
+      .agg(sum(money(col("p_retailprice"))).as("brand_sum"), count(lit(1)).as("brand_n"))
+    p.join(broadcast(b), col("p_brand") === col("b_brand"))
+      .filter(money(col("p_retailprice")) * col("brand_n") > col("brand_sum"))
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+      .orderBy(col("p_partkey"))
+  }
+
+  private val q18Sql =
+    """WITH b AS (SELECT p_brand AS b_brand,
+      |  SUM(CAST(p_retailprice AS DECIMAL(15,2))) AS brand_sum, COUNT(*) AS brand_n
+      | FROM part GROUP BY p_brand)
+      |SELECT p_partkey, p_brand, p_retailprice
+      |FROM part JOIN b ON p_brand = b_brand
+      |WHERE CAST(p_retailprice AS DECIMAL(15,2)) * brand_n > brand_sum
+      |ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- q19
+  private val q19: Q = (s, d) =>
+    Tables.orders(s, d)
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+        col("o_totalprice").between(10000, 200000) &&
+        col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+
+  private val q19Sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders
+      |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |  AND o_totalprice BETWEEN 10000 AND 200000
+      |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q20
+  private val q20: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    li.filter(col("l_returnflag") === "A")
+      .unionAll(li.filter(col("l_returnflag") === "R"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sumIntegral(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q20Sql =
+    """SELECT l_returnflag, COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM (SELECT * FROM lineitem WHERE l_returnflag = 'A'
+      |      UNION ALL SELECT * FROM lineitem WHERE l_returnflag = 'R')
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q21
+  private val q21: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey").as("first_orderkey"),
+        col("o_orderdate").as("first_orderdate"), col("o_totalprice").as("first_price"))
+      .orderBy(col("o_custkey"))
+  }
+
+  private val q21Sql =
+    """SELECT o_custkey, o_orderkey AS first_orderkey, o_orderdate AS first_orderdate,
+      | o_totalprice AS first_price
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn FROM orders)
+      |WHERE rn = 1 ORDER BY o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q27
+  private val q27: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("med_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  private val q27Sql =
+    """SELECT l_returnflag, median(l_quantity) AS med_qty, max(l_quantity) AS max_qty,
+      | min(l_quantity) AS min_qty, COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q28
+  private val q28: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        array_join(sort_array(collect_set(col("l_linestatus"))), ",").as("statuses"),
+        countDistinct(col("l_linestatus")).as("n_statuses"))
+      .orderBy(col("l_returnflag"))
+
+  private val q28Sql =
+    """SELECT l_returnflag,
+      | array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+      | COUNT(DISTINCT l_linestatus) AS n_statuses
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q44 (no oracle: approx sketch)
+  private val q44: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .orderBy(col("l_returnflag"))
+
+  val queries: Map[String, Q] = Map(
+    "q01_pricing_summary" -> q01,
+    "q02_filter_project" -> q02,
+    "q03_join_broadcast_agg" -> q03,
+    "q04_join_shuffle_topk" -> q04,
+    "q05_semi_join" -> q05,
+    "q06_anti_join" -> q06,
+    "q07_agg_distinct" -> q07,
+    "q08_rollup" -> q08,
+    "q09_window_topk_per_group" -> q09,
+    "q10_window_analytics" -> q10,
+    "q11_sort_limit" -> q11,
+    "q12_set_ops" -> q12,
+    "q13_string_funcs" -> q13,
+    "q14_date_funcs" -> q14,
+    "q15_math_funcs" -> q15,
+    "q16_case_coalesce" -> q16,
+    "q17_theta_join" -> q17,
+    "q18_above_brand_avg" -> q18,
+    "q19_in_between" -> q19,
+    "q20_union_all_agg" -> q20,
+    "q21_first_order_per_customer" -> q21,
+    "q27_median_per_group" -> q27,
+    "q28_collect_sorted" -> q28,
+    "q44_approx_count_distinct" -> q44)
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01Sql,
+    "q02_filter_project" -> q02Sql,
+    "q03_join_broadcast_agg" -> q03Sql,
+    "q04_join_shuffle_topk" -> q04Sql,
+    "q05_semi_join" -> q05Sql,
+    "q06_anti_join" -> q06Sql,
+    "q07_agg_distinct" -> q07Sql,
+    "q08_rollup" -> q08Sql,
+    "q09_window_topk_per_group" -> q09Sql,
+    "q10_window_analytics" -> q10Sql,
+    "q11_sort_limit" -> q11Sql,
+    "q12_set_ops" -> q12Sql,
+    "q13_string_funcs" -> q13Sql,
+    "q14_date_funcs" -> q14Sql,
+    "q15_math_funcs" -> q15Sql,
+    "q16_case_coalesce" -> q16Sql,
+    "q17_theta_join" -> q17Sql,
+    "q18_above_brand_avg" -> q18Sql,
+    "q19_in_between" -> q19Sql,
+    "q20_union_all_agg" -> q20Sql,
+    "q21_first_order_per_customer" -> q21Sql,
+    "q27_median_per_group" -> q27Sql,
+    "q28_collect_sorted" -> q28Sql)
+}

@@ -1,0 +1,155 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline (SURVEY.md §2b):
+  * tokenization + word/n-gram counts, a language-ID heuristic, quality
+  * scoring, token statistics, and document fingerprinting.
+  *
+  * All are per-row expressions + hash aggregates: embarrassingly parallel,
+  * no shuffle except the final count/top-k, so they scale linearly with
+  * input splits at 100 TB. Ratios are single IEEE ops (deterministic);
+  * counted occurrences are exact integers, so no decimal tricks are needed.
+  */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** occurrences of `needle` in `text` via length difference — exact. */
+  private def occ(c: String, needle: String) =
+    ((length(col(c)) - length(expr(s"replace($c, '$needle', '')"))) / needle.length).cast("long")
+
+  // ---------------------------------------------------------------- q30
+  private val q30: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w"))
+      .limit(20)
+
+  private val q30Sql =
+    """SELECT w, COUNT(*) AS n
+      |FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+      |WHERE w <> '' GROUP BY w ORDER BY n DESC, w LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q31
+  private val q31: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr("transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))")).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+
+  private val q31Sql =
+    """SELECT bigram, COUNT(*) AS n FROM (
+      | SELECT UNNEST(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS bigram
+      | FROM (SELECT string_split(text, ' ') AS w FROM documents) WHERE len(w) >= 2)
+      |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q32
+  private val q32: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("occ_the", occ("text", " the "))
+      .withColumn("occ_data", occ("text", " data "))
+      .withColumn("pred_en", (col("occ_the") >= 1).cast("long"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("pred_en")).as("n_pred_en"),
+        sum(col("occ_the")).as("total_the"),
+        sum(col("occ_data")).as("total_data"))
+      .orderBy(col("lang"))
+
+  private val q32Sql =
+    """WITH t AS (SELECT lang,
+      |  CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS BIGINT) AS occ_the,
+      |  CAST((length(text) - length(replace(text, ' data ', ''))) / 6 AS BIGINT) AS occ_data
+      | FROM documents)
+      |SELECT lang, COUNT(*) AS n_docs,
+      | CAST(SUM(CASE WHEN occ_the >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_en,
+      | CAST(SUM(occ_the) AS BIGINT) AS total_the,
+      | CAST(SUM(occ_data) AS BIGINT) AS total_data
+      |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- q33
+  private val q33: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("avg_tok_len",
+        round((length(col("text")) - (col("tokens") - 1)) / col("tokens"), 6))
+      .withColumn("stop_ratio", round(occ("text", " the ") / col("tokens"), 6))
+      .withColumn("quality",
+        round(lit(0.4) * round(occ("text", " the ") / col("tokens"), 6) +
+          lit(0.6) * (least(round((length(col("text")) - (col("tokens") - 1)) / col("tokens"), 6), lit(10.0)) / 10.0), 6))
+      .select(col("doc_id"), col("tokens"), col("avg_tok_len"), col("stop_ratio"), col("quality"))
+      .orderBy(col("doc_id"))
+
+  private val q33Sql =
+    """WITH t AS (SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+      |  length(text) AS n_chars,
+      |  CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS BIGINT) AS occ_the
+      | FROM documents)
+      |SELECT doc_id, tokens,
+      | round((n_chars - (tokens - 1)) / tokens, 6) AS avg_tok_len,
+      | round(occ_the / tokens, 6) AS stop_ratio,
+      | round(0.4 * round(occ_the / tokens, 6) +
+      |       0.6 * (least(round((n_chars - (tokens - 1)) / tokens, 6), 10.0) / 10.0), 6) AS quality
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q34
+  private val q34: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("fp"),
+        md5(lower(regexp_replace(col("text"), " ", ""))).as("fp_norm"),
+        substring(md5(col("text")), 1, 8).as("fp_prefix"))
+      .orderBy(col("doc_id"))
+
+  private val q34Sql =
+    """SELECT doc_id, md5(text) AS fp,
+      | md5(lower(replace(text, ' ', ''))) AS fp_norm,
+      | substr(md5(text), 1, 8) AS fp_prefix
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q39
+  private val q39: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("toks", expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+', 0)"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        (size(array_distinct(col("toks"))).cast("double") / size(col("toks"))).as("ttr"))
+      .orderBy(col("doc_id"))
+
+  private val q39Sql =
+    """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+|[0-9]+') AS toks FROM documents)
+      |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      | CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+      | CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q30_wordcount_topk" -> q30,
+    "q31_bigrams_topk" -> q31,
+    "q32_lang_id_heuristic" -> q32,
+    "q33_quality_score" -> q33,
+    "q34_fingerprint_md5" -> q34,
+    "q39_token_stats" -> q39)
+
+  val oracle: Map[String, String] = Map(
+    "q30_wordcount_topk" -> q30Sql,
+    "q31_bigrams_topk" -> q31Sql,
+    "q32_lang_id_heuristic" -> q32Sql,
+    "q33_quality_score" -> q33Sql,
+    "q34_fingerprint_md5" -> q34Sql,
+    "q39_token_stats" -> q39Sql)
+}
