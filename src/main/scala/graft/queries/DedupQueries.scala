@@ -104,18 +104,20 @@ object DedupQueries {
   }
 
   // ---------------------------------------------------------------- q38 (no oracle: SimHash)
-  /** 64-bit SimHash over distinct words + Hamming distance to the next doc.
+  /** 64-bit SimHash over distinct words + Hamming distance to doc_id+1.
     * Near-dups have small Hamming distance; the per-doc signature is a pure
-    * expression, so the only shuffle is the window for the neighbor pair. */
+    * expression (no shuffle), and the neighbor pair is an equi-join on
+    * doc_id+1 — shuffles on the key like any join, never a global window. */
   private val q38: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
+    val sig = Tables.documents(s, d)
       .withColumn("wh", expr("transform(array_distinct(split(text, ' ')), x -> xxhash64(x))"))
       .withColumn("simhash", expr(
         """aggregate(sequence(0, 63), 0L, (acc, b) -> acc + shiftleft(
           |  CASE WHEN aggregate(wh, 0L, (a2, h) -> a2 + (shiftright(h, b) & 1) * 2 - 1) > 0
           |  THEN 1L ELSE 0L END, b))""".stripMargin))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
-    docs.withColumn("next_simhash", lead(col("simhash"), 1).over(w))
+      .select(col("doc_id"), col("simhash"))
+    val nxt = sig.select((col("doc_id") - 1).as("doc_id"), col("simhash").as("next_simhash"))
+    sig.join(nxt, Seq("doc_id"), "left")
       .select(col("doc_id"), col("simhash"),
         when(col("next_simhash").isNotNull,
           expr("bit_count(simhash ^ next_simhash)").cast("long")).as("hamming_next"))

@@ -38,7 +38,9 @@ object EventQueries {
   /** `k` extracted from the JSON `props` payload (schema-on-read, the
     * from_json analog of lambda_function.py:45's json.loads). */
   private def withK(df: DataFrame): DataFrame =
-    df.withColumn("k", from_json(col("props"), "k BIGINT").getField("k"))
+    df.withColumn("k",
+      from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+        .getField("k"))
 
   // ---------------------------------------------------------------- q22
   private val q22: Q = (s, d) =>
@@ -133,20 +135,22 @@ object EventQueries {
   private val q29: Q = (s, d) => {
     val wavg = udaf(WeightedAvgAgg, Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
     withK(Tables.events(s, d))
-      .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+      .withColumn("cents", (money(col("value")) * 100).cast("long"))
+      .filter(col("k").isNotNull && col("cents").isNotNull)
       .groupBy(col("event_type"))
       .agg(wavg(col("cents"), col("k")).as("wavg_value"), count(lit(1)).as("n"))
       .orderBy(col("event_type"))
   }
 
   private val q29Sql =
-    """WITH e AS (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents,
+    """WITH e AS (SELECT event_type, CAST(CAST(value AS DECIMAL(15,2)) * 100 AS BIGINT) AS cents,
       |  CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k FROM events)
       |SELECT event_type,
       | CASE WHEN SUM(k) = 0 THEN 0.0
       |      ELSE CAST(SUM(cents * k) AS DOUBLE) / (100.0 * SUM(k)) END AS wavg_value,
       | COUNT(*) AS n
-      |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
+      |FROM e WHERE k IS NOT NULL AND cents IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------- q45
   private val q45: Q = (s, d) =>
@@ -192,10 +196,12 @@ object EventQueries {
       |FROM events ORDER BY random_id""".stripMargin
 
   // ---------------------------------------------------------------- q61
+  /** ≤500-event Splunk batch numbers (lambda_function.py:115,128-131) via the
+    * scale-safe GlobalIndex (no single-partition window). */
   private val q61: Q = (s, d) => {
-    val w = Window.orderBy(col("event_id"))
-    AuditPipeline.withSplunkEnvelope(Tables.events(s, d), "audit-splunk")
-      .withColumn("batch_no", expr("(row_number() OVER (ORDER BY event_id) - 1) div 500"))
+    val env = AuditPipeline.withSplunkEnvelope(Tables.events(s, d), "audit-splunk")
+    graft.functions.GlobalIndex.withRowNumber(env, "rn", col("event_id"))
+      .withColumn("batch_no", expr("(rn - 1) div 500"))
       .select(col("event_id"), col("sourcetype"), col("index"), col("batch_no"), col("value"))
       .orderBy(col("event_id"))
   }
