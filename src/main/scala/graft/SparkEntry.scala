@@ -23,7 +23,8 @@ object SparkEntry {
       EventQueries.queries ++
       DedupQueries.queries ++
       SimilarityQueries.queries ++
-      TextQueries.queries
+      TextQueries.queries ++
+      MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +33,6 @@ object SparkEntry {
       EventQueries.oracle ++
       DedupQueries.oracle ++
       SimilarityQueries.oracle ++
-      TextQueries.oracle
+      TextQueries.oracle ++
+      MultimodalQueries.oracle
 }

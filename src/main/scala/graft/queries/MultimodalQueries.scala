@@ -1,0 +1,63 @@
+package graft.queries
+
+import graft.Tables
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column operators (builder brief + SURVEY.md §2b): documents
+  * wrapped as opaque binary payloads with typed metadata, decoded and
+  * feature-extracted batch-at-a-time in mapPartitions. The decode itself is
+  * a deterministic stub (no codecs in this container — Multimodal.decodeStub)
+  * so the oracle can reproduce the features from octet_length(encode(text)).
+  */
+object MultimodalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- q63
+  private val q63: Q = (s, d) => {
+    implicit val spark: SparkSession = s
+    Multimodal.extractFeatures(Multimodal.toMedia(Tables.documents(s, d)))
+      .toDF()
+      .select(col("doc_id"), col("n_bytes"), col("n_frames"),
+        col("width"), col("height"), col("format"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q63Sql =
+    """SELECT doc_id,
+      | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      | CAST(octet_length(encode(text)) // 1000 + 1 AS BIGINT) AS n_frames,
+      | CAST(64 + octet_length(encode(text)) % 577 AS BIGINT) AS width,
+      | CAST(64 + (doc_id * 31) % 417 AS BIGINT) AS height,
+      | 'img' AS format
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q64
+  /** Metadata-map handling: group media objects by a typed metadata key.
+    * Exercises map-column access + aggregation over the binary payload size
+    * without ever decoding — the "prune the blob, read the sidecar" path
+    * that matters at 100 TB (parquet never materializes `media` here). */
+  private val q64: Q = (s, d) => {
+    implicit val spark: SparkSession = s
+    Multimodal.toMedia(Tables.documents(s, d))
+      .toDF()
+      .select(col("meta")("lang").as("lang"), length(col("media")).cast("long").as("n_bytes"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_media"), sum(col("n_bytes")).as("total_bytes"))
+      .orderBy(col("lang"))
+  }
+
+  private val q64Sql =
+    """SELECT lang, COUNT(*) AS n_media,
+      | CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q63_multimodal_features" -> q63,
+    "q64_multimodal_meta_agg" -> q64)
+
+  val oracle: Map[String, String] = Map(
+    "q63_multimodal_features" -> q63Sql,
+    "q64_multimodal_meta_agg" -> q64Sql)
+}

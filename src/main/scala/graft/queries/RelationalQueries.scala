@@ -468,6 +468,67 @@ object RelationalQueries {
       | COUNT(DISTINCT l_linestatus) AS n_statuses
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q46
+  private val q46: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sumIntegral(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  private val q46Sql =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      | CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q47
+  /** GROUPING SETS via SQL — identical surface in Spark SQL and DuckDB. */
+  private val q47: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+    s.sql(
+      """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_price
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin)
+  }
+
+  private val q47Sql =
+    """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+      |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q48
+  /** 4-table join through supplier: big fact shuffles once on l_suppkey;
+    * nation/region are broadcast (dimension tables stay small at any SF). */
+  private val q48: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val sup = Tables.supplier(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"),
+        countDistinct(col("s_suppkey")).as("n_suppliers"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  private val q48Sql =
+    """SELECT r_name, n_name,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      | COUNT(DISTINCT s_suppkey) AS n_suppliers,
+      | COUNT(*) AS n_items
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      | JOIN nation ON s_nationkey = n_nationkey
+      | JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
   // ---------------------------------------------------------------- q44 (no oracle: approx sketch)
   private val q44: Q = (s, d) =>
     Tables.lineitem(s, d)
@@ -501,7 +562,10 @@ object RelationalQueries {
     "q21_first_order_per_customer" -> q21,
     "q27_median_per_group" -> q27,
     "q28_collect_sorted" -> q28,
-    "q44_approx_count_distinct" -> q44)
+    "q44_approx_count_distinct" -> q44,
+    "q46_cube" -> q46,
+    "q47_grouping_sets" -> q47,
+    "q48_supplier_region_join" -> q48)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -526,5 +590,8 @@ object RelationalQueries {
     "q20_union_all_agg" -> q20Sql,
     "q21_first_order_per_customer" -> q21Sql,
     "q27_median_per_group" -> q27Sql,
-    "q28_collect_sorted" -> q28Sql)
+    "q28_collect_sorted" -> q28Sql,
+    "q46_cube" -> q46Sql,
+    "q47_grouping_sets" -> q47Sql,
+    "q48_supplier_region_join" -> q48Sql)
 }

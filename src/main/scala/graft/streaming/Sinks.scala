@@ -1,0 +1,114 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import graft.pipeline.AuditPipeline
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
+
+/** Success/total delivery counters, one pair per sink — the reference's
+  * `print(f"{success} of {total} ...")` metrics (lambda_function.py:84-88,
+  * 129-138) as Spark accumulators (merge correctly across tasks/retries at
+  * any executor count). */
+final case class SinkMetrics(
+    esSuccess: LongAccumulator, esTotal: LongAccumulator,
+    splunkSuccess: LongAccumulator, splunkTotal: LongAccumulator) {
+  def summary: String =
+    s"es: ${esSuccess.value} of ${esTotal.value}; " +
+      s"splunk: ${splunkSuccess.value} of ${splunkTotal.value}"
+}
+
+object SinkMetrics {
+  def apply(spark: org.apache.spark.sql.SparkSession): SinkMetrics = SinkMetrics(
+    spark.sparkContext.longAccumulator("es_success"),
+    spark.sparkContext.longAccumulator("es_total"),
+    spark.sparkContext.longAccumulator("splunk_success"),
+    spark.sparkContext.longAccumulator("splunk_total"))
+}
+
+/** The two sink simulators, with the reference's observable semantics.
+  *
+  * No network exists in this harness, so OpenSearch becomes a daily-
+  * partitioned parquet "index" and Splunk HEC becomes chunked JSON-lines
+  * files — but partitioning, idempotency keys, batching, envelope shape, and
+  * delivery semantics match §2a's error-semantics notes exactly.
+  */
+object Sinks {
+
+  /** OpenSearch bulk-upsert simulator (lambda_function.py:56-88).
+    *
+    * - daily routing: `_index = prefix + date(datetime)` → `partitionBy` on
+    *   `index_date` (the file analogue of per-day indices)
+    * - idempotency: `_id = random_id`; within a batch, duplicates collapse
+    *   via dropDuplicates on the key (ES would upsert the same doc). Across
+    *   redelivered batches the same `_id` lands in the same daily partition,
+    *   so a reader dedups by `_id` — see [[readEsIndex]] — which is exactly
+    *   "at-least-once delivery made idempotent by the key".
+    * - errors: bulk failures are logged, not raised (raise_on_error=False):
+    *   the write is wrapped, failure returns 0 delivered.
+    */
+  def writeEs(pruned: DataFrame, dir: String, prefix: String, m: SinkMetrics): Long = {
+    val rows = pruned.count()
+    m.esTotal.add(rows)
+    try {
+      val keyed = AuditPipeline.withRoutingKeys(AuditPipeline.skipNulls(pruned), prefix)
+        .dropDuplicates("_id")
+        .withColumn("index_date", to_date(col("datetime")).cast("string"))
+      keyed.write.mode("append").partitionBy("index_date").parquet(dir)
+      m.esSuccess.add(rows)
+      rows
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[es-sink] bulk write failed (logged, not raised): ${e.getMessage}")
+        0L
+    }
+  }
+
+  /** Read the simulated index with upsert semantics: last write per `_id`
+    * wins (the state an OpenSearch reader would observe). */
+  def readEsIndex(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir).dropDuplicates("_id")
+
+  /** Splunk HEC simulator (lambda_function.py:90-102,115-134).
+    *
+    * Wraps every record in the HEC envelope {"event":…, "sourcetype":"json",
+    * "index":…}, then each task posts its partition in chunks of ≤500 — one
+    * "HTTP post" = one JSON-lines file. A failed post is logged and dropped
+    * (at-most-once per batch, reference returns 0 and continues). Returns
+    * the number of events delivered.
+    */
+  def writeSplunk(full: DataFrame, dir: String, index: String,
+      m: SinkMetrics, maxBatchSize: Int = 500,
+      postTag: String = java.util.UUID.randomUUID().toString.take(8)): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    val lines = full
+      .withColumn("line", to_json(struct(
+        struct(full.columns.map(col): _*).as("event"),
+        lit("json").as("sourcetype"),
+        lit(index).as("index"))))
+      .select("line")
+    lines.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      val pid = TaskContext.getPartitionId()
+      var chunkNo = 0
+      it.map(_.getString(0)).grouped(maxBatchSize).foreach { chunk =>
+        m.splunkTotal.add(chunk.size)
+        try {
+          // stands in for requests.post(hec_url, json=chunk, timeout=12);
+          // postTag keeps posts from different micro-batches distinct
+          val path = Paths.get(dir, f"post-$postTag-$pid%05d-$chunkNo%05d.jsonl")
+          Files.write(path, chunk.mkString("\n").getBytes(StandardCharsets.UTF_8),
+            StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+          m.splunkSuccess.add(chunk.size)
+        } catch {
+          case e: Exception =>
+            // at-most-once: log, drop the chunk, keep going (lambda_function.py:100-102)
+            System.err.println(s"[splunk-sink] post failed, batch dropped: ${e.getMessage}")
+        }
+        chunkNo += 1
+      }
+    }
+  }
+}

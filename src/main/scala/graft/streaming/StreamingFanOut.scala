@@ -1,0 +1,57 @@
+package graft.streaming
+
+import graft.pipeline.AuditPipeline
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** The reference's whole application (`handler`, lambda_function.py:140-148)
+  * as one Structured Streaming pipeline:
+  *
+  * {{{
+  * kinesis/memory/file source                      (one micro-batch = one Lambda invoke)
+  *   → decode base64+JSON                          (lambda_function.py:45)
+  *   → enrich: @timestamp, empty-ip null-out       (lambda_function.py:46-49)
+  *   → foreachBatch:
+  *       persist                                   (compute the batch once)
+  *       ES sink   ← 9-field allowlist projection  (lambda_function.py:144-145)
+  *       Splunk    ← full record, unless disabled  (lambda_function.py:147,106-108)
+  *       unpersist
+  * }}}
+  *
+  * Delivery semantics as §2a: the checkpoint gives at-least-once redelivery
+  * on restart; the ES side is idempotent via `_id`, the Splunk side is
+  * at-most-once per chunk. Both sinks observe the SAME persisted batch —
+  * the multi-sink fan-out the reference runs two list comprehensions for.
+  */
+object StreamingFanOut {
+
+  /** One micro-batch through both sinks — also usable in pure batch mode
+    * (a Lambda invocation is exactly one call of this). */
+  def processBatch(batch: DataFrame, esDir: String, splunkDir: String,
+      config: PipelineConfig, metrics: SinkMetrics,
+      batchId: Long = -1L): Unit = {
+    batch.persist()
+    try {
+      val enriched = AuditPipeline.enrich(batch)
+      Sinks.writeEs(AuditPipeline.filterForEs(enriched), esDir, config.esIndexPrefix, metrics)
+      if (!config.splunkDisabled) {
+        val tag = if (batchId >= 0) f"b$batchId%06d"
+                  else java.util.UUID.randomUUID().toString.take(8)
+        Sinks.writeSplunk(AuditPipeline.skipNulls(enriched), splunkDir,
+          config.splunkIndex, metrics, config.maxBatchSize, tag)
+      }
+    } finally batch.unpersist()
+  }
+
+  /** Start the streaming query over an already-decoded source stream.
+    * `source` must be a streaming DataFrame with the audit record shape
+    * (use [[AuditPipeline.decodeKinesis]] upstream for raw base64 payloads). */
+  def start(source: DataFrame, esDir: String, splunkDir: String, checkpointDir: String,
+      config: PipelineConfig, metrics: SinkMetrics): StreamingQuery =
+    source.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, esDir, splunkDir, config, metrics, batchId)
+      }
+      .start()
+}

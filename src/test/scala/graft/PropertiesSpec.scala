@@ -1,0 +1,51 @@
+package graft
+
+import java.util.Base64
+
+import graft.pipeline.AuditPipeline
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ScalaCheck-generated properties from SURVEY.md §5: pruned keys ⊆
+  * allowlist, decode∘encode identity, chunking invariants. (Generators are
+  * sampled manually — the scalatest↔scalacheck bridge isn't vendored.) */
+class PropertiesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def samples[A](gen: Gen[A], n: Int = 100): Seq[A] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("chunking: every chunk <= max, order and multiplicity preserved") {
+    val cases = samples(Gen.zip(Gen.listOf(Gen.alphaNumStr), Gen.chooseNum(1, 500)))
+    assert(cases.nonEmpty)
+    cases.foreach { case (xs, max) =>
+      val chunks = xs.grouped(max).toList
+      assert(chunks.forall(_.size <= max), s"chunk over $max")
+      assert(chunks.flatten == xs, "order/multiplicity broken")
+      if (xs.nonEmpty) assert(chunks.init.forall(_.size == max), "non-final short chunk")
+    }
+  }
+
+  test("decode(encode(s)) is the identity for any payload") {
+    samples(Gen.asciiPrintableStr).foreach { s =>
+      val enc = Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+      assert(new String(Base64.getDecoder.decode(enc), "UTF-8") == s)
+    }
+  }
+
+  test("pruned columns are always a subset of the allowlist") {
+    import spark.implicits._
+    val allCols = AuditPipeline.auditSchema.fieldNames.toSeq :+ "@timestamp"
+    samples(Gen.someOf(allCols), n = 25).filter(_.nonEmpty).foreach { kept =>
+      val df = Seq(1).toDF("__seed")
+      val withCols = kept.foldLeft(df) { (d, c) =>
+        d.withColumn(c, org.apache.spark.sql.functions.lit("x"))
+      }.drop("__seed")
+      val pruned = AuditPipeline.filterForEs(withCols)
+      assert(pruned.columns.toSet.subsetOf(AuditPipeline.EsAllowedFields.toSet))
+      assert(pruned.columns.toSet ==
+        kept.toSet.intersect(AuditPipeline.EsAllowedFields.toSet))
+    }
+  }
+}

@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.util.Base64
+
+import graft.streaming.{PipelineConfig, SinkMetrics, Sinks, StreamingFanOut}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.jdk.CollectionConverters._
+
+/** End-to-end fan-out semantics (test_lambda_function.py:167-260 +
+  * §2a error-semantics): ES gets the pruned projection, Splunk the full
+  * record, both from one persisted batch; toggle skips Splunk; metrics
+  * count success/total; ES `_id` is idempotent across redelivery; Splunk
+  * chunks are ≤ maxBatchSize.
+  */
+class StreamingFanOutSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def b64(s: String): String =
+    Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+
+  private def recJson(id: Int): String =
+    s"""{"datetime": "2026-02-18T10:30:0${id % 10}", "random_id": "id-$id",
+       |"kind_id": $id, "account_id": 1, "ip": "1.2.3.$id",
+       |"request_url": "https://x/$id", "http_method": "GET"}"""
+      .stripMargin.replace("\n", " ")
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("streaming fan-out: pruned ES copy, full Splunk copy, checkpointed (lambda_function.py:140-148)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (esDir, splunkDir, ckpt) = (tmp("es"), tmp("splunk"), tmp("ckpt"))
+    val metrics = SinkMetrics(spark)
+    val stream = MemoryStream[String]
+    val decoded = graft.pipeline.AuditPipeline.decodeKinesis(
+      stream.toDF().withColumnRenamed("value", "data"), "data")
+
+    val q = StreamingFanOut.start(decoded, esDir, splunkDir, ckpt,
+      PipelineConfig(), metrics)
+    stream.addData((1 to 7).map(i => b64(recJson(i))): _*)
+    q.processAllAvailable()
+    stream.addData((8 to 9).map(i => b64(recJson(i))): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    // ES copy: pruned to the allowlist + routing keys, daily-partitioned
+    val es = Sinks.readEsIndex(spark, esDir)
+    assert(es.count() == 9)
+    assert(!es.columns.contains("request_url"), "ES must not see Splunk-only fields")
+    assert(es.columns.contains("_id") && es.columns.contains("_index"))
+    assert(es.select("_index").distinct().collect().map(_.getString(0)).toSet ==
+      Set("audit-2026-02-18"))
+
+    // Splunk copy: full record inside the HEC envelope
+    val splunkLines = spark.read.json(s"$splunkDir/*.jsonl")
+    assert(splunkLines.count() == 9)
+    assert(splunkLines.select("sourcetype").distinct().collect().head.getString(0) == "json")
+    val eventCols = splunkLines.select("event.*").columns
+    assert(eventCols.contains("request_url"), "Splunk gets the FULL record")
+
+    // metrics: success == total == 9 per sink (two micro-batches)
+    assert(metrics.esTotal.value == 9 && metrics.esSuccess.value == 9)
+    assert(metrics.splunkTotal.value == 9 && metrics.splunkSuccess.value == 9)
+  }
+
+  test("feature toggle skips Splunk entirely (lambda_function.py:106-108)") {
+    import spark.implicits._
+    val (esDir, splunkDir) = (tmp("es"), tmp("splunk"))
+    val metrics = SinkMetrics(spark)
+    val batch = graft.pipeline.AuditPipeline.decodeKinesis(
+      Seq(b64(recJson(1))).toDF("data"), "data")
+    val config = PipelineConfig.fromSecrets(Map("splunk_disabled" -> "true"))
+    assert(config.splunkDisabled)
+
+    StreamingFanOut.processBatch(batch, esDir, splunkDir, config, metrics)
+    assert(Sinks.readEsIndex(spark, esDir).count() == 1)
+    assert(Files.list(Paths.get(splunkDir)).iterator().asScala.isEmpty,
+      "no Splunk posts when disabled")
+    assert(metrics.splunkTotal.value == 0)
+  }
+
+  test("ES redelivery is idempotent via _id (lambda_function.py:81)") {
+    import spark.implicits._
+    val (esDir, splunkDir) = (tmp("es"), tmp("splunk"))
+    val metrics = SinkMetrics(spark)
+    val batch = graft.pipeline.AuditPipeline.decodeKinesis(
+      Seq(b64(recJson(1)), b64(recJson(2))).toDF("data"), "data")
+    // same batch delivered twice (at-least-once upstream)
+    StreamingFanOut.processBatch(batch, esDir, splunkDir, PipelineConfig(), metrics)
+    StreamingFanOut.processBatch(batch, esDir, splunkDir, PipelineConfig(), metrics)
+    assert(Sinks.readEsIndex(spark, esDir).count() == 2,
+      "reader observes one doc per _id after redelivery")
+  }
+
+  test("splunk chunks are <= maxBatchSize and preserve all events (lambda_function.py:115,128-134)") {
+    import spark.implicits._
+    val splunkDir = tmp("splunk")
+    val metrics = SinkMetrics(spark)
+    val n = 23
+    val df = Seq.tabulate(n)(i => (s"id-$i", i)).toDF("random_id", "kind_id")
+    Sinks.writeSplunk(df, splunkDir, "audit-splunk", metrics, maxBatchSize = 5)
+
+    val files = Files.list(Paths.get(splunkDir)).iterator().asScala.toSeq
+    val sizes = files.map(f => Files.readAllLines(f).size())
+    assert(sizes.forall(_ <= 5), s"chunk over limit: $sizes")
+    assert(sizes.sum == n)
+    assert(metrics.splunkSuccess.value == n && metrics.splunkTotal.value == n)
+    // envelope shape of the first line
+    val first = spark.read.json(s"$splunkDir/*.jsonl")
+    assert(first.columns.sorted.toSeq == Seq("event", "index", "sourcetype"))
+  }
+}
