@@ -67,26 +67,28 @@ object DedupQueries {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q37 (no oracle: MinHash banding)
-  /** Per-document MinHash signature banded for LSH: 32 hash functions
-    * (xxhash64 seeded by slot), 8 bands × 4 rows. Rows = doc × band; joining
-    * this table to itself on (band_id, band_hash) yields candidate pairs. */
-  private val q37: Q = (s, d) =>
+  /** Per-document MinHash signature banded for LSH: 32 hash slots from the
+    * one-pass codegen'd `minhash_sig` expression (graft.functions.MinHashSig),
+    * 8 bands × 4 rows. Rows = doc × band; joining this table to itself on
+    * (band_id, band_hash) yields candidate pairs. */
+  private val q37: Q = (s, d) => {
+    graft.functions.MinHashSig.register(s)
     withShingles(Tables.documents(s, d), "text")
-      .withColumn("minsig",
-        expr("transform(sequence(0, 31), j -> array_min(transform(sh, x -> xxhash64(x, j))))"))
+      .withColumn("minsig", expr("minhash_sig(sh)"))
       .select(col("doc_id"), posexplode(expr(
         "transform(sequence(0, 7), b -> xxhash64(concat_ws(',', " +
           "transform(slice(minsig, b * 4 + 1, 4), v -> cast(v AS string)))))")))
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "band_hash")
       .orderBy(col("doc_id"), col("band_id"))
+  }
 
   /** LSH candidate pairs (band-bucket join) verified by exact Jaccard.
     * Used by tests and by callers with planted near-duplicates. */
   def minhashCandidates(docs: DataFrame, threshold: Double): DataFrame = {
+    graft.functions.MinHashSig.register(docs.sparkSession)
     val sh = withShingles(docs, "text")
-      .withColumn("minsig",
-        expr("transform(sequence(0, 31), j -> array_min(transform(sh, x -> xxhash64(x, j))))"))
+      .withColumn("minsig", expr("minhash_sig(sh)"))
     val bands = sh.select(col("doc_id"), col("sh"), posexplode(expr(
       "transform(sequence(0, 7), b -> xxhash64(concat_ws(',', " +
         "transform(slice(minsig, b * 4 + 1, 4), v -> cast(v AS string)))))")))

@@ -1,0 +1,46 @@
+package graft
+
+import graft.queries.DedupQueries
+import org.scalatest.funsuite.AnyFunSuite
+
+/** MinHash+LSH behavior on planted near-duplicates: the banded candidate
+  * join must surface high-Jaccard pairs and the exact-Jaccard verify must
+  * reject unrelated ones. */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def doc(id: Long, text: String) = (id, text)
+
+  test("minhashCandidates finds planted near-dups and skips unrelated docs") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog while the cat " +
+      "sleeps near the warm fire and the birds sing in the tall green trees " +
+      "beside the quiet river that flows gently through the old stone village"
+    val nearDup = base.replace("quiet river", "silent stream") // few shingles differ
+    val unrelated = "completely different content about spark catalyst " +
+      "optimizer rules and physical execution strategies with whole stage " +
+      "codegen and adaptive query execution in distributed data processing"
+    val docs = Seq(
+      doc(1, base), doc(2, nearDup), doc(3, unrelated),
+      doc(4, base) // exact dup of 1
+    ).toDF("doc_id", "text")
+
+    val pairs = DedupQueries.minhashCandidates(docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)), "exact dup pair must be found")
+    assert(pairs.contains((1L, 2L)), "near dup pair must be found")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc must not pair")
+  }
+
+  test("minhash_sig is deterministic and shingle-order-independent on sets") {
+    import spark.implicits._
+    graft.functions.MinHashSig.register(spark)
+    val df = Seq(
+      (1L, Array("a b c", "b c d", "c d e")),
+      (2L, Array("c d e", "a b c", "b c d"))).toDF("id", "sh")
+    val sigs = df.selectExpr("minhash_sig(sh) AS sig").collect()
+      .map(_.getSeq[Long](0))
+    assert(sigs(0) == sigs(1), "same shingle set => same signature")
+    assert(sigs(0).length == 32)
+  }
+}
