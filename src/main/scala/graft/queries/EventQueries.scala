@@ -211,6 +211,35 @@ object EventQueries {
       | (ROW_NUMBER() OVER (ORDER BY event_id) - 1) // 500 AS batch_no, value
       |FROM events ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q50
+  /** As-of join: each purchase matched to the user's most recent click at or
+    * before it (graft.operators.AsOfJoin — one shuffle on user_id, no pair
+    * explosion). Oracle is DuckDB's native ASOF LEFT JOIN. */
+  private val q50: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("c_event"))
+      .withColumn("c_ts_us", unix_micros(col("ts")))
+      .select(col("user_id"), col("ts"), col("c_event"), col("c_ts_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("p_event"))
+    graft.operators.AsOfJoin.asof(
+        purchases, clicks, "user_id", "ts", "ts", Seq("c_event", "c_ts_us"))
+      .select(col("user_id"), col("p_event"),
+        unix_micros(col("ts")).as("p_ts_us"), col("c_event"), col("c_ts_us"))
+      .orderBy(col("p_event"))
+  }
+
+  private val q50Sql =
+    """WITH c AS (SELECT user_id, ts, max(event_id) AS c_event FROM events
+      |           WHERE event_type = 'click' GROUP BY 1, 2),
+      | p AS (SELECT user_id, ts, event_id AS p_event FROM events WHERE event_type = 'purchase')
+      |SELECT p.user_id, p.p_event, CAST(epoch_us(p.ts) AS BIGINT) AS p_ts_us,
+      | c.c_event, CAST(epoch_us(c.ts) AS BIGINT) AS c_ts_us
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p_event""".stripMargin
+
   // ---------------------------------------------------------------- q62
   private val q62: Q = (s, d) =>
     Tables.events(s, d)
@@ -232,6 +261,7 @@ object EventQueries {
     "q26_json_extract_stats" -> q26,
     "q29_weighted_avg_udaf" -> q29,
     "q45_dedup_exact_events" -> q45,
+    "q50_asof_join" -> q50,
     "q60_pipeline_es_projection" -> q60,
     "q61_pipeline_splunk_envelope" -> q61,
     "q62_pipeline_daily_index_counts" -> q62)
@@ -244,6 +274,7 @@ object EventQueries {
     "q26_json_extract_stats" -> q26Sql,
     "q29_weighted_avg_udaf" -> q29Sql,
     "q45_dedup_exact_events" -> q45Sql,
+    "q50_asof_join" -> q50Sql,
     "q60_pipeline_es_projection" -> q60Sql,
     "q61_pipeline_splunk_envelope" -> q61Sql,
     "q62_pipeline_daily_index_counts" -> q62Sql)

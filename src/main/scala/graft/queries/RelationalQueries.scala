@@ -529,6 +529,25 @@ object RelationalQueries {
       | JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
 
+  // ---------------------------------------------------------------- q49
+  /** Explicit sort-merge join (hint("merge")): the fact-to-fact shape where
+    * neither side fits in a broadcast at production scale. Both sides
+    * shuffle-partition on the key; no build-side memory pressure. */
+  private val q49: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_items"))
+    Tables.orders(s, d).hint("merge")
+      .join(li.hint("merge"), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("n_items"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q49Sql =
+    """SELECT o_orderkey, o_orderpriority, n_items
+      |FROM orders JOIN (SELECT l_orderkey, COUNT(*) AS n_items FROM lineitem GROUP BY l_orderkey)
+      | ON o_orderkey = l_orderkey
+      |ORDER BY o_orderkey""".stripMargin
+
   // ---------------------------------------------------------------- q44 (no oracle: approx sketch)
   private val q44: Q = (s, d) =>
     Tables.lineitem(s, d)
@@ -565,7 +584,8 @@ object RelationalQueries {
     "q44_approx_count_distinct" -> q44,
     "q46_cube" -> q46,
     "q47_grouping_sets" -> q47,
-    "q48_supplier_region_join" -> q48)
+    "q48_supplier_region_join" -> q48,
+    "q49_sort_merge_join" -> q49)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -593,5 +613,6 @@ object RelationalQueries {
     "q28_collect_sorted" -> q28Sql,
     "q46_cube" -> q46Sql,
     "q47_grouping_sets" -> q47Sql,
-    "q48_supplier_region_join" -> q48Sql)
+    "q48_supplier_region_join" -> q48Sql,
+    "q49_sort_merge_join" -> q49Sql)
 }
