@@ -94,4 +94,25 @@ object AuditPipeline {
     * this is `_process_kinesis_record` minus the decode. */
   def enrich(df: DataFrame): DataFrame =
     nullOutEmptyIp(withTimestamp(df))
+
+  /** Split decoded records into (valid, deadLetter).
+    *
+    * The reference lets a malformed record crash the whole batch (at-least-
+    * once redelivery, lambda_function.py:141,45-46); `from_json` instead
+    * yields all-null rows. This is the stricter-than-reference option from
+    * SURVEY §2a error semantics: valid rows flow on, undecodable payloads
+    * are quarantined with their raw payload for replay instead of poisoning
+    * redelivery forever. Validity = the two fields the reference reads
+    * unconditionally (`datetime`, `random_id`, lambda_function.py:80-81).
+    */
+  def partitionValid(decodedWithRaw: DataFrame): (DataFrame, DataFrame) = {
+    val ok = col("random_id").isNotNull && col("datetime").isNotNull
+    (decodedWithRaw.filter(ok), decodedWithRaw.filter(!ok))
+  }
+
+  /** decodeKinesis, but keeps the raw payload column for dead-lettering. */
+  def decodeKinesisWithRaw(df: DataFrame, dataCol: String): DataFrame =
+    df.withColumn("_json", unbase64(col(dataCol)).cast("string"))
+      .withColumn("_rec", from_json(col("_json"), auditSchema))
+      .select(col(dataCol).as("_raw") +: auditSchema.fieldNames.toSeq.map(f => col(s"_rec.$f")): _*)
 }

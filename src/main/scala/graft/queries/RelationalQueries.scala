@@ -134,15 +134,20 @@ object RelationalQueries {
       |ORDER BY o_orderkey""".stripMargin
 
   // ---------------------------------------------------------------- q06
+  /** Anti-join against a filtered right side (customers with no URGENT
+    * order) — returns real rows at every SF, so the oracle checks content,
+    * not just emptiness. */
   private val q06: Q = (s, d) =>
     Tables.customer(s, d)
-      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
       .orderBy(col("c_custkey"))
 
   private val q06Sql =
     """SELECT c_custkey, c_name, c_acctbal FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
       |ORDER BY c_custkey""".stripMargin
 
   // ---------------------------------------------------------------- q07

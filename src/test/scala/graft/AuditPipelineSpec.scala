@@ -113,6 +113,21 @@ class AuditPipelineSpec extends AnyFunSuite {
     assert(out.count() == 1)
   }
 
+  test("dead-letter split quarantines undecodable payloads with their raw form") {
+    val mixed = Seq(
+      b64(fullJson),                   // valid
+      b64("""{"kind_id": 3}"""),       // decodes but misses required fields
+      b64("garbage not json")          // undecodable
+    ).toDF("data")
+    val (valid, dead) = AuditPipeline.partitionValid(
+      AuditPipeline.decodeKinesisWithRaw(mixed, "data"))
+    assert(valid.count() == 1)
+    assert(dead.count() == 2)
+    // raw payload survives for replay
+    val raws = dead.select("_raw").collect().map(_.getString(0)).toSet
+    assert(raws.contains(b64("garbage not json")))
+  }
+
   test("splunk envelope columns (lambda_function.py:121-125)") {
     val env = AuditPipeline.withSplunkEnvelope(decoded(fullJson), "audit-splunk")
     val row = env.select(col("sourcetype"), col("index")).collect().head
