@@ -125,6 +125,20 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  // ---------------------------------------------------------------- q51 (no oracle: IVF ANN)
+  /** IVF-bucketed ANN (graft.operators.IvfAnn): 16 coarse centroids, 4
+    * probed lists per query — the complementary scale path to q43's
+    * random-hyperplane LSH. */
+  private val q51: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val (assigned, cents) = graft.operators.IvfAnn.build(e, "vec_id", "embedding", k = 16)
+    val qs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    graft.operators.IvfAnn.search(assigned, cents, qs,
+        "q_id", "q_emb", "vec_id", "embedding", nprobe = 4, topK = 10)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** SQL literal for array<float>. */
   private def litArray(xs: Seq[Float]): String =
     xs.map(x => s"CAST($x AS FLOAT)").mkString("array(", ", ", ")")
@@ -133,7 +147,8 @@ object SimilarityQueries {
     "q40_cosine_vs_query" -> q40,
     "q41_ann_bruteforce_topk" -> q41,
     "q42_embedding_neardup" -> q42,
-    "q43_ann_lsh_bucketed" -> q43)
+    "q43_ann_lsh_bucketed" -> q43,
+    "q51_ann_ivf" -> q51)
 
   val oracle: Map[String, String] = Map(
     "q40_cosine_vs_query" -> q40Sql,
