@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Inventory-wide guards: every registered query must (a) execute at
+  * sf0.001, (b) have an oracle entry or be a documented approx/no-oracle op,
+  * and (c) contain no single-partition global window — the scale-killer
+  * pattern (`Window.orderBy` with no partitionBy) that VERDICT r1 flagged.
+  */
+class QueryInventorySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Ops intentionally without DuckDB oracle (approx sketches / LSH / IVF /
+    * SimHash) — the driver records a weaker rows-only check for these. */
+  private val noOracleByDesign = Set(
+    "q37_minhash_bands", "q38_simhash_hamming", "q43_ann_lsh_bucketed",
+    "q44_approx_count_distinct", "q51_ann_ivf")
+
+  test("every query executes at sf0.001") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try { fn(spark, dir).count(); None }
+      catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("oracle coverage is complete (modulo documented approx ops)") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- noOracleByDesign
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+    val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphaned.isEmpty, s"oracle entries without query: $orphaned")
+  }
+
+  test("no query plans a global (partition-less) window") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.optimizedPlan
+      val bad = plan.collect {
+        case w: LogicalWindow if w.partitionSpec.isEmpty && w.orderSpec.nonEmpty => w
+      }
+      if (bad.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"single-partition global windows (scale-killers) in: $offenders")
+  }
+}
