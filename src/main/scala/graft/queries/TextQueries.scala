@@ -20,6 +20,10 @@ object TextQueries {
   private def occ(c: String, needle: String) =
     ((length(col(c)) - length(expr(s"replace($c, '$needle', '')"))) / needle.length).cast("long")
 
+  /** same, as a SQL fragment (integer `div`, exact) for use inside expr(). */
+  private def occStr(needle: String): String =
+    s"((length(text) - length(replace(text, '$needle', ''))) div ${needle.length})"
+
   // ---------------------------------------------------------------- q30
   private val q30: Q = (s, d) =>
     Tables.documents(s, d)
@@ -78,29 +82,34 @@ object TextQueries {
       |FROM t GROUP BY lang ORDER BY lang""".stripMargin
 
   // ---------------------------------------------------------------- q33
+  /** Quality score in exact parts-per-million integer arithmetic: the
+    * double formulation rounds differently per engine when a component
+    * lands on a .5e-6 boundary (seen at sf0.1), so every ratio here is
+    * integer `div` — bit-identical on any engine at any scale.
+    * quality = 0.4·stop_ratio + 0.6·min(avg_tok_len/10, 1), in ppm. */
   private val q33: Q = (s, d) =>
     Tables.documents(s, d)
       .withColumn("tokens", size(split(col("text"), " ")).cast("long"))
-      .withColumn("avg_tok_len",
-        round((length(col("text")) - (col("tokens") - 1)) / col("tokens"), 6))
-      .withColumn("stop_ratio", round(occ("text", " the ") / col("tokens"), 6))
-      .withColumn("quality",
-        round(lit(0.4) * round(occ("text", " the ") / col("tokens"), 6) +
-          lit(0.6) * (least(round((length(col("text")) - (col("tokens") - 1)) / col("tokens"), 6), lit(10.0)) / 10.0), 6))
-      .select(col("doc_id"), col("tokens"), col("avg_tok_len"), col("stop_ratio"), col("quality"))
+      .withColumn("avg_len_ppm",
+        expr("(length(text) - (tokens - 1)) * 1000000L div tokens"))
+      .withColumn("stop_ppm", expr(s"${occStr(" the ")} * 1000000L div tokens"))
+      .withColumn("quality_ppm",
+        expr("(4 * stop_ppm + 6 * least(avg_len_ppm div 10, 1000000L)) div 10"))
+      .select(col("doc_id"), col("tokens"), col("avg_len_ppm"),
+        col("stop_ppm"), col("quality_ppm"))
       .orderBy(col("doc_id"))
 
   private val q33Sql =
     """WITH t AS (SELECT doc_id,
       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
-      |  length(text) AS n_chars,
-      |  CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS BIGINT) AS occ_the
+      |  CAST(length(text) AS BIGINT) AS n_chars,
+      |  CAST((length(text) - length(replace(text, ' the ', ''))) // 5 AS BIGINT) AS occ_the
       | FROM documents)
       |SELECT doc_id, tokens,
-      | round((n_chars - (tokens - 1)) / tokens, 6) AS avg_tok_len,
-      | round(occ_the / tokens, 6) AS stop_ratio,
-      | round(0.4 * round(occ_the / tokens, 6) +
-      |       0.6 * (least(round((n_chars - (tokens - 1)) / tokens, 6), 10.0) / 10.0), 6) AS quality
+      | (n_chars - (tokens - 1)) * 1000000 // tokens AS avg_len_ppm,
+      | occ_the * 1000000 // tokens AS stop_ppm,
+      | (4 * (occ_the * 1000000 // tokens) +
+      |  6 * least(((n_chars - (tokens - 1)) * 1000000 // tokens) // 10, 1000000)) // 10 AS quality_ppm
       |FROM t ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q34
