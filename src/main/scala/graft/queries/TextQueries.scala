@@ -146,13 +146,27 @@ object TextQueries {
       | CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
       |FROM t ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q65 (no oracle: rolling hash)
+  /** Content-defined rolling-hash fingerprints (functions/RollingFingerprint,
+    * codegen'd Rabin–Karp min-window): identical-prefix/suffix documents
+    * collide, unrelated ones don't — the cheap first-pass near-dup filter. */
+  private val q65: Q = (s, d) => {
+    graft.functions.RollingFingerprint.register(s)
+    Tables.documents(s, d)
+      .withColumn("fp_roll", expr("rolling_fp(text)"))
+      .groupBy(col("fp_roll"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+      .orderBy(col("keep_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q30_wordcount_topk" -> q30,
     "q31_bigrams_topk" -> q31,
     "q32_lang_id_heuristic" -> q32,
     "q33_quality_score" -> q33,
     "q34_fingerprint_md5" -> q34,
-    "q39_token_stats" -> q39)
+    "q39_token_stats" -> q39,
+    "q65_fingerprint_rolling" -> q65)
 
   val oracle: Map[String, String] = Map(
     "q30_wordcount_topk" -> q30Sql,

@@ -16,7 +16,7 @@ class QueryInventorySpec extends AnyFunSuite {
     * SimHash) — the driver records a weaker rows-only check for these. */
   private val noOracleByDesign = Set(
     "q37_minhash_bands", "q38_simhash_hamming", "q43_ann_lsh_bucketed",
-    "q44_approx_count_distinct", "q51_ann_ivf")
+    "q44_approx_count_distinct", "q51_ann_ivf", "q65_fingerprint_rolling")
 
   test("every query executes at sf0.001") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
