@@ -51,13 +51,17 @@ object Sinks {
     *   the write is wrapped, failure returns 0 delivered.
     */
   def writeEs(pruned: DataFrame, dir: String, prefix: String, m: SinkMetrics): Long = {
-    val rows = pruned.count()
-    m.esTotal.add(rows)
+    val keyed = AuditPipeline.withRoutingKeys(AuditPipeline.skipNulls(pruned), prefix)
+      .dropDuplicates("_id")
+      .withColumn("index_date", to_date(col("datetime")).cast("string"))
+    // Observation rides along the write job — no separate count() pass over
+    // the batch (at 100 TB a second full pass per micro-batch is real money).
+    val obs = org.apache.spark.sql.Observation()
+    val observed = keyed.observe(obs, count(lit(1)).as("n"))
     try {
-      val keyed = AuditPipeline.withRoutingKeys(AuditPipeline.skipNulls(pruned), prefix)
-        .dropDuplicates("_id")
-        .withColumn("index_date", to_date(col("datetime")).cast("string"))
-      keyed.write.mode("append").partitionBy("index_date").parquet(dir)
+      observed.write.mode("append").partitionBy("index_date").parquet(dir)
+      val rows = obs.get("n").asInstanceOf[Long]
+      m.esTotal.add(rows)
       m.esSuccess.add(rows)
       rows
     } catch {

@@ -1,0 +1,48 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.util.Base64
+
+import graft.sources.KinesisFileSource
+import graft.streaming.{PipelineConfig, SinkMetrics, Sinks, StreamingFanOut}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end over the file-backed Kinesis stand-in: shard files of base64
+  * payloads → readStream → decode → fan-out, one micro-batch per shard file
+  * (the Lambda-invocation analogue). */
+class KinesisFileSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def b64(s: String): String =
+    Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+
+  private def rec(id: Int): String =
+    s"""{"datetime": "2026-02-18T11:00:0${id % 10}", "random_id": "shard-$id", "kind_id": $id}"""
+
+  test("shard files stream through the full fan-out pipeline") {
+    val shardDir = Files.createTempDirectory("shards").toString
+    Files.write(Paths.get(shardDir, "shard-0.txt"),
+      (1 to 3).map(i => b64(rec(i))).mkString("\n").getBytes)
+    Files.write(Paths.get(shardDir, "shard-1.txt"),
+      (4 to 5).map(i => b64(rec(i))).mkString("\n").getBytes)
+
+    val (esDir, splunkDir, ckpt) = (
+      Files.createTempDirectory("es").toString,
+      Files.createTempDirectory("splunk").toString,
+      Files.createTempDirectory("ckpt").toString)
+    val metrics = SinkMetrics(spark)
+    val decoded = graft.pipeline.AuditPipeline.decodeKinesis(
+      KinesisFileSource.stream(spark, shardDir), "data")
+    val q = StreamingFanOut.start(decoded, esDir, splunkDir, ckpt,
+      PipelineConfig(), metrics)
+    q.processAllAvailable()
+    q.stop()
+
+    val es = Sinks.readEsIndex(spark, esDir)
+    assert(es.count() == 5)
+    assert(metrics.esSuccess.value == 5)
+    assert(metrics.splunkSuccess.value == 5)
+    // batch replay sees the same records
+    assert(KinesisFileSource.batch(spark, shardDir).count() == 5)
+  }
+}
