@@ -240,6 +240,40 @@ object EventQueries {
       |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
       |ORDER BY p_event""".stripMargin
 
+  // ---------------------------------------------------------------- q52
+  /** Range (interval) join, bucketized: clicks in the 10 minutes before
+    * each purchase, same user. A naive range join explodes into a per-key
+    * cross product; bucketing time into interval-width buckets means each
+    * purchase probes exactly 2 candidate buckets and the join shuffles on
+    * (user_id, bucket) like any equi-join — the standard interval-join
+    * shape that survives 100 TB. Exact range filter runs on candidates only. */
+  private val q52: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val BucketUs = 600000000L // 10 minutes in microseconds
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("c_us"))
+      .withColumn("bucket", col("c_us") - (col("c_us") % BucketUs))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("p_us"), col("event_id").as("p_event"))
+      .withColumn("b0", col("p_us") - (col("p_us") % BucketUs))
+      .withColumn("bucket", explode(array(col("b0"), col("b0") - BucketUs)))
+    purchases.join(clicks, Seq("user_id", "bucket"), "left")
+      .withColumn("hit",
+        when(col("c_us") >= col("p_us") - BucketUs && col("c_us") < col("p_us"), 1L)
+          .otherwise(0L))
+      .groupBy(col("p_event"))
+      .agg(sum(col("hit")).as("n_clicks_10m"))
+      .orderBy(col("p_event"))
+  }
+
+  private val q52Sql =
+    """WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+      | p AS (SELECT user_id, ts, event_id AS p_event FROM events WHERE event_type = 'purchase')
+      |SELECT p.p_event, CAST(COUNT(c.ts) AS BIGINT) AS n_clicks_10m
+      |FROM p LEFT JOIN c ON c.user_id = p.user_id
+      | AND c.ts >= p.ts - INTERVAL '10 minutes' AND c.ts < p.ts
+      |GROUP BY p.p_event ORDER BY p_event""".stripMargin
+
   // ---------------------------------------------------------------- q62
   private val q62: Q = (s, d) =>
     Tables.events(s, d)
@@ -262,6 +296,7 @@ object EventQueries {
     "q29_weighted_avg_udaf" -> q29,
     "q45_dedup_exact_events" -> q45,
     "q50_asof_join" -> q50,
+    "q52_range_join_bucketized" -> q52,
     "q60_pipeline_es_projection" -> q60,
     "q61_pipeline_splunk_envelope" -> q61,
     "q62_pipeline_daily_index_counts" -> q62)
@@ -275,6 +310,7 @@ object EventQueries {
     "q29_weighted_avg_udaf" -> q29Sql,
     "q45_dedup_exact_events" -> q45Sql,
     "q50_asof_join" -> q50Sql,
+    "q52_range_join_bucketized" -> q52Sql,
     "q60_pipeline_es_projection" -> q60Sql,
     "q61_pipeline_splunk_envelope" -> q61Sql,
     "q62_pipeline_daily_index_counts" -> q62Sql)
