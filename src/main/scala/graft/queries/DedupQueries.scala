@@ -67,17 +67,15 @@ object DedupQueries {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q37 (no oracle: MinHash banding)
-  /** Per-document MinHash signature banded for LSH: 32 hash slots from the
-    * one-pass codegen'd `minhash_sig` expression (graft.functions.MinHashSig),
-    * 8 bands × 4 rows. Rows = doc × band; joining this table to itself on
+  /** Per-document MinHash LSH bands: 32 hash slots, 8 bands × 4 rows, all in
+    * the one-pass codegen'd `minhash_bands` expression
+    * (graft.functions.MinHashBands — fused so the signature is computed once,
+    * not once per band). Rows = doc × band; joining this table to itself on
     * (band_id, band_hash) yields candidate pairs. */
   private val q37: Q = (s, d) => {
-    graft.functions.MinHashSig.register(s)
+    graft.functions.MinHashBands.register(s)
     withShingles(Tables.documents(s, d), "text")
-      .withColumn("minsig", expr("minhash_sig(sh)"))
-      .select(col("doc_id"), posexplode(expr(
-        "transform(sequence(0, 7), b -> xxhash64(concat_ws(',', " +
-          "transform(slice(minsig, b * 4 + 1, 4), v -> cast(v AS string)))))")))
+      .select(col("doc_id"), posexplode(expr("minhash_bands(sh)")))
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "band_hash")
       .orderBy(col("doc_id"), col("band_id"))
@@ -86,12 +84,9 @@ object DedupQueries {
   /** LSH candidate pairs (band-bucket join) verified by exact Jaccard.
     * Used by tests and by callers with planted near-duplicates. */
   def minhashCandidates(docs: DataFrame, threshold: Double): DataFrame = {
-    graft.functions.MinHashSig.register(docs.sparkSession)
+    graft.functions.MinHashBands.register(docs.sparkSession)
     val sh = withShingles(docs, "text")
-      .withColumn("minsig", expr("minhash_sig(sh)"))
-    val bands = sh.select(col("doc_id"), col("sh"), posexplode(expr(
-      "transform(sequence(0, 7), b -> xxhash64(concat_ws(',', " +
-        "transform(slice(minsig, b * 4 + 1, 4), v -> cast(v AS string)))))")))
+    val bands = sh.select(col("doc_id"), col("sh"), posexplode(expr("minhash_bands(sh)")))
       .withColumnRenamed("pos", "band_id").withColumnRenamed("col", "band_hash")
     val l = bands.select(col("band_id"), col("band_hash"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val r = bands.select(col("band_id"), col("band_hash"), col("doc_id").as("id_b"), col("sh").as("sh_b"))

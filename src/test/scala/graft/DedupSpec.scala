@@ -32,6 +32,28 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc must not pair")
   }
 
+  test("minhash_bands equals banding the minhash_sig signature (fused == two-step)") {
+    import spark.implicits._
+    graft.functions.MinHashSig.register(spark)
+    graft.functions.MinHashBands.register(spark)
+    val df = Seq(
+      (1L, Array("a b c", "b c d", "c d e")),
+      (2L, Array("x y z", "y z w"))).toDF("id", "sh")
+    val rows = df.selectExpr("minhash_sig(sh) AS sig", "minhash_bands(sh) AS bands")
+      .collect()
+    rows.foreach { r =>
+      val sig = r.getSeq[Long](0)
+      val bands = r.getSeq[Long](1)
+      assert(bands.length == 8)
+      val expected = (0 until 8).map { b =>
+        (0 until 4).foldLeft(b.toLong) { (acc, j) =>
+          org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(sig(b * 4 + j), acc)
+        }
+      }
+      assert(bands == expected, "fused band hashes must match banding the signature")
+    }
+  }
+
   test("minhash_sig is deterministic and shingle-order-independent on sets") {
     import spark.implicits._
     graft.functions.MinHashSig.register(spark)
