@@ -19,12 +19,14 @@ import org.apache.spark.sql.functions._
 object DedupQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Distinct 3-word shingles of a text column, as an array column `sh`. */
-  private def withShingles(df: DataFrame, textCol: String): DataFrame =
-    df.withColumn("w", split(col(textCol), " "))
-      .filter(size(col("w")) >= 3)
-      .withColumn("sh", array_distinct(
-        expr("transform(sequence(0, size(w) - 3), i -> concat(w[i], ' ', w[i + 1], ' ', w[i + 2]))")))
+  /** Distinct 3-word shingles of a text column, as an array column `sh`
+    * (graft.functions.WordShingles — the codegen kernel; the declarative
+    * transform+array_distinct formulation runs interpreted and quadratic). */
+  private def withShingles(df: DataFrame, textCol: String): DataFrame = {
+    graft.functions.TextKernels.register(df.sparkSession)
+    df.filter(size(split(col(textCol), " ")) >= 3)
+      .withColumn("sh", expr(s"word_shingles($textCol, 3)"))
+  }
 
   // ---------------------------------------------------------------- q35
   private val q35: Q = (s, d) =>
@@ -100,6 +102,85 @@ object DedupQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  // ---------------------------------------------------------------- q66 (oracle-checked MinHash LSH)
+  /** End-to-end MinHash-LSH near-dup detection, hash-for-hash verifiable
+    * against DuckDB: every hash is the first 60 bits of md5 (available and
+    * bit-identical in both engines), so the full pipeline — signature →
+    * banding → candidate join → exact-Jaccard verify — is oracle-checked,
+    * not just "plausible". q37 is the xxhash64 fast path; this is the
+    * portable proof that the LSH formulation itself is correct.
+    *
+    * Scale shape: per-shingle hashing is a flat projection; the 8 signature
+    * mins are partial-aggregable (map-side combine) hash aggregates; the
+    * candidate join shuffles only (band_id, band_hash) keys; exact Jaccard
+    * runs on candidates only — never all pairs.
+    */
+  private val q66: Q = (s, d) => {
+    val docs = withShingles(Tables.documents(s, d), "text").select(col("doc_id"), col("sh"))
+    val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    // h_j(s) = first 60 bits of md5(j ':' s) — portable across engines.
+    def h(j: Int): Column =
+      conv(substring(md5(concat(lit(s"$j:"), col("s"))), 1, 15), 16, 10).cast("long")
+    val mins = (0 to 7).map(j => min(h(j)).as(s"m$j"))
+    val sig = ex.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    // 4 bands × 2 rows; band hash = 60-bit md5 of the joined member minima.
+    def bh(b: Int): Column =
+      conv(substring(md5(concat(
+        col(s"m${2 * b}").cast("string"), lit(","),
+        col(s"m${2 * b + 1}").cast("string"))), 1, 15), 16, 10).cast("long")
+    val bands = sig
+      .select(col("doc_id"), posexplode(array(bh(0), bh(1), bh(2), bh(3))))
+      .withColumnRenamed("pos", "band_id").withColumnRenamed("col", "band_hash")
+    val l = bands.select(col("band_id"), col("band_hash"), col("doc_id").as("id_a"))
+    val r = bands.select(col("band_id"), col("band_hash"), col("doc_id").as("id_b"))
+    val cand = l.join(r, Seq("band_id", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val x = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val y = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    cand.join(x, Seq("id_a")).join(y, Seq("id_b"))
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("n_union", size(array_union(col("sh_a"), col("sh_b"))).cast("long"))
+      .filter(col("n_inter").cast("double") / col("n_union") >= 0.5)
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"),
+        round(col("n_inter").cast("double") / col("n_union"), 6).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val q66Sql =
+    """WITH sh AS (
+      | SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+      |   i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS sh
+      | FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) WHERE len(w) >= 3),
+      |ex AS (SELECT doc_id, UNNEST(sh) AS s FROM sh),
+      |sig AS (SELECT doc_id,
+      |  min(CAST(('0x' || substr(md5('0:' || s),1,15)) AS BIGINT)) AS m0,
+      |  min(CAST(('0x' || substr(md5('1:' || s),1,15)) AS BIGINT)) AS m1,
+      |  min(CAST(('0x' || substr(md5('2:' || s),1,15)) AS BIGINT)) AS m2,
+      |  min(CAST(('0x' || substr(md5('3:' || s),1,15)) AS BIGINT)) AS m3,
+      |  min(CAST(('0x' || substr(md5('4:' || s),1,15)) AS BIGINT)) AS m4,
+      |  min(CAST(('0x' || substr(md5('5:' || s),1,15)) AS BIGINT)) AS m5,
+      |  min(CAST(('0x' || substr(md5('6:' || s),1,15)) AS BIGINT)) AS m6,
+      |  min(CAST(('0x' || substr(md5('7:' || s),1,15)) AS BIGINT)) AS m7
+      | FROM ex GROUP BY doc_id),
+      |bands AS (
+      | SELECT doc_id, 0 AS band_id, CAST(('0x' || substr(md5(CAST(m0 AS VARCHAR) || ',' || CAST(m1 AS VARCHAR)),1,15)) AS BIGINT) AS band_hash FROM sig
+      | UNION ALL SELECT doc_id, 1, CAST(('0x' || substr(md5(CAST(m2 AS VARCHAR) || ',' || CAST(m3 AS VARCHAR)),1,15)) AS BIGINT) FROM sig
+      | UNION ALL SELECT doc_id, 2, CAST(('0x' || substr(md5(CAST(m4 AS VARCHAR) || ',' || CAST(m5 AS VARCHAR)),1,15)) AS BIGINT) FROM sig
+      | UNION ALL SELECT doc_id, 3, CAST(('0x' || substr(md5(CAST(m6 AS VARCHAR) || ',' || CAST(m7 AS VARCHAR)),1,15)) AS BIGINT) FROM sig),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      | FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+      | WHERE a.doc_id < b.doc_id)
+      |SELECT c.id_a, c.id_b,
+      | CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS n_inter,
+      | CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS BIGINT) AS n_union,
+      | round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+      |       len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+      |FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b
+      |WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+      |      len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
   // ---------------------------------------------------------------- q38 (no oracle: SimHash)
   /** 64-bit SimHash over distinct words + Hamming distance to doc_id+1.
     * Near-dups have small Hamming distance; the per-doc signature is a pure
@@ -121,13 +202,62 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- q67 (oracle-checked SimHash)
+  /** SimHash re-expressed as an aggregation so it is (a) whole-stage-codegen
+    * (q38's nested higher-order lambdas run interpreted) and (b) portable:
+    * word hashes are 60-bit md5 prefixes, so DuckDB reproduces the signature
+    * bit-for-bit and the oracle checks the ENTIRE simhash, not a proxy.
+    *
+    * Shape: explode(words) × explode(bits) → per-(doc, bit) ±1 sums →
+    * per-doc bit reassembly. Two hash aggregates on tiny keys, both
+    * map-side combinable — the formulation that survives 100 TB, unlike
+    * any per-row O(64·|words|) interpreted lambda.
+    */
+  private val q67: Q = (s, d) => {
+    val wd = Tables.documents(s, d)
+      .withColumn("ws", array_distinct(split(col("text"), " ")))
+    val ew = wd.select(col("doc_id"), explode(col("ws")).as("w"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("h"))
+    val bits = ew
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(59))).as("b"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(expr("(shiftright(h, b) & 1) * 2 - 1")).as("sgn"))
+    val sim = bits.groupBy(col("doc_id"))
+      .agg(sum(expr(
+        "CASE WHEN sgn > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END"))
+        .as("simhash"))
+    val nxt = sim.select((col("doc_id") - 1).as("doc_id"), col("simhash").as("next_simhash"))
+    sim.join(nxt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("simhash"),
+        expr("bit_count(simhash ^ next_simhash)").cast("long").as("hamming_next"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q67Sql =
+    """WITH wd AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents),
+      |ew AS (SELECT doc_id, CAST(('0x' || substr(md5(w),1,15)) AS BIGINT) AS h
+      |       FROM (SELECT doc_id, UNNEST(ws) AS w FROM wd)),
+      |bits AS (SELECT doc_id, b, SUM(((h >> b) & 1) * 2 - 1) AS sgn
+      |         FROM ew CROSS JOIN (SELECT UNNEST(range(60)) AS b) t GROUP BY doc_id, b),
+      |sim AS (SELECT doc_id, CAST(SUM(CASE WHEN sgn > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+      |        FROM bits GROUP BY doc_id)
+      |SELECT a.doc_id AS doc_id, a.simhash AS simhash,
+      | CAST(bit_count(xor(a.simhash, n.simhash)) AS BIGINT) AS hamming_next
+      |FROM sim a LEFT JOIN sim n ON n.doc_id = a.doc_id + 1
+      |ORDER BY a.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q35_dedup_exact_text" -> q35,
     "q36_jaccard_consecutive" -> q36,
     "q37_minhash_bands" -> q37,
-    "q38_simhash_hamming" -> q38)
+    "q38_simhash_hamming" -> q38,
+    "q66_minhash_lsh_verified" -> q66,
+    "q67_simhash_portable" -> q67)
 
   val oracle: Map[String, String] = Map(
     "q35_dedup_exact_text" -> q35Sql,
-    "q36_jaccard_consecutive" -> q36Sql)
+    "q36_jaccard_consecutive" -> q36Sql,
+    "q66_minhash_lsh_verified" -> q66Sql,
+    "q67_simhash_portable" -> q67Sql)
 }

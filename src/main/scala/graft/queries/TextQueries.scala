@@ -40,15 +40,16 @@ object TextQueries {
       |WHERE w <> '' GROUP BY w ORDER BY n DESC, w LIMIT 20""".stripMargin
 
   // ---------------------------------------------------------------- q31
-  private val q31: Q = (s, d) =>
+  private val q31: Q = (s, d) => {
+    graft.functions.TextKernels.register(s)
     Tables.documents(s, d)
-      .withColumn("w", split(col("text"), " "))
-      .filter(size(col("w")) >= 2)
-      .select(explode(expr("transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))")).as("bigram"))
+      .filter(size(split(col("text"), " ")) >= 2)
+      .select(explode(expr("word_ngrams(text, 2)")).as("bigram"))
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
       .limit(20)
+  }
 
   private val q31Sql =
     """SELECT bigram, COUNT(*) AS n FROM (
@@ -159,6 +160,65 @@ object TextQueries {
       .orderBy(col("keep_id"))
   }
 
+  // ---------------------------------------------------------------- q68
+  /** TF-IDF-style distinctive terms, integer-exact: score_ppm = tf·10⁶ div df
+    * (the corpus-size factor is constant per corpus, so ranking is identical
+    * to tf·idf without a float log that could differ in the last ulp between
+    * engines). Two hash aggregates + a broadcast-sized df join + a bounded
+    * per-doc top-k window — every stage partial-aggregable and shuffle-light
+    * at 100 TB. */
+  private val q68: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val tf = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val sc = tf.join(df, Seq("w")).filter(col("doc_id") < 20)
+      .select(col("doc_id"), col("w").as("term"), col("tf"), col("df"),
+        expr("tf * 1000000 div df").as("score_ppm"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("score_ppm").desc, col("term"))
+    sc.withColumn("rank", row_number().over(win).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"), col("score_ppm"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  private val q68Sql =
+    """WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents),
+      |t AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok WHERE w <> '' GROUP BY doc_id, w),
+      |d AS (SELECT w, COUNT(*) AS df FROM t GROUP BY w),
+      |sc AS (SELECT t.doc_id, t.w AS term, t.tf, d.df, t.tf * 1000000 // d.df AS score_ppm
+      |       FROM t JOIN d ON d.w = t.w WHERE t.doc_id < 20),
+      |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_ppm DESC, term) AS BIGINT) AS rank FROM sc)
+      |SELECT doc_id, rank, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+      | CAST(score_ppm AS BIGINT) AS score_ppm
+      |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- q69
+  /** Edit-distance profile between consecutive documents on a bounded
+    * 60-char prefix (levenshtein is O(len²) per pair — bounding the operand
+    * is what keeps an edit-distance stage affordable at scale; full-text
+    * edit distance on 100 TB is never the right plan). lev_ppm normalizes
+    * by the longer operand in exact integer ppm. */
+  private val q69: Q = (s, d) => {
+    val t = Tables.documents(s, d).select(col("doc_id"), substring(col("text"), 1, 60).as("a"))
+    val n = t.select((col("doc_id") - 1).as("doc_id"), col("a").as("b"))
+    t.join(n, Seq("doc_id"))
+      .select(col("doc_id"),
+        levenshtein(col("a"), col("b")).cast("long").as("lev"),
+        expr("levenshtein(a, b) * 1000000 div greatest(length(a), length(b))")
+          .cast("long").as("lev_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q69Sql =
+    """WITH t AS (SELECT doc_id, substr(text, 1, 60) AS a FROM documents),
+      |p AS (SELECT t.doc_id AS doc_id, t.a AS a, n.a AS b FROM t JOIN t n ON n.doc_id = t.doc_id + 1)
+      |SELECT doc_id, CAST(levenshtein(a, b) AS BIGINT) AS lev,
+      | CAST(levenshtein(a, b) * 1000000 // greatest(length(a), length(b)) AS BIGINT) AS lev_ppm
+      |FROM p ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q30_wordcount_topk" -> q30,
     "q31_bigrams_topk" -> q31,
@@ -166,7 +226,9 @@ object TextQueries {
     "q33_quality_score" -> q33,
     "q34_fingerprint_md5" -> q34,
     "q39_token_stats" -> q39,
-    "q65_fingerprint_rolling" -> q65)
+    "q65_fingerprint_rolling" -> q65,
+    "q68_tfidf_top_terms" -> q68,
+    "q69_levenshtein_neardup" -> q69)
 
   val oracle: Map[String, String] = Map(
     "q30_wordcount_topk" -> q30Sql,
@@ -174,5 +236,7 @@ object TextQueries {
     "q32_lang_id_heuristic" -> q32Sql,
     "q33_quality_score" -> q33Sql,
     "q34_fingerprint_md5" -> q34Sql,
-    "q39_token_stats" -> q39Sql)
+    "q39_token_stats" -> q39Sql,
+    "q68_tfidf_top_terms" -> q68Sql,
+    "q69_levenshtein_neardup" -> q69Sql)
 }
