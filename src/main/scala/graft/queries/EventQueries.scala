@@ -287,8 +287,56 @@ object EventQueries {
       | CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS val_sum
       |FROM events GROUP BY 1 ORDER BY index_date""".stripMargin
 
+  // ---------------------------------------------------------------- q75
+  /** Exact parallel statistics: variance and correlation assembled from
+    * exact integer power sums (Σx, Σx², Σy, Σy², Σxy in cents / raw k), so
+    * the partial aggregates merge exactly in any shuffle order and the only
+    * float ops are a fixed-order final expression — the same reason Exact
+    * uses decimals. `stddev`/`corr` over raw doubles would drift in the
+    * last ulp with 1000-executor merge order; this formulation cannot. */
+  private val q75: Q = (s, d) => {
+    val e = withK(Tables.events(s, d))
+      .withColumn("cents", (money(col("value")) * 100).cast("long"))
+      .filter(col("k").isNotNull && col("cents").isNotNull)
+    e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("s1"),
+        sum(col("cents") * col("cents")).as("s2"),
+        sum(col("k")).as("sk"),
+        sum(col("k") * col("k")).as("sk2"),
+        sum(col("cents") * col("k")).as("sxy"))
+      .select(col("event_type"), col("n"),
+        (col("s1").cast("double") / (lit(100.0) * col("n"))).as("mean_value"),
+        ((col("n").cast("double") * col("s2") - col("s1").cast("double") * col("s1")) /
+          (lit(10000.0) * col("n") * col("n"))).as("var_value"),
+        ((col("n").cast("double") * col("sxy") - col("s1").cast("double") * col("sk")) /
+          (sqrt(col("n").cast("double") * col("s2") - col("s1").cast("double") * col("s1")) *
+            sqrt(col("n").cast("double") * col("sk2") - col("sk").cast("double") * col("sk"))))
+          .as("corr_vk"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q75Sql =
+    """WITH e AS (SELECT event_type,
+      |  CAST(CAST(value AS DECIMAL(15,2)) * 100 AS BIGINT) AS cents,
+      |  CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k
+      | FROM events),
+      |s AS (SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(cents) AS BIGINT) AS s1, CAST(SUM(cents * cents) AS BIGINT) AS s2,
+      |  CAST(SUM(k) AS BIGINT) AS sk, CAST(SUM(k * k) AS BIGINT) AS sk2,
+      |  CAST(SUM(cents * k) AS BIGINT) AS sxy
+      | FROM e WHERE k IS NOT NULL AND cents IS NOT NULL GROUP BY event_type)
+      |SELECT event_type, n,
+      | CAST(s1 AS DOUBLE) / (100.0 * n) AS mean_value,
+      | (CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1) / (10000.0 * n * n) AS var_value,
+      | (CAST(n AS DOUBLE) * sxy - CAST(s1 AS DOUBLE) * sk) /
+      |  (sqrt(CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1) *
+      |   sqrt(CAST(n AS DOUBLE) * sk2 - CAST(sk AS DOUBLE) * sk)) AS corr_vk
+      |FROM s ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q22_pivot_event_counts" -> q22,
+    "q75_exact_moment_stats" -> q75,
     "q23_tumbling_window" -> q23,
     "q24_sliding_window" -> q24,
     "q25_session_window" -> q25,
@@ -303,6 +351,7 @@ object EventQueries {
 
   val oracle: Map[String, String] = Map(
     "q22_pivot_event_counts" -> q22Sql,
+    "q75_exact_moment_stats" -> q75Sql,
     "q23_tumbling_window" -> q23Sql,
     "q24_sliding_window" -> q24Sql,
     "q25_session_window" -> q25Sql,

@@ -553,6 +553,129 @@ object RelationalQueries {
       | ON o_orderkey = l_orderkey
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q70
+  /** Correlated subqueries through the SQL front door: EXISTS / NOT EXISTS
+    * plus two correlated scalar subqueries. Catalyst decorrelates all four
+    * into joins (semi, anti, and two aggregated left joins) — no per-row
+    * re-execution, which is what makes the construct usable at scale. */
+  private val q70: Q = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("customer_cs")
+    Tables.orders(s, d).createOrReplaceTempView("orders_cs")
+    s.sql(
+      """SELECT c_custkey, c_name,
+        | (SELECT COUNT(*) FROM orders_cs WHERE o_custkey = c_custkey) AS n_orders,
+        | (SELECT MAX(o_totalprice) FROM orders_cs WHERE o_custkey = c_custkey) AS max_price
+        |FROM customer_cs
+        |WHERE EXISTS (SELECT 1 FROM orders_cs WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (SELECT 1 FROM orders_cs WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  private val q70Sql =
+    """SELECT c_custkey, c_name,
+      | (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
+      | (SELECT MAX(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS max_price
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q71
+  /** Distribution window functions: ntile / percent_rank / cume_dist.
+    * percent_rank = (rank-1)/(n-1) over identical integer operands is the
+    * same IEEE double in any engine — no rounding needed. */
+  private val q71: Q = (s, d) => {
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cdist"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q71Sql =
+    """SELECT c_custkey, c_mktsegment,
+      | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      | percent_rank() OVER w AS pct_rank,
+      | cume_dist() OVER w AS cdist
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q72
+  /** Array/collection function surface reduced to scalar outputs (sort,
+    * slice, reverse, distinct, membership, element access with NULL-safe
+    * try_element_at — DuckDB list indexing is 1-based and NULL out of
+    * range, so both sides agree). */
+  private val q72: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        expr("try_element_at(w, 1)").as("first_word"),
+        expr("try_element_at(w, -1)").as("last_word"),
+        concat_ws(",", slice(sort_array(col("w")), 1, 5)).as("sorted5"),
+        concat_ws(",", slice(reverse(col("w")), 1, 3)).as("rev3"),
+        size(array_distinct(col("w"))).cast("long").as("n_uniq"),
+        array_contains(col("w"), "the").as("has_the"))
+      .orderBy(col("doc_id"))
+
+  private val q72Sql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words, w[1] AS first_word, w[-1] AS last_word,
+      | array_to_string(list_sort(w)[1:5], ',') AS sorted5,
+      | array_to_string(list_reverse(w)[1:3], ',') AS rev3,
+      | CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq,
+      | list_contains(w, 'the') AS has_the
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q73
+  /** Deterministic hash-bucket sampling: rows where a 60-bit md5 of the key
+    * lands in bucket 0 of 10. Unlike TABLESAMPLE (engine-specific RNG) or
+    * `% 10` on raw keys (biased under clustered key assignment), a hash
+    * bucket is uniform, reproducible on any engine, and pushes down as a
+    * plain filter — the standard way to carve a stable sample from 100 TB. */
+  private val q73: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(conv(substring(md5(col("l_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 10 === 0)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        (count(lit(1)) * 10).as("est_total_rows"))
+      .orderBy(col("l_returnflag"))
+
+  private val q73Sql =
+    """SELECT l_returnflag, COUNT(*) AS n_sampled,
+      | CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      | CAST(COUNT(*) * 10 AS BIGINT) AS est_total_rows
+      |FROM lineitem
+      |WHERE CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)),1,15)) AS BIGINT) % 10 = 0
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q74
+  /** Skew-salted shuffle join (graft.operators.SaltedJoin): orders salted
+    * over 8 sub-keys, customer replicated 8× — the hot-key straggler
+    * defuser when the dimension is too big to broadcast. Salting must be
+    * result-invariant, so the oracle is the PLAIN join. */
+  private val q74: Q = (s, d) => {
+    val orders = Tables.orders(s, d).select(col("o_custkey"), col("o_totalprice"))
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    graft.operators.SaltedJoin.saltedJoin(orders, cust, "o_custkey", salts = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(money(col("o_totalprice"))).cast("double").as("sum_price"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val q74Sql =
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   // ---------------------------------------------------------------- q44 (no oracle: approx sketch)
   private val q44: Q = (s, d) =>
     Tables.lineitem(s, d)
@@ -590,7 +713,12 @@ object RelationalQueries {
     "q46_cube" -> q46,
     "q47_grouping_sets" -> q47,
     "q48_supplier_region_join" -> q48,
-    "q49_sort_merge_join" -> q49)
+    "q49_sort_merge_join" -> q49,
+    "q70_correlated_subqueries" -> q70,
+    "q71_distribution_windows" -> q71,
+    "q72_collection_funcs" -> q72,
+    "q73_hash_bucket_sample" -> q73,
+    "q74_salted_skew_join" -> q74)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -619,5 +747,10 @@ object RelationalQueries {
     "q46_cube" -> q46Sql,
     "q47_grouping_sets" -> q47Sql,
     "q48_supplier_region_join" -> q48Sql,
-    "q49_sort_merge_join" -> q49Sql)
+    "q49_sort_merge_join" -> q49Sql,
+    "q70_correlated_subqueries" -> q70Sql,
+    "q71_distribution_windows" -> q71Sql,
+    "q72_collection_funcs" -> q72Sql,
+    "q73_hash_bucket_sample" -> q73Sql,
+    "q74_salted_skew_join" -> q74Sql)
 }
