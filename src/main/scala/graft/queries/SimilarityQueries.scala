@@ -100,18 +100,14 @@ object SimilarityQueries {
       |FROM s ORDER BY vec_id""".stripMargin
 
   // ---------------------------------------------------------------- q43 (no oracle: LSH-bucketed ANN)
-  /** Random-hyperplane LSH: 4 deterministic pseudo-random hyperplanes → 16
-    * buckets; queries only score vectors in their own bucket. */
+  /** Random-hyperplane LSH via graft.operators.HyperplaneLsh: plane count
+    * is the corpus-size knob (2^planes buckets; here 4 planes for the test
+    * corpus — see HyperplaneLsh scaladoc for the 100 TB sizing rule).
+    * Queries only score vectors in their own bucket. */
   private val q43: Q = (s, d) => {
     VectorOps.register(s)
-    val rng = new scala.util.Random(12345)
-    val planes: Seq[Seq[Float]] =
-      Seq.fill(4)(Seq.fill(64)((rng.nextDouble() * 2 - 1).toFloat))
-    val bucketCol = planes.zipWithIndex.map { case (p, j) =>
-      when(expr(s"dot_f(embedding, ${litArray(p)})") > 0, 1 << j).otherwise(0)
-    }.reduce(_ + _)
-
-    val e = Tables.embeddings(s, d).withColumn("bucket", bucketCol)
+    val e = graft.operators.HyperplaneLsh.withBucket(
+      Tables.embeddings(s, d), "embedding", numPlanes = 4, dim = 64)
     val qs = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
@@ -138,10 +134,6 @@ object SimilarityQueries {
         "q_id", "q_emb", "vec_id", "embedding", nprobe = 4, topK = 10)
       .orderBy(col("q_id"), col("rank"))
   }
-
-  /** SQL literal for array<float>. */
-  private def litArray(xs: Seq[Float]): String =
-    xs.map(x => s"CAST($x AS FLOAT)").mkString("array(", ", ", ")")
 
   val queries: Map[String, Q] = Map(
     "q40_cosine_vs_query" -> q40,
