@@ -27,6 +27,9 @@ case class MediaFeatures(
     height: Long,
     format: String)
 
+/** One sampled frame: payload slice + its index within the media object. */
+case class FrameRecord(doc_id: Long, frame_no: Long, frame: Array[Byte])
+
 object Multimodal {
 
   /** Wrap the documents table as media objects: the text payload stands in
@@ -74,6 +77,46 @@ object Multimodal {
     media.mapPartitions { it =>
       // codec/session init would happen here, once per partition
       it.map(decodeStub)
+    }
+  }
+
+  /** Frame width of the stub codec: 1000 payload bytes per "frame". */
+  val FrameBytes = 1000
+
+  /** Sample every `every`-th frame of each media object as a real payload
+    * slice. This is the video-frame-sampling shape: a flatMap generator that
+    * multiplies rows WITHOUT shuffling — each task samples its own split's
+    * objects, output row count is corpus-frames/every. A real deployment
+    * replaces the byte-slice with a codec keyframe extraction; the slicing,
+    * row explosion, and typed output encoder are the real plumbing. */
+  def sampleFrames(media: Dataset[MediaRecord], every: Int)(
+      implicit spark: SparkSession): Dataset[FrameRecord] = {
+    require(every >= 1, "sampling stride must be >= 1")
+    import spark.implicits._
+    media.flatMap { r =>
+      val nb = r.media.length
+      val nFrames = nb / FrameBytes + 1
+      (0 until nFrames).iterator.filter(_ % every == 0).map { i =>
+        val from = i * FrameBytes
+        val until = math.min(from + FrameBytes, nb)
+        FrameRecord(r.doc_id, i.toLong, java.util.Arrays.copyOfRange(r.media, from, until))
+      }
+    }
+  }
+
+  /** STUB RESIZE — deterministic fake: truncate or zero-pad the payload to
+    * `targetBytes` and record the new size in the metadata sidecar. A real
+    * deployment does pixel resampling here (per-partition codec session);
+    * the binary-column rewrite + metadata update is the real plumbing. */
+  def resizeStub(media: Dataset[MediaRecord], targetBytes: Int)(
+      implicit spark: SparkSession): Dataset[MediaRecord] = {
+    require(targetBytes >= 0, "target size must be non-negative")
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val out = java.util.Arrays.copyOf(r.media, targetBytes)
+        r.copy(media = out, meta = r.meta + ("resized_bytes" -> targetBytes.toString))
+      }
     }
   }
 }

@@ -53,11 +53,37 @@ object MultimodalQueries {
       | CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q79
+  /** Frame sampling (Multimodal.sampleFrames): every 3rd 1000-byte "frame"
+    * of each media payload, as real binary slices via a flatMap generator —
+    * row explosion without any shuffle. The aggregate then verifies both
+    * the sampled-frame count and the exact sampled byte volume against the
+    * oracle's arithmetic reconstruction. */
+  private val q79: Q = (s, d) => {
+    implicit val spark: SparkSession = s
+    Multimodal.sampleFrames(Multimodal.toMedia(Tables.documents(s, d)), every = 3)
+      .toDF()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(length(col("frame"))).as("bytes_sampled"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q79Sql =
+    """WITH t AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS nb FROM documents),
+      |f AS (SELECT doc_id, nb, UNNEST(range(nb // 1000 + 1)) AS i FROM t)
+      |SELECT doc_id,
+      | CAST(COUNT(*) FILTER (WHERE i % 3 = 0) AS BIGINT) AS n_sampled,
+      | CAST(SUM(CASE WHEN i % 3 = 0 THEN least(nb - i * 1000, 1000) ELSE 0 END) AS BIGINT) AS bytes_sampled
+      |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q63_multimodal_features" -> q63,
-    "q64_multimodal_meta_agg" -> q64)
+    "q64_multimodal_meta_agg" -> q64,
+    "q79_frame_sample" -> q79)
 
   val oracle: Map[String, String] = Map(
     "q63_multimodal_features" -> q63Sql,
-    "q64_multimodal_meta_agg" -> q64Sql)
+    "q64_multimodal_meta_agg" -> q64Sql,
+    "q79_frame_sample" -> q79Sql)
 }

@@ -676,6 +676,92 @@ object RelationalQueries {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------------------- q76
+  /** TPC-H Q2-flavored "min-cost supplier per part": per-(part, supplier)
+    * minimum unit price from the fact table, then a per-part top-1 window.
+    * min() is a selection (order-independent, exact on doubles), the window
+    * is bounded per part key, and part/supplier joins are broadcast dims —
+    * the whole plan is two hash aggregates + small joins at any scale. */
+  private val q76: Q = (s, d) => {
+    val unit = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("min_unit"))
+    val w = Window.partitionBy(col("l_partkey")).orderBy(col("min_unit"), col("l_suppkey"))
+    unit.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") === 1)
+      .join(broadcast(Tables.part(s, d).filter(col("p_size") > 45)),
+        col("p_partkey") === col("l_partkey"))
+      .join(broadcast(Tables.supplier(s, d)), col("s_suppkey") === col("l_suppkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_name"),
+        round(col("min_unit"), 4).as("unit_cost"))
+      .orderBy(col("p_partkey"))
+  }
+
+  private val q76Sql =
+    """WITH unit AS (
+      | SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS min_unit
+      | FROM lineitem GROUP BY l_partkey, l_suppkey),
+      |r AS (SELECT l_partkey, l_suppkey, min_unit,
+      | CAST(ROW_NUMBER() OVER (PARTITION BY l_partkey ORDER BY min_unit, l_suppkey) AS BIGINT) AS rk
+      | FROM unit)
+      |SELECT p_partkey, p_name, s_name, round(min_unit, 4) AS unit_cost
+      |FROM r JOIN part ON p_partkey = l_partkey JOIN supplier ON s_suppkey = l_suppkey
+      |WHERE rk = 1 AND p_size > 45
+      |ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- q77
+  /** TPC-H Q13: customer order-count distribution. The left join keeps
+    * zero-order customers; both aggregation levels are exact integer hash
+    * aggregates. */
+  private val q77: Q = (s, d) => {
+    val counts = Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+    counts.groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  private val q77Sql =
+    """SELECT c_count, COUNT(*) AS custdist FROM (
+      | SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      | FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey) t
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // ---------------------------------------------------------------- q78
+  /** TPC-H Q8-flavored market share: one nation's revenue share per order
+    * year. Both the numerator (CASE inside the sum) and denominator are
+    * exact decimal sums computed in ONE aggregation pass; the share is a
+    * single final double division. */
+  private val q78: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val rev = li
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .select(year(col("o_orderdate")).cast("long").as("o_year"), col("n_name"),
+        discPrice(col("l_extendedprice"), col("l_discount")).as("r"))
+    rev.groupBy(col("o_year"))
+      .agg(
+        (sum(when(col("n_name") === "NATION_9", col("r")).otherwise(lit(0).cast(Money)))
+          .cast("double") / sum(col("r")).cast("double")).as("mkt_share"),
+        sum(col("r")).cast("double").as("total_rev"))
+      .orderBy(col("o_year"))
+  }
+
+  private val q78Sql =
+    """WITH rev AS (
+      | SELECT EXTRACT(year FROM o_orderdate) AS o_year, n_name,
+      |  CAST(l_extendedprice AS DECIMAL(15,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS r
+      | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey)
+      |SELECT CAST(o_year AS BIGINT) AS o_year,
+      | CAST(SUM(CASE WHEN n_name = 'NATION_9' THEN r ELSE CAST(0 AS DECIMAL(15,2)) END) AS DOUBLE) /
+      |  CAST(SUM(r) AS DOUBLE) AS mkt_share,
+      | CAST(SUM(r) AS DOUBLE) AS total_rev
+      |FROM rev GROUP BY o_year ORDER BY o_year""".stripMargin
+
   // ---------------------------------------------------------------- q44 (no oracle: approx sketch)
   private val q44: Q = (s, d) =>
     Tables.lineitem(s, d)
@@ -718,7 +804,10 @@ object RelationalQueries {
     "q71_distribution_windows" -> q71,
     "q72_collection_funcs" -> q72,
     "q73_hash_bucket_sample" -> q73,
-    "q74_salted_skew_join" -> q74)
+    "q74_salted_skew_join" -> q74,
+    "q76_min_cost_supplier" -> q76,
+    "q77_order_count_distribution" -> q77,
+    "q78_market_share" -> q78)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -752,5 +841,8 @@ object RelationalQueries {
     "q71_distribution_windows" -> q71Sql,
     "q72_collection_funcs" -> q72Sql,
     "q73_hash_bucket_sample" -> q73Sql,
-    "q74_salted_skew_join" -> q74Sql)
+    "q74_salted_skew_join" -> q74Sql,
+    "q76_min_cost_supplier" -> q76Sql,
+    "q77_order_count_distribution" -> q77Sql,
+    "q78_market_share" -> q78Sql)
 }
