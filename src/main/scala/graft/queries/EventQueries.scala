@@ -334,9 +334,69 @@ object EventQueries {
       |   sqrt(CAST(n AS DOUBLE) * sk2 - CAST(sk AS DOUBLE) * sk)) AS corr_vk
       |FROM s ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q80
+  /** Event-time RANGE frame: per user, events in the trailing hour. A RANGE
+    * frame is defined by the ORDER-BY value interval (peers included), so
+    * the result is deterministic even with timestamp ties, and the window
+    * state per key is bounded by the frame width — the sliding-aggregate
+    * shape that holds at stream scale. */
+  private val q80: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-3600000000L, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n_last_hour"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  private val q80Sql =
+    """SELECT user_id, event_id,
+      | CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_last_hour
+      |FROM events ORDER BY user_id, event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q81
+  /** Exact quantiles as explicit order statistics: rank within group, pick
+    * ceil(p·n). Built from integer cents and integer index arithmetic on
+    * BOTH engines, so there is no interpolation float whose operation order
+    * could differ — the portable alternative to percentile_cont. The
+    * per-group sort is the honest cost of exact quantiles at scale. */
+  private val q81: Q = (s, d) => {
+    val e = Tables.events(s, d)
+      .select(col("event_type"), col("event_id"),
+        (money(col("value")) * 100).cast("long").as("cents"))
+    val wr = Window.partitionBy(col("event_type")).orderBy(col("cents"), col("event_id"))
+    val wn = Window.partitionBy(col("event_type"))
+    e.withColumn("rn", row_number().over(wr))
+      .withColumn("n", count(lit(1)).over(wn))
+      .groupBy(col("event_type"))
+      .agg(
+        (min(when(col("rn") === expr("(n + 3) div 4"), col("cents"))).cast("double") / 100).as("p25"),
+        (min(when(col("rn") === expr("(n + 1) div 2"), col("cents"))).cast("double") / 100).as("p50"),
+        (min(when(col("rn") === expr("(3 * n + 3) div 4"), col("cents"))).cast("double") / 100).as("p75"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q81Sql =
+    """WITH e AS (SELECT event_type, event_id, CAST(CAST(value AS DECIMAL(15,2)) * 100 AS BIGINT) AS cents FROM events),
+      |o AS (SELECT event_type, cents,
+      |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rn,
+      |  COUNT(*) OVER (PARTITION BY event_type) AS n
+      | FROM e)
+      |SELECT event_type,
+      | CAST(MIN(CASE WHEN rn = (n + 3) // 4 THEN cents END) AS DOUBLE) / 100 AS p25,
+      | CAST(MIN(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS DOUBLE) / 100 AS p50,
+      | CAST(MIN(CASE WHEN rn = (3 * n + 3) // 4 THEN cents END) AS DOUBLE) / 100 AS p75,
+      | CAST(COUNT(*) AS BIGINT) AS n
+      |FROM o GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q22_pivot_event_counts" -> q22,
     "q75_exact_moment_stats" -> q75,
+    "q80_range_frame_trailing" -> q80,
+    "q81_exact_quantiles" -> q81,
     "q23_tumbling_window" -> q23,
     "q24_sliding_window" -> q24,
     "q25_session_window" -> q25,
@@ -352,6 +412,8 @@ object EventQueries {
   val oracle: Map[String, String] = Map(
     "q22_pivot_event_counts" -> q22Sql,
     "q75_exact_moment_stats" -> q75Sql,
+    "q80_range_frame_trailing" -> q80Sql,
+    "q81_exact_quantiles" -> q81Sql,
     "q23_tumbling_window" -> q23Sql,
     "q24_sliding_window" -> q24Sql,
     "q25_session_window" -> q25Sql,
