@@ -34,6 +34,23 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("shingle kernel invariants hold for arbitrary word sequences") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val genText = Gen.listOf(Gen.oneOf("a", "b", "the", "fox", "", "xy"))
+      .map(_.mkString(" "))
+    samples(genText).foreach { text =>
+      val nWords = text.split(" ", -1).length
+      val ng = graft.functions.ShingleKernel.ngrams(UTF8String.fromString(text), 3)
+      val sh = graft.functions.ShingleKernel.shingles(UTF8String.fromString(text), 3)
+      assert(ng.numElements() == math.max(0, nWords - 2), s"ngram count for '$text'")
+      val ngSeq = (0 until ng.numElements()).map(ng.getUTF8String(_).toString)
+      val shSeq = (0 until sh.numElements()).map(sh.getUTF8String(_).toString)
+      assert(shSeq == ngSeq.distinct, s"shingles must be first-occurrence-distinct ngrams for '$text'")
+      // every ngram is reconstructible: n words joined by single spaces
+      ngSeq.foreach(g => assert(g.split(" ", -1).length >= 3, s"bad gram '$g'"))
+    }
+  }
+
   test("pruned columns are always a subset of the allowlist") {
     import spark.implicits._
     val allCols = AuditPipeline.auditSchema.fieldNames.toSeq :+ "@timestamp"
