@@ -392,11 +392,66 @@ object EventQueries {
       | CAST(COUNT(*) AS BIGINT) AS n
       |FROM o GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q82
+  /** Unpivot (wide → long): the inverse of q22's pivot via the native
+    * `unpivot` operator — a row generator, no shuffle beyond the upstream
+    * aggregate. */
+  private val q82: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase"))
+      .count()
+      .na.fill(0)
+      .unpivot(Array(col("user_id")),
+        Array(col("click"), col("error"), col("purchase")), "kind", "n")
+      .orderBy(col("user_id"), col("kind"))
+
+  private val q82Sql =
+    """WITH p AS (
+      | SELECT user_id,
+      |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+      |  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+      |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase
+      | FROM events GROUP BY user_id)
+      |SELECT user_id, kind, n FROM p
+      |UNPIVOT (n FOR kind IN (click, error, purchase))
+      |ORDER BY user_id, kind""".stripMargin
+
+  // ---------------------------------------------------------------- q83
+  /** Time-series gap filling: a generated calendar spine (sequence+explode
+    * over the observed date span — one row per day, built distributed, no
+    * driver loop) left-joined to sparse daily counts, absent days
+    * coalesced to 0. The spine side is tiny at any scale; the counts side
+    * is a plain pre-aggregated hash agg, so the join broadcasts. */
+  private val q83: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val span = ev.agg(min(to_date(col("ts"))).as("lo"), max(to_date(col("ts"))).as("hi"))
+    val cal = span.select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    val cnt = ev.filter(col("event_type") === "signup" && col("value") > 99)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt_n"))
+    cal.join(cnt, Seq("day"), "left")
+      .select(col("day").cast("string").as("day"),
+        coalesce(col("cnt_n"), lit(0L)).as("n"))
+      .orderBy(col("day"))
+  }
+
+  private val q83Sql =
+    """WITH d AS (SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi FROM events),
+      |cal AS (SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day FROM d),
+      |cnt AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events
+      |        WHERE event_type = 'signup' AND value > 99 GROUP BY 1)
+      |SELECT CAST(cal.day AS VARCHAR) AS day, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n
+      |FROM cal LEFT JOIN cnt ON cal.day = cnt.day
+      |ORDER BY day""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q22_pivot_event_counts" -> q22,
     "q75_exact_moment_stats" -> q75,
     "q80_range_frame_trailing" -> q80,
     "q81_exact_quantiles" -> q81,
+    "q82_unpivot_long" -> q82,
+    "q83_gap_fill_calendar" -> q83,
     "q23_tumbling_window" -> q23,
     "q24_sliding_window" -> q24,
     "q25_session_window" -> q25,
@@ -414,6 +469,8 @@ object EventQueries {
     "q75_exact_moment_stats" -> q75Sql,
     "q80_range_frame_trailing" -> q80Sql,
     "q81_exact_quantiles" -> q81Sql,
+    "q82_unpivot_long" -> q82Sql,
+    "q83_gap_fill_calendar" -> q83Sql,
     "q23_tumbling_window" -> q23Sql,
     "q24_sliding_window" -> q24Sql,
     "q25_session_window" -> q25Sql,
