@@ -62,8 +62,16 @@ object AuditPipeline {
   def withTimestamp(df: DataFrame): DataFrame =
     df.withColumn("@timestamp", col("datetime"))
 
-  /** Drop present-but-falsy `ip` (lambda_function.py:48-49). The falsy string
-    * case is the empty string; absent maps to NULL either way. */
+  /** Drop present-but-falsy `ip` (lambda_function.py:48-49).
+    *
+    * Falsy-value mapping under the fixed StringType schema: `""` → NULL
+    * (here), JSON `null` / absent key → NULL (from_json). The remaining
+    * Python-falsy JSON scalars (`0`, `false`) are coerced by from_json to
+    * the strings "0"/"false" and KEPT — a documented divergence: the
+    * reference's `if not message["ip"]` would drop them, but Spark cannot
+    * distinguish JSON `0` from the (Python-truthy) string "0" post-coercion,
+    * and no real payload carries a numeric ip (test fixtures use IP strings
+    * or "", test_lambda_function.py:34,144-164). */
   def nullOutEmptyIp(df: DataFrame): DataFrame =
     df.withColumn("ip", when(col("ip") === "", lit(null: String)).otherwise(col("ip")))
 

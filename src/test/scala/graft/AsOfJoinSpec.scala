@@ -27,4 +27,30 @@ class AsOfJoinSpec extends AnyFunSuite {
       (1L, "p2", "c_c"),  // newest of {8,10,19}
       (2L, "p3", null)))  // right row at t=99 is in the future
   }
+
+  test("asof equals the brute-force definition on generated data") {
+    import spark.implicits._
+    // deterministic pseudo-random fixture: many keys, colliding timestamps
+    val rng = new scala.util.Random(7)
+    val leftRows = (0 until 300).map(i =>
+      (rng.nextInt(10).toLong, rng.nextInt(50).toLong, i.toLong))
+    val rightRaw = (0 until 200).map(_ =>
+      (rng.nextInt(10).toLong, rng.nextInt(50).toLong, rng.nextInt(1000).toLong))
+    // contract: at most one right row per (key, time) — keep the max payload
+    val rightRows = rightRaw.groupBy(r => (r._1, r._2))
+      .map { case ((k, t), vs) => (k, t, vs.map(_._3).max) }.toSeq
+    val left = leftRows.toDF("k", "t", "lid")
+    val right = rightRows.toDF("k", "t", "payload")
+
+    val got = AsOfJoin.asof(left, right, "k", "t", "t", Seq("payload"))
+      .select("lid", "payload").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+
+    val expected = leftRows.map { case (k, t, lid) =>
+      val candidates = rightRows.filter(r => r._1 == k && r._2 <= t)
+      lid -> (if (candidates.isEmpty) None
+              else Some(candidates.maxBy(_._2)._3))
+    }.toMap
+    assert(got == expected)
+  }
 }
