@@ -219,7 +219,48 @@ object TextQueries {
       | CAST(levenshtein(a, b) * 1000000 // greatest(length(a), length(b)) AS BIGINT) AS lev_ppm
       |FROM p ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q84
+  /** Composed corpus-cleaning pipeline — the flagship training-data shape:
+    * score (token count + stopword ppm) → filter (language, length,
+    * quality) → exact-dedup by content (keep lowest doc_id) → per-source
+    * token accounting. Every stage is a projection or hash aggregate;
+    * filters sit before the dedup shuffle so only surviving docs move —
+    * the order that matters when the corpus is 100 TB and the keep-rate
+    * is 30%. */
+  private val q84: Q = (s, d) => {
+    val scored = Tables.documents(s, d)
+      .withColumn("tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("stop_ppm",
+        expr(s"${occStr(" the ")} * 1000000 div tokens"))
+    val kept = scored.filter(
+      col("lang") === "en" && col("tokens") >= 20 && col("stop_ppm") >= 10000)
+    val dedup = kept.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), min(col("source")).as("source"),
+        min(col("tokens")).as("tokens"))
+    dedup.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("total_tokens"),
+        min(col("keep_id")).as("first_doc"))
+      .orderBy(col("source"))
+  }
+
+  private val q84Sql =
+    """WITH scored AS (
+      | SELECT doc_id, text, lang, source,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+      |  CAST((length(text) - length(replace(text, ' the ', ''))) // 5 AS BIGINT) * 1000000
+      |    // CAST(len(string_split(text, ' ')) AS BIGINT) AS stop_ppm
+      | FROM documents),
+      |kept AS (SELECT * FROM scored WHERE lang = 'en' AND tokens >= 20 AND stop_ppm >= 10000),
+      |dedup AS (SELECT text, min(doc_id) AS keep_id, min(source) AS source,
+      |          min(tokens) AS tokens FROM kept GROUP BY text)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      | CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+      | CAST(min(keep_id) AS BIGINT) AS first_doc
+      |FROM dedup GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q84_corpus_cleaning" -> q84,
     "q30_wordcount_topk" -> q30,
     "q31_bigrams_topk" -> q31,
     "q32_lang_id_heuristic" -> q32,
@@ -231,6 +272,7 @@ object TextQueries {
     "q69_levenshtein_neardup" -> q69)
 
   val oracle: Map[String, String] = Map(
+    "q84_corpus_cleaning" -> q84Sql,
     "q30_wordcount_topk" -> q30Sql,
     "q31_bigrams_topk" -> q31Sql,
     "q32_lang_id_heuristic" -> q32Sql,
