@@ -683,28 +683,35 @@ object RelationalQueries {
     * is bounded per part key, and part/supplier joins are broadcast dims —
     * the whole plan is two hash aggregates + small joins at any scale. */
   private val q76: Q = (s, d) => {
+    // Unit price in exact integer milli-cents: round(double, 4) straddles
+    // the .5 boundary differently per engine (observed at sf0.1), so the
+    // comparable quantity is integer division — portable at any scale.
     val unit = Tables.lineitem(s, d)
+      .withColumn("unit_mc",
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * 100 AS BIGINT) * 1000 div CAST(l_quantity AS BIGINT)"))
       .groupBy(col("l_partkey"), col("l_suppkey"))
-      .agg(min(col("l_extendedprice") / col("l_quantity")).as("min_unit"))
-    val w = Window.partitionBy(col("l_partkey")).orderBy(col("min_unit"), col("l_suppkey"))
+      .agg(min(col("unit_mc")).as("min_unit_mc"))
+    val w = Window.partitionBy(col("l_partkey")).orderBy(col("min_unit_mc"), col("l_suppkey"))
     unit.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") === 1)
       .join(broadcast(Tables.part(s, d).filter(col("p_size") > 45)),
         col("p_partkey") === col("l_partkey"))
       .join(broadcast(Tables.supplier(s, d)), col("s_suppkey") === col("l_suppkey"))
       .select(col("p_partkey"), col("p_name"), col("s_name"),
-        round(col("min_unit"), 4).as("unit_cost"))
+        (col("min_unit_mc").cast("double") / 100000).as("unit_cost"))
       .orderBy(col("p_partkey"))
   }
 
   private val q76Sql =
     """WITH unit AS (
-      | SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS min_unit
+      | SELECT l_partkey, l_suppkey,
+      |  min(CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * 100 AS BIGINT) * 1000
+      |      // CAST(l_quantity AS BIGINT)) AS min_unit_mc
       | FROM lineitem GROUP BY l_partkey, l_suppkey),
-      |r AS (SELECT l_partkey, l_suppkey, min_unit,
-      | CAST(ROW_NUMBER() OVER (PARTITION BY l_partkey ORDER BY min_unit, l_suppkey) AS BIGINT) AS rk
+      |r AS (SELECT l_partkey, l_suppkey, min_unit_mc,
+      | CAST(ROW_NUMBER() OVER (PARTITION BY l_partkey ORDER BY min_unit_mc, l_suppkey) AS BIGINT) AS rk
       | FROM unit)
-      |SELECT p_partkey, p_name, s_name, round(min_unit, 4) AS unit_cost
+      |SELECT p_partkey, p_name, s_name, CAST(min_unit_mc AS DOUBLE) / 100000 AS unit_cost
       |FROM r JOIN part ON p_partkey = l_partkey JOIN supplier ON s_suppkey = l_suppkey
       |WHERE rk = 1 AND p_size > 45
       |ORDER BY p_partkey""".stripMargin
