@@ -25,7 +25,7 @@ object SaltedJoin {
     // Deterministic per-row salt: hash of the whole row spreads rows of one
     // hot key uniformly without needing a unique id column.
     val saltedLeft = left.withColumn("__salt",
-      pmod(xxhash64(struct(left.columns.map(col): _*)), lit(salts.toLong)).cast("int"))
+      pmod(xxhash64(struct(left.columns.toIndexedSeq.map(col): _*)), lit(salts.toLong)).cast("int"))
     val replicatedRight = right.withColumn("__salt",
       explode(array((0 until salts).map(lit): _*)))
     saltedLeft.join(replicatedRight,

@@ -90,7 +90,7 @@ object Sinks {
     Files.createDirectories(Paths.get(dir))
     val lines = full
       .withColumn("line", to_json(struct(
-        struct(full.columns.map(col): _*).as("event"),
+        struct(full.columns.toIndexedSeq.map(col): _*).as("event"),
         lit("json").as("sourcetype"),
         lit(index).as("index"))))
       .select("line")
