@@ -10,11 +10,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warm-up: session/codegen/IO init lands here, not on whichever
-    // query happens to run first — timings below are steady-state.
+    // Untimed warm-up: session/codegen/IO init and parquet footer reads land
+    // here, not on whichever query happens to touch a table first — timings
+    // below are steady-state.
     try {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy("l_returnflag").count().collect()
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "events", "documents", "embeddings").foreach { t =>
+        spark.read.parquet(s"$sfDir/$t.parquet").count()
+      }
     } catch { case _: Throwable => () }
     // Optional comma-separated query-name filter for local profiling runs.
     val only = sys.env.get("SPARK_GRAFT_ONLY")

@@ -135,8 +135,28 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  // ---------------------------------------------------------------- q85
+  /** The declarative dot-product formulation — `aggregate(zip_with(a, b,
+    * (x, y) -> x*y), 0D, (acc, v) -> acc + v)` — kept as a correctness
+    * cross-check against the codegen `dot_f` kernel (q40 computes the same
+    * values). Higher-order functions run interpreted with a per-pair
+    * intermediate array, which is exactly why the hot path uses the custom
+    * Expression; this query documents the trade and proves the two agree. */
+  private val q85: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    e.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(expr(
+          "aggregate(zip_with(embedding, q_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"),
+          Scale).as("sim"),
+        col("label"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q40_cosine_vs_query" -> q40,
+    "q85_cosine_hof" -> q85,
     "q41_ann_bruteforce_topk" -> q41,
     "q42_embedding_neardup" -> q42,
     "q43_ann_lsh_bucketed" -> q43,
@@ -144,6 +164,7 @@ object SimilarityQueries {
 
   val oracle: Map[String, String] = Map(
     "q40_cosine_vs_query" -> q40Sql,
+    "q85_cosine_hof" -> q40Sql,
     "q41_ann_bruteforce_topk" -> q41Sql,
     "q42_embedding_neardup" -> q42Sql)
 }
