@@ -123,4 +123,33 @@ object AuditPipeline {
     df.withColumn("_json", unbase64(col(dataCol)).cast("string"))
       .withColumn("_rec", from_json(col("_json"), auditSchema))
       .select(col(dataCol).as("_raw") +: auditSchema.fieldNames.toSeq.map(f => col(s"_rec.$f")): _*)
+
+  /** Full-fidelity decode on Spark 4 VariantType (schema drift path).
+    *
+    * The fixed [[auditSchema]] silently DROPS unknown payload keys, but the
+    * reference forwards the FULL record to Splunk (`lambda_function.py:
+    * 147-148`) — extra fields a producer added yesterday must survive.
+    * `parse_json` keeps every field with its type in a `variant` column;
+    * the known fields used by the pipeline (`datetime`, `random_id`, `ip`)
+    * are extracted alongside for enrich/route logic, and `to_json(rec)`
+    * reconstitutes the complete record (plus derived `@timestamp`) for the
+    * full-record sink. Binary-pushdown note: variant columns shred into
+    * parquet like any other column; the allowlist path never reads them. */
+  def decodeKinesisVariant(df: DataFrame, dataCol: String): DataFrame =
+    df.withColumn("_json", unbase64(col(dataCol)).cast("string"))
+      .withColumn("rec", parse_json(col("_json")))
+      .withColumn("datetime", expr("CAST(variant_get(rec, '$.datetime') AS STRING)"))
+      .withColumn("random_id", expr("CAST(variant_get(rec, '$.random_id') AS STRING)"))
+      .withColumn("ip", expr("CAST(variant_get(rec, '$.ip') AS STRING)"))
+      .drop("_json")
+
+  /** The full record as flat JSON for the Splunk-style full-fidelity sink:
+    * every original field (unknown keys included) plus derived
+    * `@timestamp` at top level — the reference's post-enrich dict shape
+    * (`lambda_function.py:46-47,147-148`). Requires a non-empty record
+    * with `datetime` (the reference crashes otherwise, so this is not a
+    * new constraint); the ISO timestamp needs no JSON escaping. */
+  val fullRecordJson: org.apache.spark.sql.Column =
+    concat(lit("{\"@timestamp\":\""), col("datetime"), lit("\","),
+      expr("substring(to_json(rec), 2)"))
 }

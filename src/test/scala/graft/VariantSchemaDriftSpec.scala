@@ -1,0 +1,54 @@
+package graft
+
+import java.util.Base64
+
+import graft.pipeline.AuditPipeline
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Schema-drift fidelity (Spark 4 VariantType path): the reference forwards
+  * the FULL decoded record to Splunk, including keys no schema knows about
+  * (lambda_function.py:147-148). The fixed-schema decode drops such keys;
+  * decodeKinesisVariant must preserve them end-to-end while the ES
+  * allowlist path still prunes to the 9 known fields. */
+class VariantSchemaDriftSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def b64(json: String): String =
+    Base64.getEncoder.encodeToString(json.getBytes("UTF-8"))
+
+  test("unknown payload keys survive the variant path into the full-record JSON") {
+    import spark.implicits._
+    val payload =
+      """{"datetime":"2026-02-18T10:30:00","random_id":"r-1","ip":"1.2.3.4",
+        |"brand_new_field":"surprise","nested_extra":{"k":7}}""".stripMargin.replace("\n", "")
+    val df = Seq(b64(payload)).toDF("data")
+    val decoded = AuditPipeline.decodeKinesisVariant(df, "data")
+
+    // known fields extracted for pipeline logic
+    val row = decoded.select("datetime", "random_id", "ip").collect()(0)
+    assert((row.getString(0), row.getString(1), row.getString(2)) ==
+      ("2026-02-18T10:30:00", "r-1", "1.2.3.4"))
+
+    // full-record JSON: extras intact + @timestamp merged at top level
+    val full = decoded.select(AuditPipeline.fullRecordJson.as("j")).collect()(0).getString(0)
+    val parsed = spark.read.json(Seq(full).toDS())
+    val cols = parsed.columns.toSet
+    assert(cols.contains("brand_new_field") && cols.contains("nested_extra"))
+    val r = parsed.select("@timestamp", "brand_new_field", "nested_extra.k").collect()(0)
+    assert(r.getString(0) == "2026-02-18T10:30:00")
+    assert(r.getString(1) == "surprise")
+    assert(r.getLong(2) == 7L)
+  }
+
+  test("the ES allowlist path still prunes unknown fields") {
+    import spark.implicits._
+    val payload = """{"datetime":"2026-02-18T10:30:00","random_id":"r-2","rogue":"x"}"""
+    val df = Seq(b64(payload)).toDF("data")
+    // fixed-schema decode: rogue key gone; allowlist keeps only known fields
+    val pruned = AuditPipeline.filterForEs(
+      AuditPipeline.enrich(AuditPipeline.decodeKinesis(df, "data")))
+    assert(pruned.columns.toSet.subsetOf(AuditPipeline.EsAllowedFields.toSet))
+    assert(!pruned.columns.contains("rogue"))
+  }
+}
