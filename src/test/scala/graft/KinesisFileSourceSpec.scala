@@ -45,4 +45,39 @@ class KinesisFileSourceSpec extends AnyFunSuite {
     // batch replay sees the same records
     assert(KinesisFileSource.batch(spark, shardDir).count() == 5)
   }
+
+  test("restart from checkpoint resumes exactly where the stream stopped") {
+    val shardDir = Files.createTempDirectory("shards_rs").toString
+    val (esDir, splunkDir, ckpt) = (
+      Files.createTempDirectory("es_rs").toString,
+      Files.createTempDirectory("splunk_rs").toString,
+      Files.createTempDirectory("ckpt_rs").toString)
+
+    def run(metrics: SinkMetrics): Unit = {
+      val decoded = graft.pipeline.AuditPipeline.decodeKinesis(
+        KinesisFileSource.stream(spark, shardDir), "data")
+      val q = StreamingFanOut.start(decoded, esDir, splunkDir, ckpt,
+        PipelineConfig(), metrics)
+      q.processAllAvailable()
+      q.stop()
+    }
+
+    Files.write(Paths.get(shardDir, "shard-0.txt"),
+      (1 to 3).map(i => b64(rec(i))).mkString("\n").getBytes)
+    val m1 = SinkMetrics(spark)
+    run(m1)
+    assert(m1.esSuccess.value == 3)
+
+    // stream is down; two more shards land
+    Files.write(Paths.get(shardDir, "shard-1.txt"),
+      (4 to 5).map(i => b64(rec(i))).mkString("\n").getBytes)
+
+    // restart against the SAME checkpoint: only the new shard is processed
+    val m2 = SinkMetrics(spark)
+    run(m2)
+    assert(m2.esSuccess.value == 2, "restart must not reprocess committed shards")
+    assert(Sinks.readEsIndex(spark, esDir).count() == 5)
+    assert(Sinks.readEsIndex(spark, esDir)
+      .select("_id").distinct().count() == 5, "no duplicate docs after restart")
+  }
 }
