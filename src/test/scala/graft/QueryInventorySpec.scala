@@ -33,6 +33,16 @@ class QueryInventorySpec extends AnyFunSuite {
     assert(orphaned.isEmpty, s"oracle entries without query: $orphaned")
   }
 
+  test("no query plans a CartesianProduct (unbounded pair explosion)") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      // BroadcastNestedLoopJoin (bounded build side) is the intended ANN
+      // shape; CartesianProductExec (shuffle x shuffle) never is.
+      if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
   test("no query plans a global (partition-less) window") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.optimizedPlan
