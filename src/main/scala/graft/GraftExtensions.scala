@@ -1,0 +1,60 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extensions entry point: makes every graft codegen expression
+  * available in any session via configuration alone —
+  *
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * }}}
+  *
+  * — the idiomatic deployment route for a Spark-native library: no
+  * per-query `register` calls, functions resolve in SQL text, `expr()`,
+  * and views exactly like built-ins. The per-object `register` helpers
+  * remain for ad-hoc sessions; both paths construct the same Expressions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("dot_f"),
+      info("dot_f", "dot_f(a, b) - dot product of two array<float> vectors"),
+      (es: Seq[Expression]) => DotProductF(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("l2norm_f"),
+      info("l2norm_f", "l2norm_f(a) - L2 norm of an array<float> vector"),
+      (es: Seq[Expression]) => L2NormF(es.head)))
+    ext.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(shingles) - 32-slot MinHash signature"),
+      (es: Seq[Expression]) => MinHashSig(es.head)))
+    ext.injectFunction((FunctionIdentifier("minhash_bands"),
+      info("minhash_bands", "minhash_bands(shingles) - fused MinHash LSH band hashes"),
+      (es: Seq[Expression]) => MinHashBands(es.head)))
+    ext.injectFunction((FunctionIdentifier("word_shingles"),
+      info("word_shingles", "word_shingles(text[, n]) - distinct n-word shingles"),
+      {
+        case Seq(t)    => WordShingles(t)
+        case Seq(t, n) => WordShingles(t, intLit(n))
+      }: Seq[Expression] => Expression))
+    ext.injectFunction((FunctionIdentifier("word_ngrams"),
+      info("word_ngrams", "word_ngrams(text[, n]) - all consecutive n-word grams"),
+      {
+        case Seq(t)    => WordNgrams(t)
+        case Seq(t, n) => WordNgrams(t, intLit(n))
+      }: Seq[Expression] => Expression))
+    ext.injectFunction((FunctionIdentifier("rolling_fp"),
+      info("rolling_fp", "rolling_fp(text) - Rabin-Karp min-window fingerprint"),
+      (es: Seq[Expression]) => RollingFingerprint(es.head)))
+  }
+
+  private def intLit(e: Expression): Int = e.eval(null) match {
+    case i: Int  => i
+    case l: Long => l.toInt
+    case other   => throw new IllegalArgumentException(s"expected int literal, got $other")
+  }
+}

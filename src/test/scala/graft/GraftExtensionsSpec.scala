@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GraftExtensions must make every custom function resolvable from plain
+  * SQL in a session that never called a register() helper. */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("all graft functions resolve via spark.sql.extensions alone") {
+    val base = TestSpark.spark // ensure the shared context exists first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val row = s.sql(
+        """SELECT
+          | dot_f(array(CAST(1.5 AS FLOAT), CAST(2 AS FLOAT)),
+          |       array(CAST(2 AS FLOAT), CAST(0.5 AS FLOAT))) AS dot,
+          | l2norm_f(array(CAST(3 AS FLOAT), CAST(4 AS FLOAT))) AS norm,
+          | size(minhash_sig(array('a b c'))) AS sig_len,
+          | size(minhash_bands(array('a b c'))) AS band_len,
+          | word_shingles('a b c d', 3) AS sh,
+          | word_ngrams('a b c', 2) AS ng,
+          | rolling_fp('some document text here') AS fp
+          |""".stripMargin).collect()(0)
+      assert(row.getDouble(0) == 4.0)
+      assert(row.getDouble(1) == 5.0)
+      assert(row.getInt(2) == 32)
+      assert(row.getInt(3) == 8)
+      assert(row.getSeq[String](4) == Seq("a b c", "b c d"))
+      assert(row.getSeq[String](5) == Seq("a b", "b c"))
+      assert(!row.isNullAt(6))
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+}
