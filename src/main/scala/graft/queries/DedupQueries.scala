@@ -247,7 +247,36 @@ object DedupQueries {
       |FROM sim a LEFT JOIN sim n ON n.doc_id = a.doc_id + 1
       |ORDER BY a.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q86
+  /** EXACT all-pairs near-dup join via prefix filtering
+    * (graft.operators.SetSimilarityJoin): zero false negatives by
+    * construction, unlike the LSH paths. The oracle is the brute-force
+    * O(N²) join — proving the prefix pruning is result-invariant. At scale
+    * only the Spark side survives; the quadratic formulation exists solely
+    * as the correctness witness. */
+  private val q86: Q = (s, d) => {
+    val docs = withShingles(Tables.documents(s, d), "text")
+      .select(col("doc_id"), col("sh"))
+    graft.operators.SetSimilarityJoin.jaccardJoin(docs, "doc_id", "sh", 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val q86Sql =
+    """WITH sh AS (
+      | SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+      |   i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS sh
+      | FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) WHERE len(w) >= 3)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      | round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |       len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q86_setsim_prefix_join" -> q86,
     "q35_dedup_exact_text" -> q35,
     "q36_jaccard_consecutive" -> q36,
     "q37_minhash_bands" -> q37,
@@ -256,6 +285,7 @@ object DedupQueries {
     "q67_simhash_portable" -> q67)
 
   val oracle: Map[String, String] = Map(
+    "q86_setsim_prefix_join" -> q86Sql,
     "q35_dedup_exact_text" -> q35Sql,
     "q36_jaccard_consecutive" -> q36Sql,
     "q66_minhash_lsh_verified" -> q66Sql,
