@@ -141,6 +141,13 @@ object AuditPipeline {
       .withColumn("datetime", expr("CAST(variant_get(rec, '$.datetime') AS STRING)"))
       .withColumn("random_id", expr("CAST(variant_get(rec, '$.random_id') AS STRING)"))
       .withColumn("ip", expr("CAST(variant_get(rec, '$.ip') AS STRING)"))
+      .withColumn("kind_id", expr("CAST(variant_get(rec, '$.kind_id') AS BIGINT)"))
+      .withColumn("account_id", expr("CAST(variant_get(rec, '$.account_id') AS BIGINT)"))
+      .withColumn("performer_id", expr("CAST(variant_get(rec, '$.performer_id') AS BIGINT)"))
+      .withColumn("repository_id", expr("CAST(variant_get(rec, '$.repository_id') AS BIGINT)"))
+      .withColumn("metadata",
+        from_json(expr("to_json(variant_get(rec, '$.metadata'))"),
+          MapType(StringType, StringType)))
       .drop("_json")
 
   /** The full record as flat JSON for the Splunk-style full-fidelity sink:

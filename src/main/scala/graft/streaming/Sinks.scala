@@ -87,13 +87,23 @@ object Sinks {
   def writeSplunk(full: DataFrame, dir: String, index: String,
       m: SinkMetrics, maxBatchSize: Int = 500,
       postTag: String = java.util.UUID.randomUUID().toString.take(8)): Unit = {
-    Files.createDirectories(Paths.get(dir))
     val lines = full
       .withColumn("line", to_json(struct(
         struct(full.columns.toIndexedSeq.map(col): _*).as("event"),
         lit("json").as("sourcetype"),
         lit(index).as("index"))))
       .select("line")
+    writeSplunkLines(lines, dir, m, maxBatchSize, postTag)
+  }
+
+  /** Same delivery semantics for pre-built HEC envelope lines (single
+    * string column) — the full-fidelity path where the event JSON was
+    * assembled upstream (e.g. from a variant record,
+    * AuditPipeline.fullRecordJson) rather than from fixed columns. */
+  def writeSplunkLines(lines: DataFrame, dir: String,
+      m: SinkMetrics, maxBatchSize: Int = 500,
+      postTag: String = java.util.UUID.randomUUID().toString.take(8)): Unit = {
+    Files.createDirectories(Paths.get(dir))
     lines.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       val pid = TaskContext.getPartitionId()
       var chunkNo = 0

@@ -43,6 +43,42 @@ object StreamingFanOut {
     } finally batch.unpersist()
   }
 
+  /** Full-fidelity micro-batch on the VariantType decode path: ES gets the
+    * enriched 9-field allowlist projection exactly as [[processBatch]], but
+    * Splunk gets the COMPLETE original record — unknown payload keys a
+    * producer added yesterday included — with `@timestamp` merged at top
+    * level. This is the reference's exact fan-out asymmetry
+    * (lambda_function.py:144-148) preserved under schema drift, which the
+    * fixed-schema path cannot do (it drops unknown keys at decode).
+    *
+    * Deliberate divergence: the full-record JSON carries the ORIGINAL
+    * payload verbatim (plus `@timestamp`) — the reference's falsy-`ip`
+    * removal applies only to the extracted/ES side here, because verbatim
+    * payload preservation is worth more in the archive copy than
+    * reproducing a lossy in-place mutation. */
+  def processBatchVariant(rawBatch: DataFrame, dataCol: String,
+      esDir: String, splunkDir: String,
+      config: PipelineConfig, metrics: SinkMetrics,
+      batchId: Long = -1L): Unit = {
+    import org.apache.spark.sql.functions._
+    val decoded = AuditPipeline.decodeKinesisVariant(rawBatch, dataCol)
+    decoded.persist()
+    try {
+      val enriched = AuditPipeline.enrich(decoded)
+      Sinks.writeEs(AuditPipeline.filterForEs(enriched), esDir,
+        config.esIndexPrefix, metrics)
+      if (!config.splunkDisabled) {
+        val tag = if (batchId >= 0) f"b$batchId%06d"
+                  else java.util.UUID.randomUUID().toString.take(8)
+        val lines = AuditPipeline.skipNulls(enriched).select(
+          concat(lit("{\"event\":"), AuditPipeline.fullRecordJson,
+            lit(",\"sourcetype\":\"json\",\"index\":\"" + config.splunkIndex + "\"}"))
+            .as("line"))
+        Sinks.writeSplunkLines(lines, splunkDir, metrics, config.maxBatchSize, tag)
+      }
+    } finally decoded.unpersist()
+  }
+
   /** Start the streaming query over an already-decoded source stream.
     * `source` must be a streaming DataFrame with the audit record shape
     * (use [[AuditPipeline.decodeKinesis]] upstream for raw base64 payloads). */

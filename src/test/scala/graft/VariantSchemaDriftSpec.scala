@@ -41,6 +41,33 @@ class VariantSchemaDriftSpec extends AnyFunSuite {
     assert(r.getLong(2) == 7L)
   }
 
+  test("full-fidelity fan-out: extras reach Splunk, never ES") {
+    import spark.implicits._
+    import graft.streaming.{PipelineConfig, SinkMetrics, Sinks, StreamingFanOut}
+    val esDir = java.nio.file.Files.createTempDirectory("es_v").toString
+    val splunkDir = java.nio.file.Files.createTempDirectory("splunk_v").toString
+    val metrics = SinkMetrics(spark)
+    val payloads = Seq(
+      """{"datetime":"2026-02-18T10:30:00","random_id":"v-1","kind_id":5,"mystery":"m1"}""",
+      """{"datetime":"2026-02-18T10:30:01","random_id":"v-2","kind_id":6,"mystery":"m2"}""")
+    val raw = payloads.map(b64).toDF("data")
+
+    StreamingFanOut.processBatchVariant(raw, "data", esDir, splunkDir,
+      PipelineConfig(), metrics)
+
+    val es = Sinks.readEsIndex(spark, esDir)
+    assert(es.count() == 2)
+    assert(!es.columns.contains("mystery"), "ES must stay allowlisted")
+    assert(es.columns.contains("kind_id"))
+
+    val splunk = spark.read.json(s"$splunkDir/*.jsonl")
+    assert(splunk.count() == 2)
+    val ev = splunk.select("event.mystery", "event.@timestamp", "event.kind_id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(ev == Set(("m1", "2026-02-18T10:30:00", 5L), ("m2", "2026-02-18T10:30:01", 6L)))
+    assert(metrics.esSuccess.value == 2 && metrics.splunkSuccess.value == 2)
+  }
+
   test("the ES allowlist path still prunes unknown fields") {
     import spark.implicits._
     val payload = """{"datetime":"2026-02-18T10:30:00","random_id":"r-2","rogue":"x"}"""
