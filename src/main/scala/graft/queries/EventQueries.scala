@@ -445,6 +445,65 @@ object EventQueries {
       |FROM cal LEFT JOIN cnt ON cal.day = cnt.day
       |ORDER BY day""".stripMargin
 
+  // ---------------------------------------------------------------- q87
+  /** Full outer join of two sparse daily aggregates with key coalescing —
+    * days present on either side survive, absent side coalesced to 0. Both
+    * inputs are pre-aggregated (tiny), so the outer join is cheap at any
+    * scale; the pattern matters because outer joins can't broadcast the
+    * nullable side. */
+  private val q87: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    def daily(eventType: String, name: String) =
+      ev.filter(col("event_type") === eventType && col("value") > 95)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as(name))
+    val c = daily("click", "n_clicks")
+    val p = daily("purchase", "n_purchases").withColumnRenamed("day", "p_day")
+    c.join(p, col("day") === col("p_day"), "full_outer")
+      .select(coalesce(col("day"), col("p_day")).cast("string").as("day"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+      .orderBy(col("day"))
+  }
+
+  private val q87Sql =
+    """WITH c AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_clicks FROM events
+      |           WHERE event_type = 'click' AND value > 95 GROUP BY 1),
+      |p AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_purchases FROM events
+      |      WHERE event_type = 'purchase' AND value > 95 GROUP BY 1)
+      |SELECT CAST(COALESCE(c.day, p.day) AS VARCHAR) AS day,
+      | CAST(COALESCE(n_clicks, 0) AS BIGINT) AS n_clicks,
+      | CAST(COALESCE(n_purchases, 0) AS BIGINT) AS n_purchases
+      |FROM c FULL OUTER JOIN p ON c.day = p.day
+      |ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------------------- q88
+  /** Multiset semantics: EXCEPT ALL / INTERSECT ALL (Spark exceptAll /
+    * intersectAll) — multiplicity-aware set ops, re-aggregated so the
+    * output is deterministic. Complements q12's distinct set ops. */
+  private val q88: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val hi = ev.filter(col("value") > 90).select(col("user_id"))
+    val err = ev.filter(col("event_type") === "error").select(col("user_id"))
+    val ex = hi.exceptAll(err).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+    val in = hi.intersectAll(err).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+    ex.unionByName(in)
+      .select(col("op"), col("user_id"), col("n"))
+      .orderBy(col("op"), col("user_id"))
+  }
+
+  private val q88Sql =
+    """WITH hi AS (SELECT user_id FROM events WHERE value > 90),
+      |err AS (SELECT user_id FROM events WHERE event_type = 'error')
+      |SELECT 'except_all' AS op, user_id, COUNT(*) AS n FROM (
+      |  SELECT user_id FROM hi EXCEPT ALL SELECT user_id FROM err) GROUP BY user_id
+      |UNION ALL
+      |SELECT 'intersect_all' AS op, user_id, COUNT(*) AS n FROM (
+      |  SELECT user_id FROM hi INTERSECT ALL SELECT user_id FROM err) GROUP BY user_id
+      |ORDER BY op, user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q22_pivot_event_counts" -> q22,
     "q75_exact_moment_stats" -> q75,
@@ -452,6 +511,8 @@ object EventQueries {
     "q81_exact_quantiles" -> q81,
     "q82_unpivot_long" -> q82,
     "q83_gap_fill_calendar" -> q83,
+    "q87_full_outer_daily" -> q87,
+    "q88_set_ops_multiset" -> q88,
     "q23_tumbling_window" -> q23,
     "q24_sliding_window" -> q24,
     "q25_session_window" -> q25,
@@ -471,6 +532,8 @@ object EventQueries {
     "q81_exact_quantiles" -> q81Sql,
     "q82_unpivot_long" -> q82Sql,
     "q83_gap_fill_calendar" -> q83Sql,
+    "q87_full_outer_daily" -> q87Sql,
+    "q88_set_ops_multiset" -> q88Sql,
     "q23_tumbling_window" -> q23Sql,
     "q24_sliding_window" -> q24Sql,
     "q25_session_window" -> q25Sql,
