@@ -20,6 +20,10 @@ import org.apache.spark.sql.functions._
   * Each query carries its DuckDB oracle SQL with IDENTICAL column names and
   * a total-order ORDER BY so the driver's hash compare is deterministic.
   */
+/** Typed row for the Dataset-API surface (q89). */
+case class OrderRow(o_orderkey: Long, o_custkey: Long, o_orderstatus: String,
+    o_totalprice: Double, o_orderpriority: String)
+
 object RelationalQueries {
   type Q = (SparkSession, String) => DataFrame
 
@@ -769,6 +773,34 @@ object RelationalQueries {
       | CAST(SUM(r) AS DOUBLE) AS total_rev
       |FROM rev GROUP BY o_year ORDER BY o_year""".stripMargin
 
+  // ---------------------------------------------------------------- q89
+  /** Typed Dataset surface (SURVEY §1.3): case-class rows with compile-time
+    * checked field access where type safety helps, switching back to
+    * untyped columns for the aggregate. This hybrid is the recommended
+    * shape: the typed filter here compiles to the same pushed-down
+    * predicate as the Column version (it's a column expression, not a
+    * lambda — closures would be opaque to Catalyst and kill pushdown),
+    * and the aggregation stays a codegen'd hash aggregate. */
+  private val q89: Q = (s, d) => {
+    import s.implicits._
+    val orders: org.apache.spark.sql.Dataset[OrderRow] =
+      Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderpriority")).as[OrderRow]
+    orders
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 100000.0)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(money(col("o_totalprice"))).cast("double").as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val q89Sql =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_price
+      |FROM orders WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 100000.0
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   // ---------------------------------------------------------------- q44 (no oracle: approx sketch)
   private val q44: Q = (s, d) =>
     Tables.lineitem(s, d)
@@ -814,7 +846,8 @@ object RelationalQueries {
     "q74_salted_skew_join" -> q74,
     "q76_min_cost_supplier" -> q76,
     "q77_order_count_distribution" -> q77,
-    "q78_market_share" -> q78)
+    "q78_market_share" -> q78,
+    "q89_typed_dataset" -> q89)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -851,5 +884,6 @@ object RelationalQueries {
     "q74_salted_skew_join" -> q74Sql,
     "q76_min_cost_supplier" -> q76Sql,
     "q77_order_count_distribution" -> q77Sql,
-    "q78_market_share" -> q78Sql)
+    "q78_market_share" -> q78Sql,
+    "q89_typed_dataset" -> q89Sql)
 }
