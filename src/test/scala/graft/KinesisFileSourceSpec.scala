@@ -46,6 +46,33 @@ class KinesisFileSourceSpec extends AnyFunSuite {
     assert(KinesisFileSource.batch(spark, shardDir).count() == 5)
   }
 
+  test("Trigger.AvailableNow drains the backlog and terminates on its own") {
+    import org.apache.spark.sql.streaming.Trigger
+    val shardDir = Files.createTempDirectory("shards_an").toString
+    Files.write(Paths.get(shardDir, "shard-0.txt"),
+      (1 to 4).map(i => b64(rec(i))).mkString("\n").getBytes)
+    val (esDir, splunkDir, ckpt) = (
+      Files.createTempDirectory("es_an").toString,
+      Files.createTempDirectory("splunk_an").toString,
+      Files.createTempDirectory("ckpt_an").toString)
+    val metrics = SinkMetrics(spark)
+    val decoded = graft.pipeline.AuditPipeline.decodeKinesis(
+      KinesisFileSource.stream(spark, shardDir), "data")
+    // the batch-catchup trigger: process everything available, then stop —
+    // the production backfill/recovery pattern (vs processAllAvailable,
+    // which is test-only API)
+    val q = decoded.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        StreamingFanOut.processBatch(batch, esDir, splunkDir, PipelineConfig(), metrics, id)
+      }
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow query must self-terminate")
+    assert(Sinks.readEsIndex(spark, esDir).count() == 4)
+    assert(metrics.esSuccess.value == 4)
+  }
+
   test("restart from checkpoint resumes exactly where the stream stopped") {
     val shardDir = Files.createTempDirectory("shards_rs").toString
     val (esDir, splunkDir, ckpt) = (
