@@ -63,7 +63,7 @@ object Multimodal {
     MediaFeatures(
       doc_id = r.doc_id,
       n_bytes = nBytes,
-      n_frames = nBytes / 1000 + 1,
+      n_frames = frameCount(nBytes),
       width = 64 + nBytes % 577,
       height = 64 + (r.doc_id * 31) % 417,
       format = r.format)
@@ -83,6 +83,12 @@ object Multimodal {
   /** Frame width of the stub codec: 1000 payload bytes per "frame". */
   val FrameBytes = 1000
 
+  /** Ceil-divide frame count; an empty payload still counts as one (empty)
+    * frame so every media object yields at least one row downstream, but an
+    * exact-multiple payload no longer emits a spurious zero-length tail. */
+  def frameCount(nBytes: Long): Long =
+    math.max(1L, (nBytes + FrameBytes - 1) / FrameBytes)
+
   /** Sample every `every`-th frame of each media object as a real payload
     * slice. This is the video-frame-sampling shape: a flatMap generator that
     * multiplies rows WITHOUT shuffling — each task samples its own split's
@@ -95,7 +101,7 @@ object Multimodal {
     import spark.implicits._
     media.flatMap { r =>
       val nb = r.media.length
-      val nFrames = nb / FrameBytes + 1
+      val nFrames = frameCount(nb.toLong).toInt
       (0 until nFrames).iterator.filter(_ % every == 0).map { i =>
         val from = i * FrameBytes
         val until = math.min(from + FrameBytes, nb)

@@ -27,11 +27,15 @@ import org.apache.spark.sql.functions._
 object SetSimilarityJoin {
 
   /** All pairs of `sets(idCol, setCol: array<string>)` with Jaccard ≥
-    * `threshold`, as (id_a, id_b, jaccard), id_a < id_b. */
+    * `threshold`, as (id_a, id_b, jaccard), id_a < id_b. Duplicate tokens
+    * are normalized away up front (`array_distinct`) — the length/prefix
+    * bounds are only valid on distinct-set cardinalities, and the Jaccard
+    * verify is distinct-set semantics anyway. */
   def jaccardJoin(sets: DataFrame, idCol: String, setCol: String,
       threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
-    val ex = sets.select(col(idCol), explode(col(setCol)).as("tok"))
+    val ss = sets.select(col(idCol), array_distinct(col(setCol)).as("_set"))
+    val ex = ss.select(col(idCol), explode(col("_set")).as("tok"))
     val dfreq = ex.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val sorted = ex.join(dfreq, Seq("tok"))
       .groupBy(col(idCol))
@@ -42,19 +46,33 @@ object SetSimilarityJoin {
     // Candidates travel as bare id pairs — the set arrays are attached only
     // AFTER dedup, once per surviving pair (shuffling payload arrays through
     // the token join + distinct measured ~3× slower on self-similar corpora).
+    // `p` is the token's 1-based position in the rarest-first order, kept for
+    // the positional filter below.
     val pref = sorted.select(col(idCol), col("n"),
-      explode(expr("slice(toks, 1, plen)")).as("tok"))
-    val l = pref.select(col("tok"), col(idCol).as("id_a"), col("n").as("n_a"))
-    val r = pref.select(col("tok"), col(idCol).as("id_b"), col("n").as("n_b"))
+      posexplode(expr("slice(toks, 1, plen)")).as(Seq("p0", "tok")))
+      .withColumn("p", col("p0") + 1).drop("p0")
+    val l = pref.select(col("tok"), col(idCol).as("id_a"), col("n").as("n_a"), col("p").as("p_a"))
+    val r = pref.select(col("tok"), col(idCol).as("id_b"), col("n").as("n_b"), col("p").as("p_b"))
+    // PPJoin positional filter: Jaccard ≥ t ⟺ overlap ≥ t/(1+t)·(n_a+n_b).
+    // For the pair's FIRST common prefix token (both arrays share the same
+    // global order, so any earlier common token would itself be a common
+    // prefix token), overlap ≤ 1 + min(n_a-p_a, n_b-p_b). Filtering each
+    // occurrence by that upper bound is lossless: a qualifying pair always
+    // survives at its first common prefix token. The 1e-9 slack keeps a
+    // floating-point boundary from ever pruning an exact-threshold pair.
+    val minOverlap = lit(threshold / (1.0 + threshold)) *
+      (col("n_a") + col("n_b")).cast("double") - lit(1e-9)
     val cand = l.join(r, Seq("tok"))
       .filter(col("id_a") < col("id_b"))
       .filter(col("n_b") >= ceil(col("n_a") * threshold) &&
         col("n_a") >= ceil(col("n_b") * threshold))
+      .filter((lit(1) + least(col("n_a") - col("p_a"), col("n_b") - col("p_b")))
+        .cast("double") >= minOverlap)
       .select(col("id_a"), col("id_b")).distinct()
-    // verify on the ORIGINAL sets (set ops are order-insensitive, so the
+    // verify on the normalized sets (set ops are order-insensitive, so the
     // rarest-first sort is not needed here)
-    val a = sets.select(col(idCol).as("id_a"), col(setCol).as("toks_a"))
-    val b = sets.select(col(idCol).as("id_b"), col(setCol).as("toks_b"))
+    val a = ss.select(col(idCol).as("id_a"), col("_set").as("toks_a"))
+    val b = ss.select(col(idCol).as("id_b"), col("_set").as("toks_b"))
     cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
       .withColumn("jaccard",
         size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /

@@ -71,7 +71,9 @@ object AuditPipeline {
     * reference's `if not message["ip"]` would drop them, but Spark cannot
     * distinguish JSON `0` from the (Python-truthy) string "0" post-coercion,
     * and no real payload carries a numeric ip (test fixtures use IP strings
-    * or "", test_lambda_function.py:34,144-164). */
+    * or "", test_lambda_function.py:34,144-164). The variant path
+    * ([[decodeKinesisVariant]]) sees raw JSON types and applies the strict
+    * falsy semantics exactly. */
   def nullOutEmptyIp(df: DataFrame): DataFrame =
     df.withColumn("ip", when(col("ip") === "", lit(null: String)).otherwise(col("ip")))
 
@@ -140,7 +142,24 @@ object AuditPipeline {
       .withColumn("rec", parse_json(col("_json")))
       .withColumn("datetime", expr("CAST(variant_get(rec, '$.datetime') AS STRING)"))
       .withColumn("random_id", expr("CAST(variant_get(rec, '$.random_id') AS STRING)"))
-      .withColumn("ip", expr("CAST(variant_get(rec, '$.ip') AS STRING)"))
+      // Strict Python-falsy `ip` drop (lambda_function.py:48-49): unlike the
+      // fixed-schema path (whose from_json coerces JSON 0/false to the
+      // truthy strings "0"/"false" — divergence documented on
+      // [[nullOutEmptyIp]]), the variant keeps the RAW JSON type, so the
+      // reference's `if not message["ip"]` can be reproduced exactly:
+      // null/absent, "", false, numeric 0 (any width), and empty
+      // containers all drop; the strings "0"/"false" stay, as in Python.
+      .withColumn("ip", expr(
+        """CASE WHEN variant_get(rec, '$.ip') IS NULL
+          |       OR schema_of_variant(variant_get(rec, '$.ip')) = 'VOID'
+          |       OR (schema_of_variant(variant_get(rec, '$.ip')) = 'STRING'
+          |           AND CAST(variant_get(rec, '$.ip') AS STRING) = '')
+          |       OR (schema_of_variant(variant_get(rec, '$.ip')) = 'BOOLEAN'
+          |           AND CAST(variant_get(rec, '$.ip') AS BOOLEAN) = false)
+          |       OR (schema_of_variant(variant_get(rec, '$.ip')) NOT IN ('STRING', 'BOOLEAN')
+          |           AND try_cast(variant_get(rec, '$.ip') AS DOUBLE) = 0.0D)
+          |       OR to_json(variant_get(rec, '$.ip')) IN ('{}', '[]')
+          |     THEN NULL ELSE try_cast(variant_get(rec, '$.ip') AS STRING) END""".stripMargin))
       .withColumn("kind_id", expr("CAST(variant_get(rec, '$.kind_id') AS BIGINT)"))
       .withColumn("account_id", expr("CAST(variant_get(rec, '$.account_id') AS BIGINT)"))
       .withColumn("performer_id", expr("CAST(variant_get(rec, '$.performer_id') AS BIGINT)"))
@@ -153,10 +172,16 @@ object AuditPipeline {
   /** The full record as flat JSON for the Splunk-style full-fidelity sink:
     * every original field (unknown keys included) plus derived
     * `@timestamp` at top level — the reference's post-enrich dict shape
-    * (`lambda_function.py:46-47,147-148`). Requires a non-empty record
-    * with `datetime` (the reference crashes otherwise, so this is not a
-    * new constraint); the ISO timestamp needs no JSON escaping. */
+    * (`lambda_function.py:46-47,147-148`). Built by casting the variant
+    * record to `map<string,variant>`, dropping any pre-existing
+    * `@timestamp` (the reference's dict assignment OVERWRITES it), and
+    * merging the derived value before `to_json` — so escaping, empty
+    * records, and drifted payloads that already carry `@timestamp` all
+    * serialize correctly (no string surgery). Requires `datetime`
+    * non-null (the reference crashes otherwise; callers filter on the
+    * same validity pair as [[partitionValid]]). */
   val fullRecordJson: org.apache.spark.sql.Column =
-    concat(lit("{\"@timestamp\":\""), col("datetime"), lit("\","),
-      expr("substring(to_json(rec), 2)"))
+    to_json(map_concat(
+      map_filter(col("rec").cast("map<string,variant>"), (k, _) => k =!= "@timestamp"),
+      map(lit("@timestamp"), col("datetime").cast("variant"))))
 }

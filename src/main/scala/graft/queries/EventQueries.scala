@@ -298,13 +298,19 @@ object EventQueries {
     val e = withK(Tables.events(s, d))
       .withColumn("cents", (money(col("value")) * 100).cast("long"))
       .filter(col("k").isNotNull && col("cents").isNotNull)
+    // Power sums accumulate as DECIMAL(38,0), not long: long Σx² silently
+    // wraps at larger scale factors while the DuckDB oracle sums in HUGEINT
+    // — exactness must survive scale-up on both sides. The products are
+    // formed in decimal too so they cannot wrap before the sum.
+    val cD = col("cents").cast("decimal(19,0)")
+    val kD = col("k").cast("decimal(19,0)")
     e.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("cents")).as("s1"),
-        sum(col("cents") * col("cents")).as("s2"),
-        sum(col("k")).as("sk"),
-        sum(col("k") * col("k")).as("sk2"),
-        sum(col("cents") * col("k")).as("sxy"))
+        sum(cD).as("s1"),
+        sum(cD * cD).as("s2"),
+        sum(kD).as("sk"),
+        sum(kD * kD).as("sk2"),
+        sum(cD * kD).as("sxy"))
       .select(col("event_type"), col("n"),
         (col("s1").cast("double") / (lit(100.0) * col("n"))).as("mean_value"),
         ((col("n").cast("double") * col("s2") - col("s1").cast("double") * col("s1")) /
@@ -322,9 +328,9 @@ object EventQueries {
       |  CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k
       | FROM events),
       |s AS (SELECT event_type, COUNT(*) AS n,
-      |  CAST(SUM(cents) AS BIGINT) AS s1, CAST(SUM(cents * cents) AS BIGINT) AS s2,
-      |  CAST(SUM(k) AS BIGINT) AS sk, CAST(SUM(k * k) AS BIGINT) AS sk2,
-      |  CAST(SUM(cents * k) AS BIGINT) AS sxy
+      |  SUM(cents) AS s1, SUM(cents * cents) AS s2,
+      |  SUM(k) AS sk, SUM(k * k) AS sk2,
+      |  SUM(cents * k) AS sxy
       | FROM e WHERE k IS NOT NULL AND cents IS NOT NULL GROUP BY event_type)
       |SELECT event_type, n,
       | CAST(s1 AS DOUBLE) / (100.0 * n) AS mean_value,

@@ -27,7 +27,7 @@ object MultimodalQueries {
   private val q63Sql =
     """SELECT doc_id,
       | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-      | CAST(octet_length(encode(text)) // 1000 + 1 AS BIGINT) AS n_frames,
+      | CAST(greatest(1, (octet_length(encode(text)) + 999) // 1000) AS BIGINT) AS n_frames,
       | CAST(64 + octet_length(encode(text)) % 577 AS BIGINT) AS width,
       | CAST(64 + (doc_id * 31) % 417 AS BIGINT) AS height,
       | 'img' AS format
@@ -71,7 +71,7 @@ object MultimodalQueries {
 
   private val q79Sql =
     """WITH t AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS nb FROM documents),
-      |f AS (SELECT doc_id, nb, UNNEST(range(nb // 1000 + 1)) AS i FROM t)
+      |f AS (SELECT doc_id, nb, UNNEST(range(greatest(1, (nb + 999) // 1000))) AS i FROM t)
       |SELECT doc_id,
       | CAST(COUNT(*) FILTER (WHERE i % 3 = 0) AS BIGINT) AS n_sampled,
       | CAST(SUM(CASE WHEN i % 3 = 0 THEN least(nb - i * 1000, 1000) ELSE 0 END) AS BIGINT) AS bytes_sampled

@@ -70,7 +70,12 @@ object StreamingFanOut {
       if (!config.splunkDisabled) {
         val tag = if (batchId >= 0) f"b$batchId%06d"
                   else java.util.UUID.randomUUID().toString.take(8)
-        val lines = AuditPipeline.skipNulls(enriched).select(
+        // fullRecordJson needs non-null datetime (same validity pair as
+        // partitionValid) — a null would otherwise serialize as a literal
+        // "null" line in the HEC archive instead of being skipped.
+        val lines = AuditPipeline.skipNulls(enriched)
+          .filter(col("datetime").isNotNull)
+          .select(
           concat(lit("{\"event\":"), AuditPipeline.fullRecordJson,
             lit(",\"sourcetype\":\"json\",\"index\":\"" + config.splunkIndex + "\"}"))
             .as("line"))

@@ -68,6 +68,61 @@ class VariantSchemaDriftSpec extends AnyFunSuite {
     assert(metrics.esSuccess.value == 2 && metrics.splunkSuccess.value == 2)
   }
 
+  test("strict Python-falsy ip drop on the variant path (lambda_function.py:48-49)") {
+    import spark.implicits._
+    // (payload-ip, expected extracted ip): JSON 0/false/""/null/0.0 all drop
+    // like Python's `if not message["ip"]`; strings "0"/"false" are truthy.
+    val cases = Seq(
+      """"ip":0"""         -> null,
+      """"ip":false"""     -> null,
+      """"ip":"""""        -> null,
+      """"ip":null"""      -> null,
+      """"ip":0.0"""       -> null,
+      """"ip":"0""""       -> "0",
+      """"ip":"false""""   -> "false",
+      """"ip":"1.2.3.4"""" -> "1.2.3.4")
+    val df = cases.zipWithIndex.map { case ((ipJson, _), i) =>
+      b64(s"""{"datetime":"2026-02-18T10:30:00","random_id":"f-$i",$ipJson}""")
+    }.toDF("data")
+    val got = AuditPipeline.decodeKinesisVariant(df, "data")
+      .select("random_id", "ip").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case ((ipJson, want), i) =>
+      assert(got(s"f-$i") == want, s"payload $ipJson")
+    }
+    // absent key: stays NULL (reference leaves the message untouched;
+    // Spark's fixed-width schema models absent as NULL)
+    val absent = AuditPipeline.decodeKinesisVariant(
+      Seq(b64("""{"datetime":"2026-02-18T10:30:00","random_id":"f-a"}""")).toDF("data"), "data")
+    assert(absent.select("ip").collect()(0).isNullAt(0))
+  }
+
+  test("fullRecordJson: escaping, @timestamp overwrite, minimal record") {
+    import spark.implicits._
+    // a pre-existing @timestamp must be OVERWRITTEN by the derived value
+    // (the reference's dict assignment, lambda_function.py:46-47), and
+    // special characters in values must serialize as valid JSON
+    val payload =
+      """{"datetime":"2026-02-18T10:30:00","random_id":"e-1",""" +
+        """"@timestamp":"stale","note":"quote\" and back\\slash"}"""
+    val decoded = AuditPipeline.decodeKinesisVariant(Seq(b64(payload)).toDF("data"), "data")
+    val full = decoded.select(AuditPipeline.fullRecordJson.as("j")).collect()(0).getString(0)
+    val parsed = spark.read.json(Seq(full).toDS())
+    assert(parsed.schema.fieldNames.count(_ == "@timestamp") == 1)
+    val r = parsed.select("@timestamp", "note").collect()(0)
+    assert(r.getString(0) == "2026-02-18T10:30:00", "derived @timestamp must win")
+    assert(r.getString(1) == "quote\" and back\\slash")
+
+    // minimal record (only the required fields): still valid JSON, no
+    // trailing-comma surgery artifacts
+    val min = AuditPipeline.decodeKinesisVariant(
+      Seq(b64("""{"datetime":"2026-02-18T10:30:01","random_id":"e-2"}""")).toDF("data"), "data")
+    val minJson = min.select(AuditPipeline.fullRecordJson.as("j")).collect()(0).getString(0)
+    val minParsed = spark.read.json(Seq(minJson).toDS())
+    assert(!minParsed.columns.contains("_corrupt_record"), s"invalid JSON: $minJson")
+    assert(minParsed.select("@timestamp").collect()(0).getString(0) == "2026-02-18T10:30:01")
+  }
+
   test("the ES allowlist path still prunes unknown fields") {
     import spark.implicits._
     val payload = """{"datetime":"2026-02-18T10:30:00","random_id":"r-2","rogue":"x"}"""
