@@ -28,19 +28,36 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None        => SparkEntry.queries
     }
+    // Median of N consecutive passes per query (default 3): single-pass
+    // timings in one shared JVM are load-order artifacts — GC/codegen
+    // pressure from whichever query ran before bleeds into the next
+    // (round-3 measured q29 at 9.0s loaded vs 1.9s isolated). The median
+    // absorbs the one-off outlier; per-query consecutive passes keep each
+    // query's own code/data caches warm so the number is steady-state.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt.max(1)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          -1L
+      val times = (1 to passes).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+        }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      val median =
+        if (times.contains(-1.0)) -1.0
+        else times.sorted.apply(times.size / 2)
+      name -> median
+    }
+    // One JSON line, headline total first, values at 3-decimal precision —
+    // a tail-truncated capture still carries the total, and the shorter
+    // line is less likely to truncate at all.
+    def f3(v: Double): String = f"$v%.3f"
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","passes":$passes,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

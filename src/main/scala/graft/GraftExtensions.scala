@@ -50,6 +50,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("rolling_fp"),
       info("rolling_fp", "rolling_fp(text) - Rabin-Karp min-window fingerprint"),
       (es: Seq[Expression]) => RollingFingerprint(es.head)))
+    ext.injectFunction((FunctionIdentifier("weighted_avg_cents"),
+      info("weighted_avg_cents",
+        "weighted_avg_cents(cents, w) - exact weighted mean in currency units"),
+      (es: Seq[Expression]) => WeightedAvgCents(es(0), es(1))))
   }
 
   private def intLit(e: Expression): Int = e.eval(null) match {

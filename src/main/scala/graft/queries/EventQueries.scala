@@ -132,13 +132,19 @@ object EventQueries {
       |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------- q29
+  /** Custom-aggregate surface. Production path: [[graft.functions.WeightedAvgCents]],
+    * a DeclarativeAggregate that compiles into the codegen hash-aggregate
+    * loop (the `udaf(WeightedAvgAgg)` Aggregator route pays an encoder
+    * round-trip per row — ~19 µs/row at sf0.1, a scale-killer; it remains
+    * as the documented typed-API demo, equivalence-tested in
+    * WeightedAvgSpec). */
   private val q29: Q = (s, d) => {
-    val wavg = udaf(WeightedAvgAgg, Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+    graft.functions.WeightedAvg.register(s)
     withK(Tables.events(s, d))
       .withColumn("cents", (money(col("value")) * 100).cast("long"))
       .filter(col("k").isNotNull && col("cents").isNotNull)
       .groupBy(col("event_type"))
-      .agg(wavg(col("cents"), col("k")).as("wavg_value"), count(lit(1)).as("n"))
+      .agg(expr("weighted_avg_cents(cents, k)").as("wavg_value"), count(lit(1)).as("n"))
       .orderBy(col("event_type"))
   }
 
