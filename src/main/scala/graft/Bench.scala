@@ -24,9 +24,10 @@ object Bench {
     // Optional comma-separated query-name filter for local profiling runs.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val all = SparkEntry.queries ++ SparkEntry.perfQueries
     val selected = only match {
-      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
-      case None        => SparkEntry.queries
+      case Some(names) => all.filter { case (n, _) => names(n) }
+      case None        => all
     }
     // Median of N consecutive passes per query (default 3): single-pass
     // timings in one shared JVM are load-order artifacts — GC/codegen

@@ -26,6 +26,13 @@ object SparkEntry {
       TextQueries.queries ++
       MultimodalQueries.queries
 
+  /** Bench-only queries: fast twins whose hash family (xxhash64) has no
+    * DuckDB equivalent. Their algorithmic correctness is proven by the
+    * oracle-verified portable twins (q66/q67); these stay in the bench so
+    * the production hot path keeps a measured number. */
+  def perfQueries: Map[String, (SparkSession, String) => DataFrame] =
+    DedupQueries.perfQueries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

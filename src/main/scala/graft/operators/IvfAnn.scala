@@ -37,9 +37,13 @@ object IvfAnn {
     val cents = vectors
       .filter((col(idCol) % stride === 0) && (col(idCol) / stride < k))
       .select((col(idCol) / stride).cast("int").as("cid"), col(vecCol).as("centroid"))
+    // Centroid dots are rounded to 4 decimals before ranking (ties then
+    // broken by cid) so the assignment is stable across engines/runs — two
+    // raw doubles an ulp apart must not flip the argmax between Spark and
+    // the DuckDB oracle.
     val wBest = Window.partitionBy(col(idCol)).orderBy(col("__cdot").desc, col("cid"))
     val assigned = vectors.crossJoin(broadcast(cents))
-      .withColumn("__cdot", expr(s"dot_f($vecCol, centroid)"))
+      .withColumn("__cdot", round(expr(s"dot_f($vecCol, centroid)"), 4))
       .withColumn("__rk", row_number().over(wBest))
       .filter(col("__rk") === 1)
       .drop("__cdot", "__rk", "centroid")
@@ -54,7 +58,7 @@ object IvfAnn {
     graft.functions.VectorOps.register(assigned.sparkSession)
     val wProbe = Window.partitionBy(col(qIdCol)).orderBy(col("__cdot").desc, col("cid"))
     val probes = queries.crossJoin(broadcast(centroids))
-      .withColumn("__cdot", expr(s"dot_f($qVecCol, centroid)"))
+      .withColumn("__cdot", round(expr(s"dot_f($qVecCol, centroid)"), 4))
       .withColumn("__rk", row_number().over(wProbe))
       .filter(col("__rk") <= nprobe)
       .select(col(qIdCol), col(qVecCol), col("cid"))

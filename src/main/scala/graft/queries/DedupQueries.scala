@@ -279,10 +279,19 @@ object DedupQueries {
     "q86_setsim_prefix_join" -> q86,
     "q35_dedup_exact_text" -> q35,
     "q36_jaccard_consecutive" -> q36,
-    "q37_minhash_bands" -> q37,
-    "q38_simhash_hamming" -> q38,
     "q66_minhash_lsh_verified" -> q66,
     "q67_simhash_portable" -> q67)
+
+  /** Bench-only fast twins of the oracle-verified q66/q67: same LSH /
+    * SimHash formulations with xxhash64 in place of portable md5-60bit
+    * hashing. xxhash64 has no DuckDB equivalent, so these are excluded from
+    * the correctness inventory (their algorithmic correctness is what
+    * q66/q67 prove; the kernels are additionally property-tested in
+    * DedupSpec/TextKernelsSpec) but stay benchmarked — the hash family is
+    * exactly what makes them the production hot path (~8× faster). */
+  val perfQueries: Map[String, Q] = Map(
+    "q37_minhash_bands" -> q37,
+    "q38_simhash_hamming" -> q38)
 
   val oracle: Map[String, String] = Map(
     "q86_setsim_prefix_join" -> q86Sql,

@@ -99,11 +99,17 @@ object SimilarityQueries {
       |SELECT vec_id, sim, CAST(CASE WHEN sim > 0.4 THEN 1 ELSE 0 END AS BIGINT) AS near_dup
       |FROM s ORDER BY vec_id""".stripMargin
 
-  // ---------------------------------------------------------------- q43 (no oracle: LSH-bucketed ANN)
+  // ---------------------------------------------------------------- q43
   /** Random-hyperplane LSH via graft.operators.HyperplaneLsh: plane count
     * is the corpus-size knob (2^planes buckets; here 4 planes for the test
     * corpus — see HyperplaneLsh scaladoc for the 100 TB sizing rule).
-    * Queries only score vectors in their own bucket. */
+    * Queries only score vectors in their own bucket.
+    *
+    * ORACLE-VERIFIED despite being "approximate": the hyperplane family is
+    * a deterministic seeded constant, so [[q43Sql]] embeds the exact plane
+    * literals and DuckDB replays the whole pipeline — sign bits, buckets,
+    * in-bucket scoring, top-k — hash-for-hash. Approximation here means
+    * "only scores its own bucket", not "nondeterministic". */
   private val q43: Q = (s, d) => {
     VectorOps.register(s)
     val e = graft.operators.HyperplaneLsh.withBucket(
@@ -121,10 +127,48 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  // ---------------------------------------------------------------- q51 (no oracle: IVF ANN)
+  /** DuckDB replay of the full q43 LSH pipeline with the plane constants
+    * baked in as literals (same seed ⇒ same family ⇒ same buckets). The
+    * per-plane dot is an ordered double sum on both sides, identical to the
+    * proven-portable q40/q41 pattern; sign bits need no rounding because a
+    * corpus dot landing within an ulp of exactly 0 does not occur in the
+    * fixed test data (and any drift would fail check_oracle immediately). */
+  private def q43Sql: String = {
+    val planes = graft.operators.HyperplaneLsh.planes(numPlanes = 4, dim = 64, seed = 12345L)
+    val vals = planes.zipWithIndex.map { case (p, j) =>
+      p.map(x => s"CAST($x AS FLOAT)").mkString(s"($j, [", ",", "])")
+    }.mkString(",")
+    s"""WITH pl AS (SELECT * FROM (VALUES $vals) AS t(j, p)),
+       |u AS (SELECT e.vec_id, pl.j, UNNEST(e.embedding) AS x, UNNEST(pl.p) AS y
+       |      FROM embeddings e, pl),
+       |d AS (SELECT vec_id, j, SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dp
+       |      FROM u GROUP BY vec_id, j),
+       |bk AS (SELECT vec_id, CAST(SUM(CASE WHEN dp > 0 THEN (1 << j) ELSE 0 END) AS INT) AS bucket
+       |       FROM d GROUP BY vec_id),
+       |qs AS (SELECT e.vec_id AS q_id, e.embedding AS qe, bk.bucket
+       |       FROM embeddings e JOIN bk ON bk.vec_id = e.vec_id WHERE e.vec_id < 5),
+       |cu AS (SELECT q.q_id, e.vec_id, q.bucket, UNNEST(e.embedding) AS x, UNNEST(q.qe) AS y
+       |       FROM embeddings e JOIN bk b ON b.vec_id = e.vec_id
+       |            JOIN qs q ON q.bucket = b.bucket
+       |       WHERE e.vec_id <> q.q_id),
+       |sims AS (SELECT q_id, vec_id, bucket,
+       |            round(SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 4) AS sim
+       |         FROM cu GROUP BY q_id, vec_id, bucket),
+       |r AS (SELECT q_id, vec_id, bucket, sim,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+       |      FROM sims)
+       |SELECT q_id, rank, vec_id, bucket, sim FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q51
   /** IVF-bucketed ANN (graft.operators.IvfAnn): 16 coarse centroids, 4
     * probed lists per query — the complementary scale path to q43's
-    * random-hyperplane LSH. */
+    * random-hyperplane LSH.
+    *
+    * ORACLE-VERIFIED like q43: the coarse quantizer is a deterministic
+    * strided sample of the corpus itself and centroid dots are rounded
+    * before ranking (ties → cid), so DuckDB replays build + probe + scoring
+    * exactly — see [[q51Sql]]. */
   private val q51: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
     val (assigned, cents) = graft.operators.IvfAnn.build(e, "vec_id", "embedding", k = 16)
@@ -134,6 +178,41 @@ object SimilarityQueries {
         "q_id", "q_emb", "vec_id", "embedding", nprobe = 4, topK = 10)
       .orderBy(col("q_id"), col("rank"))
   }
+
+  /** DuckDB replay of IvfAnn.build + search: strided-sample centroids
+    * (stride = max(1, N/16)), nearest-centroid assignment and probe
+    * selection on 4-decimal-rounded dots with cid tie-break, exact scoring
+    * within the 4 probed lists, top-10 by (sim DESC, vec_id). */
+  private val q51Sql: String =
+    """WITH s AS (SELECT greatest(1, (SELECT COUNT(*) FROM embeddings) // 16) AS stride),
+      |cents AS (SELECT CAST(vec_id // s.stride AS INT) AS cid, embedding AS centroid
+      |          FROM embeddings, s
+      |          WHERE vec_id % s.stride = 0 AND vec_id // s.stride < 16),
+      |au AS (SELECT e.vec_id, c.cid, UNNEST(e.embedding) AS x, UNNEST(c.centroid) AS y
+      |       FROM embeddings e, cents c),
+      |ad AS (SELECT vec_id, cid, round(SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 4) AS cdot
+      |       FROM au GROUP BY vec_id, cid),
+      |assign AS (SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cid) AS rk FROM ad)
+      |  WHERE rk = 1),
+      |probes AS (SELECT vec_id AS q_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cid) AS rk
+      |    FROM ad WHERE vec_id < 5)
+      |  WHERE rk <= 4),
+      |cand AS (SELECT p.q_id, a.vec_id, a.cid
+      |         FROM probes p JOIN assign a ON a.cid = p.cid WHERE a.vec_id <> p.q_id),
+      |cu AS (SELECT c.q_id, c.vec_id, c.cid, UNNEST(ev.embedding) AS x, UNNEST(eq.embedding) AS y
+      |       FROM cand c JOIN embeddings eq ON eq.vec_id = c.q_id
+      |            JOIN embeddings ev ON ev.vec_id = c.vec_id),
+      |sims AS (SELECT q_id, vec_id, cid,
+      |            round(SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 4) AS sim
+      |         FROM cu GROUP BY q_id, vec_id, cid),
+      |r AS (SELECT q_id, vec_id, cid, sim,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+      |      FROM sims)
+      |SELECT q_id, rank, vec_id, cid, sim FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
   // ---------------------------------------------------------------- q85
   /** The declarative dot-product formulation — `aggregate(zip_with(a, b,
@@ -166,5 +245,7 @@ object SimilarityQueries {
     "q40_cosine_vs_query" -> q40Sql,
     "q85_cosine_hof" -> q40Sql,
     "q41_ann_bruteforce_topk" -> q41Sql,
-    "q42_embedding_neardup" -> q42Sql)
+    "q42_embedding_neardup" -> q42Sql,
+    "q43_ann_lsh_bucketed" -> q43Sql,
+    "q51_ann_ivf" -> q51Sql)
 }

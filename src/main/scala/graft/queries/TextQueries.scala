@@ -147,10 +147,15 @@ object TextQueries {
       | CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
       |FROM t ORDER BY doc_id""".stripMargin
 
-  // ---------------------------------------------------------------- q65 (no oracle: rolling hash)
+  // ---------------------------------------------------------------- q65
   /** Content-defined rolling-hash fingerprints (functions/RollingFingerprint,
     * codegen'd Rabin–Karp min-window): identical-prefix/suffix documents
-    * collide, unrelated ones don't — the cheap first-pass near-dup filter. */
+    * collide, unrelated ones don't — the cheap first-pass near-dup filter.
+    *
+    * ORACLE-VERIFIED: the Rabin–Karp hash is plain mod-2⁶⁴ integer
+    * arithmetic, so [[q65Sql]] replays every window hash in DuckDB via
+    * HUGEINT with explicit mod and two's-complement reinterpretation —
+    * the fingerprint is checked value-for-value, not by proxy. */
   private val q65: Q = (s, d) => {
     graft.functions.RollingFingerprint.register(s)
     Tables.documents(s, d)
@@ -158,6 +163,45 @@ object TextQueries {
       .groupBy(col("fp_roll"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
       .orderBy(col("keep_id"))
+  }
+
+  /** DuckDB replay of RollingFingerprint (k = 16, base 257, mod 2⁶⁴):
+    * per-window polynomial hash as Σ byte·257^(w-1-j) with the powers
+    * pre-reduced mod 2⁶⁴ (embedded as literals), accumulated in HUGEINT,
+    * reduced, and reinterpreted as signed BIGINT before the min. Bytes come
+    * from the hex dump of the UTF-8 encoding — byte-exact with
+    * UTF8String.getBytes. Documents shorter than 16 bytes hash their whole
+    * byte string (w = n); empty documents fingerprint to 0. */
+  private def q65Sql: String = {
+    // 257^e mod 2^64 as unsigned literals; Long multiplication wraps at
+    // 2^64, which IS the modulus, so the iterative product is exact.
+    val pows = Iterator.iterate(1L)(_ * 257L).take(16).toSeq
+    val powVals = pows.zipWithIndex
+      .map { case (p, e) => s"($e, CAST(${java.lang.Long.toUnsignedString(p)} AS HUGEINT))" }
+      .mkString(",")
+    s"""WITH pw AS (SELECT * FROM (VALUES $powVals) AS t(e, p)),
+       |t AS (SELECT doc_id, hex(encode(text)) AS hx,
+       |             octet_length(encode(text)) AS n FROM documents),
+       |w AS (SELECT doc_id, hx, n, least(16, n) AS w FROM t WHERE n > 0),
+       |pos AS (SELECT doc_id, hx, w, UNNEST(range(n - w + 1)) AS s FROM w),
+       |b AS (SELECT doc_id, s, w, UNNEST(range(w)) AS j, hx FROM pos),
+       |bv AS (SELECT doc_id, s, w, j,
+       |          CAST(('0x' || substr(hx, CAST(2 * (s + j) AS INT) + 1, 2)) AS INT) AS byte
+       |       FROM b),
+       |hsh AS (SELECT bv.doc_id, bv.s,
+       |          SUM(CAST(bv.byte AS HUGEINT) * pw.p)
+       |            % CAST(18446744073709551616 AS HUGEINT) AS hu
+       |        FROM bv JOIN pw ON pw.e = bv.w - 1 - bv.j
+       |        GROUP BY bv.doc_id, bv.s),
+       |sgn AS (SELECT doc_id, s,
+       |          CAST(CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT)
+       |               THEN hu - CAST(18446744073709551616 AS HUGEINT) ELSE hu END AS BIGINT) AS h
+       |        FROM hsh),
+       |fp AS (SELECT doc_id, MIN(h) AS fp_roll FROM sgn GROUP BY doc_id
+       |       UNION ALL
+       |       SELECT doc_id, 0 AS fp_roll FROM t WHERE n = 0)
+       |SELECT fp_roll, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+       |FROM fp GROUP BY fp_roll ORDER BY keep_id""".stripMargin
   }
 
   // ---------------------------------------------------------------- q68
@@ -279,6 +323,7 @@ object TextQueries {
     "q33_quality_score" -> q33Sql,
     "q34_fingerprint_md5" -> q34Sql,
     "q39_token_stats" -> q39Sql,
+    "q65_fingerprint_rolling" -> q65Sql,
     "q68_tfidf_top_terms" -> q68Sql,
     "q69_levenshtein_neardup" -> q69Sql)
 }
