@@ -76,6 +76,66 @@ object Sinks {
   def readEsIndex(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir).dropDuplicates("_id")
 
+  /** One simulated bulk round-trip: given a chunk's doc `_id`s, return the
+    * subset that FAILED this attempt (the per-document rejections a real
+    * bulk response itemizes, e.g. 429s). Must be serializable — it runs on
+    * executors. */
+  type BulkTransport = Seq[String] => Seq[String]
+
+  /** OpenSearch bulk upsert with PER-DOCUMENT partial-failure + retry
+    * semantics (lambda_function.py:84-86: `helpers.bulk(client, actions,
+    * max_retries=3, raise_on_error=False)`):
+    *
+    * - each ≤`chunkSize` chunk of a partition is one bulk request;
+    * - documents the transport rejects are re-sent — alone, not the whole
+    *   chunk — up to `maxRetries` additional attempts;
+    * - documents still failing after the retries are LOGGED and dropped,
+    *   never raised (`raise_on_error=False`), and excluded from the index
+    *   write; everything else is delivered;
+    * - counters report success/total exactly as the reference's
+    *   `print(f"{success} of {total}")`.
+    *
+    * The delivery decision runs per-partition on executors (the sink
+    * boundary — same shape as a real HTTP bulk client in foreachPartition);
+    * the surviving rows then flow to the daily-partitioned parquet index.
+    */
+  def writeEsBulk(pruned: DataFrame, dir: String, prefix: String, m: SinkMetrics,
+      transport: BulkTransport, maxRetries: Int = 3, chunkSize: Int = 500): Long = {
+    val keyed = AuditPipeline.withRoutingKeys(AuditPipeline.skipNulls(pruned), prefix)
+      .dropDuplicates("_id")
+      .withColumn("index_date", to_date(col("datetime")).cast("string"))
+    val schema = keyed.schema
+    val idIdx = schema.fieldIndex("_id")
+    val total = m.esTotal
+    val success = m.esSuccess
+    val delivered = keyed.rdd.mapPartitions { it =>
+      it.grouped(chunkSize).flatMap { chunk =>
+        total.add(chunk.size)
+        var failed = transport(chunk.map(_.getString(idIdx))).toSet
+        var attempt = 0
+        while (failed.nonEmpty && attempt < maxRetries) {
+          failed = transport(failed.toSeq.sorted).toSet
+          attempt += 1
+        }
+        if (failed.nonEmpty)
+          System.err.println(
+            s"[es-sink] ${failed.size} document(s) failed after $maxRetries retries " +
+              s"(logged, not raised): ${failed.toSeq.sorted.take(10).mkString(", ")}")
+        val ok = chunk.filter(r => !failed.contains(r.getString(idIdx)))
+        success.add(ok.size)
+        ok
+      }
+    }
+    val spark = pruned.sparkSession
+    val okDf = spark.createDataFrame(delivered, schema)
+    try okDf.write.mode("append").partitionBy("index_date").parquet(dir)
+    catch {
+      case e: Exception =>
+        System.err.println(s"[es-sink] bulk write failed (logged, not raised): ${e.getMessage}")
+    }
+    success.value
+  }
+
   /** Splunk HEC simulator (lambda_function.py:90-102,115-134).
     *
     * Wraps every record in the HEC envelope {"event":…, "sourcetype":"json",

@@ -97,6 +97,41 @@ class StreamingFanOutSpec extends AnyFunSuite {
       "reader observes one doc per _id after redelivery")
   }
 
+  test("ES partial bulk failure: flaky docs recover via retry, residuals logged not raised (lambda_function.py:84-86)") {
+    import spark.implicits._
+    val esDir = tmp("es_retry")
+    val metrics = SinkMetrics(spark)
+    val batch = graft.pipeline.AuditPipeline.decodeKinesis(
+      (1 to 10).map(i => b64(recJson(i))).toDF("data"), "data")
+    val enriched = graft.pipeline.AuditPipeline.filterForEs(
+      graft.pipeline.AuditPipeline.enrich(batch))
+
+    // transport: id-3 / id-6 are rejected on their first two attempts
+    // (recover on the in-retry third); id-9 always fails (residual).
+    StreamingFanOutSpec.attempts.clear()
+    val transport: Sinks.BulkTransport = ids => ids.filter { id =>
+      val n: Int = StreamingFanOutSpec.attempts.merge(id, 1,
+        (a: Integer, b: Integer) => Integer.valueOf(a + b))
+      id == "id-9" || ((id == "id-3" || id == "id-6") && n <= 2)
+    }
+
+    val delivered = Sinks.writeEsBulk(enriched, esDir, "audit-", metrics,
+      transport, maxRetries = 3)
+
+    assert(delivered == 9, "id-9 dropped after exhausting retries")
+    assert(metrics.esTotal.value == 10 && metrics.esSuccess.value == 9,
+      s"reference-style success/total counters: ${metrics.summary}")
+    val idx = Sinks.readEsIndex(spark, esDir)
+    assert(idx.count() == 9)
+    assert(idx.filter(col("_id") === "id-9").isEmpty, "failed doc must not be indexed")
+    assert(idx.filter(col("_id").isin("id-3", "id-6")).count() == 2,
+      "flaky docs delivered by the retry loop")
+    // only the FAILED docs were re-sent, not the whole chunk
+    assert(StreamingFanOutSpec.attempts.get("id-1") == 1)
+    assert(StreamingFanOutSpec.attempts.get("id-3") == 3)
+    assert(StreamingFanOutSpec.attempts.get("id-9") == 4, "initial + 3 retries")
+  }
+
   test("splunk chunks are <= maxBatchSize and preserve all events (lambda_function.py:115,128-134)") {
     import spark.implicits._
     val splunkDir = tmp("splunk")
@@ -114,4 +149,11 @@ class StreamingFanOutSpec extends AnyFunSuite {
     val first = spark.read.json(s"$splunkDir/*.jsonl")
     assert(first.columns.sorted.toSeq == Seq("event", "index", "sourcetype"))
   }
+}
+
+object StreamingFanOutSpec {
+  /** Per-doc attempt counter for the fault-injecting transport: a JVM-wide
+    * map because the transport closure runs in executor tasks (same JVM
+    * under local[*]). */
+  val attempts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 }
