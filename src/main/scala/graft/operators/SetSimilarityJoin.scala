@@ -33,9 +33,29 @@ object SetSimilarityJoin {
     * verify is distinct-set semantics anyway. */
   def jaccardJoin(sets: DataFrame, idCol: String, setCol: String,
       threshold: Double): DataFrame = {
-    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
     val ss = sets.select(col(idCol), array_distinct(col(setCol)).as("_set"))
-    val ex = ss.select(col(idCol), explode(col("_set")).as("tok"))
+    val cand = candidatePairs(ss, idCol, "_set", threshold)
+    // verify on the normalized sets (set ops are order-insensitive, so the
+    // rarest-first sort is not needed here)
+    val a = ss.select(col(idCol).as("id_a"), col("_set").as("toks_a"))
+    val b = ss.select(col(idCol).as("id_b"), col("_set").as("toks_b"))
+    cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+          size(array_union(col("toks_a"), col("toks_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** The pruned candidate stage alone: all (id_a, id_b) pairs surviving the
+    * prefix, length, and positional filters — a superset of the true result
+    * (lossless by construction), before the exact-Jaccard verify. Public so
+    * scaling runs can measure candidate volume directly; `setCol` elements
+    * must be distinct (jaccardJoin normalizes first). */
+  def candidatePairs(sets: DataFrame, idCol: String, setCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    val ex = sets.select(col(idCol), explode(col(setCol)).as("tok"))
     val dfreq = ex.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val sorted = ex.join(dfreq, Seq("tok"))
       .groupBy(col(idCol))
@@ -69,15 +89,6 @@ object SetSimilarityJoin {
       .filter((lit(1) + least(col("n_a") - col("p_a"), col("n_b") - col("p_b")))
         .cast("double") >= minOverlap)
       .select(col("id_a"), col("id_b")).distinct()
-    // verify on the normalized sets (set ops are order-insensitive, so the
-    // rarest-first sort is not needed here)
-    val a = ss.select(col(idCol).as("id_a"), col("_set").as("toks_a"))
-    val b = ss.select(col(idCol).as("id_b"), col("_set").as("toks_b"))
-    cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
-          size(array_union(col("toks_a"), col("toks_b"))))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    cand
   }
 }
