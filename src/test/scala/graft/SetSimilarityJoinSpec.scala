@@ -37,4 +37,51 @@ class SetSimilarityJoinSpec extends AnyFunSuite {
       assert(want.nonEmpty || t > 0.9, s"vacuous check at $t")
     }
   }
+
+  test("positional filter stays lossless on adversarial random corpora (10 seeds x 4 thresholds)") {
+    import spark.implicits._
+    // Skewed Zipf-ish vocab + tiny sets + exact-threshold pairs: the shapes
+    // most likely to expose an off-by-one in the prefix length, the ceil'd
+    // length bound, or the first-common-token positional argument.
+    for (seed <- 1 to 10) {
+      val rng = new scala.util.Random(seed)
+      val vocab = (0 until 40).map(i => s"w$i")
+      def zipf(): String = vocab(math.min(vocab.size - 1, (math.pow(rng.nextDouble(), 2.5) * vocab.size).toInt))
+      val base = (0L until 40L).map { id =>
+        // sizes 1..12: tiny sets make ceil boundaries bite hardest
+        id -> (0 until (1 + rng.nextInt(12))).map(_ => zipf()).toSet
+      }
+      // planted exact-threshold geometry: |a∩b|=1, |a∪b|=2 → J=0.5 exactly,
+      // and |a∩b|=2, |a∪b|=4 → J=0.5 exactly
+      val sets = base ++ Seq(
+        200L -> Set("e1", "e2"), 201L -> Set("e2", "e3"),
+        202L -> Set("f1", "f2", "f3"), 203L -> Set("f2", "f3", "f4"))
+      val df = sets.map { case (id, s) => (id, s.toArray) }.toDF("id", "toks")
+      for (t <- Seq(0.25, 0.5, 2.0 / 3.0, 0.9)) {
+        val got = SetSimilarityJoin.jaccardJoin(df, "id", "toks", t)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val want = brute(sets, t)
+        assert(got == want, s"seed $seed threshold $t: got ${got.size}, want ${want.size}, " +
+          s"missing=${(want -- got).take(5)}, extra=${(got -- want).take(5)}")
+      }
+    }
+  }
+
+  test("duplicate tokens in the input cannot cause false negatives") {
+    import spark.implicits._
+    // Raw arrays with heavy duplication: the length/prefix bounds are only
+    // valid on distinct cardinalities, so jaccardJoin must normalize first
+    // (a regression here silently drops qualifying pairs).
+    val sets = Seq(
+      1L -> Array("a", "a", "a", "a", "a", "b"),          // distinct {a,b}
+      2L -> Array("a", "b", "b", "b", "b", "b", "b", "c"), // distinct {a,b,c}
+      3L -> Array("x", "x", "y"),                          // distinct {x,y}
+      4L -> Array("y", "x", "x", "x", "x", "x", "x", "x")) // distinct {x,y}
+    val df = sets.toDF("id", "toks")
+    val got = SetSimilarityJoin.jaccardJoin(df, "id", "toks", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // distinct-set Jaccards: (1,2): 2/3 >= .5 keep; (3,4): 2/2 = 1.0 keep
+    assert(got.map(p => (p._1, p._2)) == Set((1L, 2L), (3L, 4L)))
+    assert(got.find(p => p._1 == 3L).get._3 == 1.0, "duplicates must not dilute jaccard")
+  }
 }
