@@ -214,6 +214,73 @@ object SimilarityQueries {
       |      FROM sims)
       |SELECT q_id, rank, vec_id, cid, sim FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q90
+  /** Product-quantization ANN (graft.operators.PqAnn): 16 subspaces × 64
+    * codes, strided-sample seeding + one integer-exact Lloyd refinement;
+    * queries score via asymmetric distance (per-query code table + integer
+    * ADC sums). Completes the ANN family — brute force (q41), LSH
+    * bucketing (q43), IVF list pruning (q51), PQ compression (q90) — and,
+    * like its siblings, is ORACLE-VERIFIED because every ingredient
+    * (seeding, refinement, distances) is deterministic integer arithmetic
+    * over quantized components. Recall@10 vs exact L2 is quality-gated in
+    * PqAnnSpec. */
+  private val q90: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val (codes, codebook) = graft.operators.PqAnn.build(
+      e, "vec_id", "embedding", m = 16, k = 64, dim = 64, iters = 1)
+    val qs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    graft.operators.PqAnn.search(codes, codebook, qs,
+        "q_id", "q_emb", "vec_id", m = 16, dim = 64, topK = 10)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** DuckDB replay of PqAnn (m=16 subspaces of 4 dims, k=64, one Lloyd
+    * step): components quantized to 1e-6 integer units, strided seeding,
+    * assignment by exact integer squared L2 (ties → lower code),
+    * element-wise integer-mean refinement (empty codes keep seeds),
+    * re-assignment, then integer ADC sums. Both engines truncate integer
+    * division toward zero, so the means match exactly. */
+  private val q90Sql: String =
+    """WITH st AS (SELECT greatest(1, (SELECT COUNT(*) FROM embeddings) // 64) AS stride),
+      |xu AS (SELECT vec_id, s,
+      |          list_transform(list_slice(embedding, s * 4 + 1, s * 4 + 4),
+      |                         x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xu
+      |       FROM embeddings, (SELECT UNNEST(range(16)) AS s)),
+      |cb0 AS (SELECT s, CAST(vec_id // st.stride AS INT) AS code, xu AS cu
+      |        FROM xu, st WHERE vec_id % st.stride = 0 AND vec_id // st.stride < 64),
+      |d0 AS (SELECT vec_id, s, code, SUM((x - y) * (x - y)) AS d
+      |       FROM (SELECT xu.vec_id, cb0.s, cb0.code, UNNEST(xu.xu) AS x, UNNEST(cb0.cu) AS y
+      |             FROM xu JOIN cb0 ON cb0.s = xu.s)
+      |       GROUP BY vec_id, s, code),
+      |a0 AS (SELECT vec_id, s, code FROM (
+      |    SELECT vec_id, s, code, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rk
+      |    FROM d0) WHERE rk = 1),
+      |mem AS (SELECT a0.s, a0.code, UNNEST(xu.xu) AS v, generate_subscripts(xu.xu, 1) AS pos
+      |        FROM a0 JOIN xu ON xu.vec_id = a0.vec_id AND xu.s = a0.s),
+      |mm AS (SELECT s, code, pos, SUM(v) AS sv, COUNT(*) AS cnt FROM mem GROUP BY s, code, pos),
+      |cu1 AS (SELECT s, code, list(CAST(sv // cnt AS BIGINT) ORDER BY pos) AS cu
+      |        FROM mm GROUP BY s, code),
+      |cb1 AS (SELECT s, code, cu FROM cu1
+      |        UNION ALL
+      |        SELECT cb0.s, cb0.code, cb0.cu FROM cb0 ANTI JOIN cu1 USING (s, code)),
+      |d1 AS (SELECT vec_id, s, code, SUM((x - y) * (x - y)) AS d
+      |       FROM (SELECT xu.vec_id, cb1.s, cb1.code, UNNEST(xu.xu) AS x, UNNEST(cb1.cu) AS y
+      |             FROM xu JOIN cb1 ON cb1.s = xu.s)
+      |       GROUP BY vec_id, s, code),
+      |codes AS (SELECT vec_id, s, code FROM (
+      |    SELECT vec_id, s, code, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rk
+      |    FROM d1) WHERE rk = 1),
+      |qt AS (SELECT vec_id AS q_id, s, code, d FROM d1 WHERE vec_id < 5),
+      |adc AS (SELECT qt.q_id, c.vec_id, CAST(SUM(qt.d) AS BIGINT) AS adist_u
+      |        FROM codes c JOIN qt ON qt.s = c.s AND qt.code = c.code
+      |        WHERE c.vec_id <> qt.q_id
+      |        GROUP BY qt.q_id, c.vec_id),
+      |r AS (SELECT q_id, vec_id, adist_u,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist_u, vec_id) AS BIGINT) AS rank
+      |      FROM adc)
+      |SELECT q_id, rank, vec_id, adist_u FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
   // ---------------------------------------------------------------- q85
   /** The declarative dot-product formulation — `aggregate(zip_with(a, b,
     * (x, y) -> x*y), 0D, (acc, v) -> acc + v)` — kept as a correctness
@@ -239,7 +306,8 @@ object SimilarityQueries {
     "q41_ann_bruteforce_topk" -> q41,
     "q42_embedding_neardup" -> q42,
     "q43_ann_lsh_bucketed" -> q43,
-    "q51_ann_ivf" -> q51)
+    "q51_ann_ivf" -> q51,
+    "q90_ann_pq" -> q90)
 
   val oracle: Map[String, String] = Map(
     "q40_cosine_vs_query" -> q40Sql,
@@ -247,5 +315,6 @@ object SimilarityQueries {
     "q41_ann_bruteforce_topk" -> q41Sql,
     "q42_embedding_neardup" -> q42Sql,
     "q43_ann_lsh_bucketed" -> q43Sql,
-    "q51_ann_ivf" -> q51Sql)
+    "q51_ann_ivf" -> q51Sql,
+    "q90_ann_pq" -> q90Sql)
 }
