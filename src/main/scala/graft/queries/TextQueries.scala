@@ -303,8 +303,75 @@ object TextQueries {
       | CAST(min(keep_id) AS BIGINT) AS first_doc
       |FROM dedup GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q91
+  /** Weighted stratified sampling — the DATA-MIXING primitive: each
+    * language stratum keeps a configured fraction of its documents (e.g.
+    * upsample English, downsample zh), selected by a deterministic
+    * per-document hash bucket rather than rand(), so the sample is (a)
+    * reproducible run-over-run, (b) resumable — re-running on grown input
+    * keeps previously selected docs selected — and (c) exactly
+    * oracle-checkable. Pure per-row filter: no shuffle at all before the
+    * final ordering, scales with input splits. */
+  private val q91: Q = (s, d) => {
+    val bucket = expr(
+      "CAST(conv(substring(md5(concat('mix:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 1000")
+    val rate = typedLit(Map("en" -> 800, "de" -> 500, "es" -> 500, "fr" -> 250, "zh" -> 125))
+    Tables.documents(s, d)
+      .withColumn("rate_pml", coalesce(rate(col("lang")), lit(0)))
+      .filter(bucket < col("rate_pml"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr("n_chars div 4").as("tokens_est"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q91Sql =
+    """SELECT doc_id, lang, source, CAST(n_chars // 4 AS BIGINT) AS tokens_est
+      |FROM documents
+      |WHERE CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000
+      |      < CASE lang WHEN 'en' THEN 800 WHEN 'de' THEN 500 WHEN 'es' THEN 500
+      |                  WHEN 'fr' THEN 250 WHEN 'zh' THEN 125 ELSE 0 END
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q92
+  /** Sequence packing — assigning whole documents to fixed-budget context
+    * windows (512-token packs here), the split-free packing used when
+    * documents must not be cut: per source, documents in doc_id order fill
+    * a pack until the running token total crosses the budget, then the
+    * next pack starts (a doc longer than the budget overflows its own
+    * pack — documented, deterministic). One window cumsum per source
+    * shard + a hash aggregate; at 100 TB the partitionBy key is the shard,
+    * so state per task is one running sum. */
+  private val q92: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .withColumn("toks", expr("n_chars div 4"))
+      .withColumn("cum", sum(col("toks")).over(w))
+      .withColumn("pack_id", expr("(cum - toks) div 512"))
+      .groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("pack_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("source"), col("pack_id"))
+  }
+
+  private val q92Sql =
+    """WITH t AS (SELECT source, doc_id, CAST(n_chars // 4 AS BIGINT) AS toks FROM documents),
+      |c AS (SELECT source, doc_id, toks,
+      |        SUM(toks) OVER (PARTITION BY source ORDER BY doc_id
+      |                        ROWS UNBOUNDED PRECEDING) AS cum
+      |      FROM t)
+      |SELECT source, CAST((cum - toks) // 512 AS BIGINT) AS pack_id,
+      | COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS pack_tokens,
+      | CAST(MIN(doc_id) AS BIGINT) AS first_doc
+      |FROM c GROUP BY source, (cum - toks) // 512
+      |ORDER BY source, pack_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q84_corpus_cleaning" -> q84,
+    "q91_weighted_mix_sample" -> q91,
+    "q92_sequence_packing" -> q92,
     "q30_wordcount_topk" -> q30,
     "q31_bigrams_topk" -> q31,
     "q32_lang_id_heuristic" -> q32,
@@ -317,6 +384,8 @@ object TextQueries {
 
   val oracle: Map[String, String] = Map(
     "q84_corpus_cleaning" -> q84Sql,
+    "q91_weighted_mix_sample" -> q91Sql,
+    "q92_sequence_packing" -> q92Sql,
     "q30_wordcount_topk" -> q30Sql,
     "q31_bigrams_topk" -> q31Sql,
     "q32_lang_id_heuristic" -> q32Sql,
