@@ -29,6 +29,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("l2norm_f"),
       info("l2norm_f", "l2norm_f(a) - L2 norm of an array<float> vector"),
       (es: Seq[Expression]) => L2NormF(es.head)))
+    ext.injectFunction((FunctionIdentifier("l2dist2_f"),
+      info("l2dist2_f", "l2dist2_f(a, b) - squared L2 distance of two array<float> vectors"),
+      (es: Seq[Expression]) => L2Dist2F(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("l2dist2_l"),
+      info("l2dist2_l", "l2dist2_l(a, b) - exact squared L2 distance of two array<bigint> vectors"),
+      (es: Seq[Expression]) => L2Dist2L(es(0), es(1))))
     ext.injectFunction((FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "minhash_sig(shingles) - 32-slot MinHash signature"),
       (es: Seq[Expression]) => MinHashSig(es.head)))
