@@ -33,16 +33,21 @@ object SetSimilarityJoin {
     * verify is distinct-set semantics anyway. */
   def jaccardJoin(sets: DataFrame, idCol: String, setCol: String,
       threshold: Double): DataFrame = {
+    graft.functions.SetKernels.register(sets.sparkSession)
     val ss = sets.select(col(idCol), array_distinct(col(setCol)).as("_set"))
     val cand = candidatePairs(ss, idCol, "_set", threshold)
-    // verify on the normalized sets (set ops are order-insensitive, so the
-    // rarest-first sort is not needed here)
-    val a = ss.select(col(idCol).as("id_a"), col("_set").as("toks_a"))
-    val b = ss.select(col(idCol).as("id_b"), col("_set").as("toks_b"))
+    // Verify on the normalized sets, sorted ONCE per document so each
+    // candidate pair's overlap is an allocation-free codegen merge scan
+    // (sorted_overlap) instead of a per-pair array_intersect hash set;
+    // |a∪b| = |a| + |b| − overlap, so no union array is materialized.
+    val sorted = ss.select(col(idCol), sort_array(col("_set")).as("_set"))
+    val a = sorted.select(col(idCol).as("id_a"), col("_set").as("toks_a"))
+    val b = sorted.select(col(idCol).as("id_b"), col("_set").as("toks_b"))
     cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .withColumn("__ovl", expr("sorted_overlap(toks_a, toks_b)"))
       .withColumn("jaccard",
-        size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
-          size(array_union(col("toks_a"), col("toks_b"))))
+        col("__ovl").cast("double") /
+          (size(col("toks_a")) + size(col("toks_b")) - col("__ovl")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
