@@ -56,6 +56,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("rolling_fp"),
       info("rolling_fp", "rolling_fp(text) - Rabin-Karp min-window fingerprint"),
       (es: Seq[Expression]) => RollingFingerprint(es.head)))
+    ext.injectFunction((FunctionIdentifier("sorted_overlap"),
+      info("sorted_overlap",
+        "sorted_overlap(a, b) - intersection size of two sorted distinct string arrays"),
+      (es: Seq[Expression]) => SortedOverlap(es(0), es(1))))
     ext.injectFunction((FunctionIdentifier("weighted_avg_cents"),
       info("weighted_avg_cents",
         "weighted_avg_cents(cents, w) - exact weighted mean in currency units"),
