@@ -275,8 +275,56 @@ object DedupQueries {
       |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ---------------------------------------------------------------- q93
+  /** Benchmark DECONTAMINATION: find training documents sharing verbatim
+    * 3-word shingles with a held-out evaluation set (here the deterministic
+    * pseudo-benchmark `doc_id % 97 = 0` — in production, the real eval
+    * suite). The standard first-pass train/test-overlap check before
+    * training on scraped data.
+    *
+    * Scale shape: both sides explode to (shingle, id) and join on the
+    * shingle — an equi-join whose build side (the eval set) is tiny and
+    * broadcast. Shingles occurring in more than 50 training docs are
+    * dropped first (boilerplate like "terms of service" carries no
+    * contamination signal and is exactly the hot-key skew an all-shingle
+    * join would suffer at 100 TB); the df filter is one hash aggregate. */
+  private val q93: Q = (s, d) => {
+    val docs = withShingles(Tables.documents(s, d), "text")
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val informative = docs.groupBy(col("shingle"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") <= 50)
+      .select(col("shingle"))
+    val test = docs.filter(col("doc_id") % 97 === 0)
+      .join(informative, Seq("shingle"))
+      .select(col("shingle"), col("doc_id").as("test_id"))
+    val train = docs.filter(col("doc_id") % 97 =!= 0)
+      .select(col("shingle"), col("doc_id").as("train_id"))
+    train.join(broadcast(test), Seq("shingle"))
+      .groupBy(col("train_id"), col("test_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+      .orderBy(col("train_id"), col("test_id"))
+  }
+
+  private val q93Sql =
+    """WITH sh AS (
+      | SELECT doc_id, UNNEST(list_distinct(list_transform(range(1, len(w) - 1),
+      |   i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS shingle
+      | FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) WHERE len(w) >= 3),
+      |informative AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(DISTINCT doc_id) <= 50),
+      |test AS (SELECT s.shingle, s.doc_id AS test_id FROM sh s
+      |         JOIN informative i ON i.shingle = s.shingle WHERE s.doc_id % 97 = 0),
+      |train AS (SELECT shingle, doc_id AS train_id FROM sh WHERE doc_id % 97 <> 0)
+      |SELECT t.train_id, x.test_id, COUNT(*) AS n_shared
+      |FROM train t JOIN test x ON x.shingle = t.shingle
+      |GROUP BY t.train_id, x.test_id
+      |HAVING COUNT(*) >= 3
+      |ORDER BY train_id, test_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q86_setsim_prefix_join" -> q86,
+    "q93_decontamination" -> q93,
     "q35_dedup_exact_text" -> q35,
     "q36_jaccard_consecutive" -> q36,
     "q66_minhash_lsh_verified" -> q66,
@@ -295,6 +343,7 @@ object DedupQueries {
 
   val oracle: Map[String, String] = Map(
     "q86_setsim_prefix_join" -> q86Sql,
+    "q93_decontamination" -> q93Sql,
     "q35_dedup_exact_text" -> q35Sql,
     "q36_jaccard_consecutive" -> q36Sql,
     "q66_minhash_lsh_verified" -> q66Sql,
