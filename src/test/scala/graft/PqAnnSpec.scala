@@ -24,6 +24,19 @@ class PqAnnSpec extends AnyFunSuite {
     assert(codeRange.getInt(0) >= 0 && codeRange.getInt(1) < 64)
   }
 
+  test("build + search are partition-invariant (integer pipeline, no FP order dependence)") {
+    val e = Tables.embeddings(spark, dir)
+    def run(parts: Int): Seq[Seq[Any]] = {
+      val v = e.repartition(parts)
+      val (codes, cb) = PqAnn.build(v, "vec_id", "embedding", m = 16, k = 64, dim = 64)
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      PqAnn.search(codes, cb, qs, "q_id", "q_emb", "vec_id", m = 16, dim = 64, topK = 10)
+        .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+    }
+    assert(run(1) == run(32), "PQ output must not depend on partitioning")
+  }
+
   test("ADC top-10 recall vs exact L2 top-10 is >= 0.4 (chance is ~0.02)") {
     graft.functions.VectorOps.register(spark)
     val e = Tables.embeddings(spark, dir)
