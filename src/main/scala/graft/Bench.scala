@@ -51,12 +51,21 @@ object Bench {
         else times.sorted.apply(times.size / 2)
       name -> median
     }
-    // One JSON line, headline total first, values at 3-decimal precision —
-    // a tail-truncated capture still carries the total, and the shorter
-    // line is less likely to truncate at all.
+    // One JSON line, headline total first, values at 3-decimal precision.
+    // Query keys are compacted to their "qNN" prefix: the driver captures
+    // only a ~3 KB tail of stdout, and with 70+ full-length names the line
+    // exceeded that (BENCH_r04 `parsed: null` — the head holding the
+    // headline metric was cut off). Short keys keep the whole line inside
+    // the capture window; the prefix is unique across the inventory.
     def f3(v: Double): String = f"$v%.3f"
     val total = results.map(_._2).filter(_ >= 0).sum
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+    def shortKey(name: String): String = {
+      val cut = name.indexOf('_')
+      if (cut > 0) name.substring(0, cut) else name
+    }
+    require(results.map(r => shortKey(r._1)).distinct.size == results.size,
+      "short bench keys must stay unique")
+    val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + f3(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","passes":$passes,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()

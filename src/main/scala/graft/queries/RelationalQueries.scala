@@ -801,14 +801,35 @@ object RelationalQueries {
       |FROM orders WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 100000.0
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
-  // ---------------------------------------------------------------- q44 (no oracle: approx sketch)
+  // ---------------------------------------------------------------- q44
+  /** HLL++ approximate distinct counts, ORACLE-VERIFIED via an error band:
+    * the sketch estimate itself is not portable to DuckDB, but it IS
+    * deterministic (HLL registers merge by max, so the estimate is
+    * partition- and order-invariant for a fixed dataset). The query emits
+    * the exact distinct counts plus booleans asserting the sketch landed
+    * within 3× the configured rsd (0.05) of exact — a stable fact the
+    * oracle states as literal TRUE. A sketch regression (wrong hashing,
+    * broken merge) flips the boolean and fails the hash compare. */
   private val q44: Q = (s, d) =>
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_orderkey"), rsd = 0.05).as("_ao"),
+        approx_count_distinct(col("l_partkey"), rsd = 0.05).as("_ap"))
+      .select(col("l_returnflag"), col("exact_orders"), col("exact_parts"),
+        (abs(col("_ao") - col("exact_orders")) <=
+          col("exact_orders") * 0.15).as("orders_in_band"),
+        (abs(col("_ap") - col("exact_parts")) <=
+          col("exact_parts") * 0.15).as("parts_in_band"))
       .orderBy(col("l_returnflag"))
+
+  private val q44Sql =
+    """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_orders,
+      | COUNT(DISTINCT l_partkey) AS exact_parts,
+      | TRUE AS orders_in_band, TRUE AS parts_in_band
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
@@ -851,6 +872,7 @@ object RelationalQueries {
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
+    "q44_approx_count_distinct" -> q44Sql,
     "q02_filter_project" -> q02Sql,
     "q03_join_broadcast_agg" -> q03Sql,
     "q04_join_shuffle_topk" -> q04Sql,

@@ -13,12 +13,13 @@ class QueryInventorySpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
 
   /** Ops intentionally without DuckDB oracle — the driver records a weaker
-    * rows-only check for these. Down to ONE: the HLL sketch, whose register
-    * layout is engine-specific by nature (its exact twin is q07). LSH/IVF/
-    * rolling-hash became oracle-verified in round 4 by replaying their
-    * deterministic constants in DuckDB; the xxhash fast twins q37/q38 moved
-    * to SparkEntry.perfQueries (bench-only, proven via q66/q67). */
-  private val noOracleByDesign = Set("q44_approx_count_distinct")
+    * rows-only check for these. EMPTY since round 5: even the HLL sketch
+    * (q44) is oracle-verified now, via exact counts plus a deterministic
+    * error-band boolean (HLL registers merge by max, so the estimate is
+    * partition-invariant; the band either holds for this dataset or the
+    * sketch is broken). The xxhash fast twins q37/q38 live in
+    * SparkEntry.perfQueries (bench-only, proven via q66/q67). */
+  private val noOracleByDesign = Set.empty[String]
 
   test("every query executes at sf0.001 (perf-only queries included)") {
     val failures = (SparkEntry.queries ++ SparkEntry.perfQueries).toSeq.sortBy(_._1)
