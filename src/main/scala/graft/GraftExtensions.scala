@@ -60,6 +60,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("sorted_overlap",
         "sorted_overlap(a, b) - intersection size of two sorted distinct string arrays"),
       (es: Seq[Expression]) => SortedOverlap(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", "nfc_normalize(text) - Unicode canonical composition (NFC)"),
+      (es: Seq[Expression]) => NfcNormalize(es.head)))
     ext.injectFunction((FunctionIdentifier("weighted_avg_cents"),
       info("weighted_avg_cents",
         "weighted_avg_cents(cents, w) - exact weighted mean in currency units"),

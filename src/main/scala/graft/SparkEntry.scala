@@ -24,7 +24,8 @@ object SparkEntry {
       DedupQueries.queries ++
       SimilarityQueries.queries ++
       TextQueries.queries ++
-      MultimodalQueries.queries
+      MultimodalQueries.queries ++
+      CorpusQueries.queries
 
   /** Bench-only queries: fast twins whose hash family (xxhash64) has no
     * DuckDB equivalent. Their algorithmic correctness is proven by the
@@ -41,5 +42,6 @@ object SparkEntry {
       DedupQueries.oracle ++
       SimilarityQueries.oracle ++
       TextQueries.oracle ++
-      MultimodalQueries.oracle
+      MultimodalQueries.oracle ++
+      CorpusQueries.oracle
 }

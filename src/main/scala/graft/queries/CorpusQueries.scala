@@ -1,0 +1,240 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators a large-scale training-data pipeline needs
+  * beyond counting and dedup: unicode canonicalization, PII redaction,
+  * repetition-based quality filtering (the Gopher rules), deterministic
+  * train/val/test splitting, and exact substring-window dedup.
+  *
+  * All are per-row expressions plus hash aggregates — shuffle only on the
+  * final group key — so they scale linearly with input splits. The document
+  * table is plain ASCII word soup, so where an operator's interesting input
+  * (combining accents, emails, IPs) does not occur naturally, the query
+  * synthesizes it DETERMINISTICALLY from (text, doc_id) and the oracle SQL
+  * replays the identical synthesis — both engines see the same bytes.
+  */
+object CorpusQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** 60-bit md5 bucket of a string column — portable to DuckDB as
+    * `CAST(('0x' || substr(md5(x),1,15)) AS BIGINT)` (same trick as q73). */
+  private def md5Bucket60(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  // ---------------------------------------------------------------- q94
+  /** Unicode NFC normalization ([[graft.functions.NfcNormalize]], a codegen
+    * Expression — Spark has no built-in). Every third document is mutated
+    * to the DECOMPOSED form (a + U+0301 combining acute); NFC recomposes it
+    * to precomposed U+00E1, shrinking the code-point count back. The other
+    * documents exercise the allocation-free already-normalized fast path.
+    * Fingerprints of the normalized text are md5, portable to DuckDB's
+    * `nfc_normalize`. */
+  private val q94: Q = (s, d) => {
+    graft.functions.UnicodeKernels.register(s)
+    Tables.documents(s, d)
+      .select(col("doc_id"), length(col("text")).as("n_raw"),
+        when(col("doc_id") % 3 === 0,
+          expr("replace(text, 'a', 'á')")).otherwise(col("text")).as("m"))
+      .select(col("doc_id"), col("n_raw"), length(col("m")).as("n_decomposed"),
+        expr("nfc_normalize(m)").as("nfc"))
+      .select(col("doc_id"), col("n_raw"), col("n_decomposed"),
+        length(col("nfc")).as("n_nfc"), md5(col("nfc")).as("norm_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q94Sql =
+    """WITH m AS (SELECT doc_id, length(text) AS n_raw,
+      |  CASE WHEN doc_id % 3 = 0 THEN replace(text, 'a', 'a' || chr(769))
+      |       ELSE text END AS m FROM documents)
+      |SELECT doc_id, n_raw, length(m) AS n_decomposed,
+      | length(nfc_normalize(m)) AS n_nfc, md5(nfc_normalize(m)) AS norm_fp
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q95
+  /** PII redaction: emails, IPv4 addresses, and phone-shaped tokens are
+    * replaced with typed placeholders and counted. The PII is injected
+    * deterministically per doc_id (the corpus has none), redaction order is
+    * fixed (email → ip → phone), and the patterns stay inside the regex
+    * subset Java and RE2 share — no backreferences, no lookaround — so the
+    * oracle replays redaction byte-for-byte. Per-row regex work with no
+    * shuffle at all: the 100 TB cost model is one codegen stage. */
+  private val q95: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com from 10."),
+          (col("doc_id") % 256).cast("string"),
+          lit(".0.7 call 555-"),
+          lpad(col("doc_id").cast("string"), 4, "0")).as("t"))
+      .select(col("doc_id"),
+        regexp_count(col("t"), lit(EmailRe)).cast("long").as("n_email"),
+        regexp_replace(col("t"), EmailRe, "<EMAIL>").as("t1"))
+      .select(col("doc_id"), col("n_email"),
+        regexp_count(col("t1"), lit(Ipv4Re)).cast("long").as("n_ip"),
+        regexp_replace(col("t1"), Ipv4Re, "<IP>").as("t2"))
+      .select(col("doc_id"), col("n_email"), col("n_ip"),
+        regexp_count(col("t2"), lit(PhoneRe)).cast("long").as("n_phone"),
+        md5(regexp_replace(col("t2"), PhoneRe, "<PHONE>")).as("red_fp"))
+      .orderBy(col("doc_id"))
+
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  private val PhoneRe = "555-[0-9]{4}"
+
+  private val q95Sql =
+    s"""WITH t AS (SELECT doc_id, text || ' contact user' || doc_id ||
+       |  '@mail.example.com from 10.' || (doc_id % 256) ||
+       |  '.0.7 call 555-' || lpad(CAST(doc_id AS VARCHAR), 4, '0') AS t
+       | FROM documents),
+       |r1 AS (SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t, '$EmailRe')) AS BIGINT) AS n_email,
+       |  regexp_replace(t, '$EmailRe', '<EMAIL>', 'g') AS t1 FROM t),
+       |r2 AS (SELECT doc_id, n_email,
+       |  CAST(len(regexp_extract_all(t1, '$Ipv4Re')) AS BIGINT) AS n_ip,
+       |  regexp_replace(t1, '$Ipv4Re', '<IP>', 'g') AS t2 FROM r1)
+       |SELECT doc_id, n_email, n_ip,
+       |  CAST(len(regexp_extract_all(t2, '$PhoneRe')) AS BIGINT) AS n_phone,
+       |  md5(regexp_replace(t2, '$PhoneRe', '<PHONE>', 'g')) AS red_fp
+       |FROM r2 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q96
+  /** Repetition-based quality signals (the Gopher filtering rules): top-word
+    * mass, duplicate-word mass, and top-bigram mass per document. Two hash
+    * aggregates keyed by (doc_id, gram) then doc_id — fully parallel, and
+    * the ratios are single IEEE divisions of exact integer counts. */
+  private val q96: Q = (s, d) => {
+    graft.functions.TextKernels.register(s)
+    val docs = Tables.documents(s, d)
+    val wc = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_c"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_c"))
+    val bc = docs
+      .select(col("doc_id"), explode(expr("word_ngrams(text, 2)")).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bc"))
+    wc.join(bc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"), col("n_distinct"),
+        round(col("top_c") / col("n_words"), 6).as("top_word_frac"),
+        round(col("dup_c") / col("n_words"), 6).as("dup_word_frac"),
+        round(coalesce(col("top_bc"), lit(0L)) /
+          coalesce(col("n_bigrams"), lit(1L)), 6).as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q96Sql =
+    """WITH w AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents),
+      |wc AS (SELECT doc_id, w, COUNT(*) AS c FROM w WHERE w <> '' GROUP BY doc_id, w),
+      |pw AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+      |  COUNT(*) AS n_distinct, MAX(c) AS top_c,
+      |  CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_c
+      | FROM wc GROUP BY doc_id),
+      |b AS (SELECT doc_id,
+      |  UNNEST(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])) AS b
+      | FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+      |bcnt AS (SELECT doc_id, b, COUNT(*) AS c FROM b GROUP BY doc_id, b),
+      |pb AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams, MAX(c) AS top_bc
+      | FROM bcnt GROUP BY doc_id)
+      |SELECT pw.doc_id, pw.n_words, pw.n_distinct,
+      | round(top_c / n_words, 6) AS top_word_frac,
+      | round(dup_c / n_words, 6) AS dup_word_frac,
+      | round(COALESCE(top_bc, 0) / COALESCE(n_bigrams, 1), 6) AS top_bigram_frac
+      |FROM pw LEFT JOIN pb ON pw.doc_id = pb.doc_id ORDER BY pw.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q97
+  /** Deterministic train/val/test split: a 60-bit md5 bucket of doc_id mod
+    * 100 → 80/10/10. Hash-based splitting is the only assignment that stays
+    * stable under re-partitioning, re-ordering, and incremental re-runs at
+    * 100 TB — row_number-based splits are none of those. Output is the
+    * per-(split, source) census used to audit stratification drift. */
+  private val q97: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("source"), col("n_chars"),
+        (md5Bucket60(col("doc_id").cast("string")) % 100).as("b"))
+      .select(col("source"), col("n_chars"),
+        when(col("b") < 80, "train").when(col("b") < 90, "val")
+          .otherwise("test").as("split"))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("split"), col("source"))
+
+  private val q97Sql =
+    """WITH b AS (SELECT source, n_chars,
+      |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+      | FROM documents)
+      |SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+      | source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM b GROUP BY 1, 2 ORDER BY split, source""".stripMargin
+
+  // ---------------------------------------------------------------- q100
+  /** Exact substring-window dedup — the Spark-shaped analogue of
+    * suffix-array substring dedup (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better"): every 50-char window at stride 10 is
+    * hashed; a window seen in ≥2 distinct documents marks both as sharing
+    * boilerplate. Stride sampling is the scale knob (stride 1 = exact, the
+    * sf run uses 10); windows travel as 60-bit hashes so the shuffle
+    * carries 8 bytes, not 50-char strings. */
+  private val q100: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val wd = docs.filter(length(col("text")) >= 50)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(text) - 49, 10), p -> substring(text, p, 50))"))
+        .as("win"))
+      .select(col("doc_id"), md5Bucket60(col("win")).as("wh"))
+      .distinct()
+    val shared = wd.groupBy(col("wh"))
+      .agg(count(lit(1)).as("nd")).filter(col("nd") >= 2)
+      .select(col("wh"), lit(1L).as("is_shared"))
+    val per = wd.join(shared, Seq("wh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_win"),
+        sum(coalesce(col("is_shared"), lit(0L))).as("n_shared"))
+    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_win"), lit(0L)).as("n_win"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("has_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q100Sql =
+    """WITH w AS (SELECT doc_id,
+      |  UNNEST(list_transform(generate_series(1, length(text) - 49, 10),
+      |    p -> substr(text, p, 50))) AS win
+      | FROM documents WHERE length(text) >= 50),
+      |wd AS (SELECT DISTINCT doc_id,
+      |  CAST(('0x' || substr(md5(win), 1, 15)) AS BIGINT) AS wh FROM w),
+      |sh AS (SELECT wh FROM wd GROUP BY wh HAVING COUNT(*) >= 2),
+      |per AS (SELECT wd.doc_id, COUNT(*) AS n_win,
+      |  CAST(SUM(CASE WHEN sh.wh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+      | FROM wd LEFT JOIN sh ON wd.wh = sh.wh GROUP BY wd.doc_id)
+      |SELECT d.doc_id, COALESCE(per.n_win, 0) AS n_win,
+      | COALESCE(per.n_shared, 0) AS n_shared,
+      | COALESCE(per.n_shared, 0) > 0 AS has_shared
+      |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q94_unicode_normalize" -> q94,
+    "q95_pii_redaction" -> q95,
+    "q96_repetition_quality" -> q96,
+    "q97_train_split" -> q97,
+    "q100_substring_windows" -> q100)
+
+  val oracle: Map[String, String] = Map(
+    "q94_unicode_normalize" -> q94Sql,
+    "q95_pii_redaction" -> q95Sql,
+    "q96_repetition_quality" -> q96Sql,
+    "q97_train_split" -> q97Sql,
+    "q100_substring_windows" -> q100Sql)
+}

@@ -1,0 +1,77 @@
+package graft
+
+import graft.queries.CorpusQueries
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the corpus-preparation operators (q94-q100): the NFC
+  * kernel's composition behavior and fast path, redaction completeness,
+  * split determinism and proportions, and substring-window consistency. */
+class CorpusQueriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("nfc_normalize composes decomposed accents and is idempotent") {
+    import spark.implicits._
+    graft.functions.UnicodeKernels.register(spark)
+    val decomposed = "café á plain"   // e + combining acute, a + combining acute
+    val composed = "café á plain"
+    val r = Seq(decomposed, composed, "ascii only").toDF("t")
+      .select(expr("nfc_normalize(t)").as("n"), length(col("t")).as("lr"),
+        length(expr("nfc_normalize(t)")).as("ln"))
+      .collect()
+    assert(r(0).getString(0) == composed, "decomposed must compose to precomposed")
+    assert(r(0).getInt(1) == r(0).getInt(2) + 2, "two combining marks fold away")
+    assert(r(1).getString(0) == composed, "already-NFC input is unchanged")
+    assert(r(2).getString(0) == "ascii only")
+  }
+
+  test("q95 redacts every injected email/ip/phone") {
+    val out = CorpusQueries.queries("q95_pii_redaction")(spark, dir)
+    val agg = out.agg(
+      min(col("n_email")), max(col("n_email")),
+      min(col("n_ip")), max(col("n_ip")),
+      min(col("n_phone")), max(col("n_phone"))).collect()(0)
+    assert(agg.getLong(0) == 1 && agg.getLong(1) == 1, "exactly one email per doc")
+    assert(agg.getLong(2) == 1 && agg.getLong(3) == 1, "exactly one ip per doc")
+    assert(agg.getLong(4) == 1 && agg.getLong(5) == 1, "exactly one phone per doc")
+  }
+
+  test("q96 ratios stay in (0, 1] and dup mass >= top-word mass") {
+    val bad = CorpusQueries.queries("q96_repetition_quality")(spark, dir)
+      .filter(col("top_word_frac") <= 0 || col("top_word_frac") > 1 ||
+        col("dup_word_frac") < 0 || col("dup_word_frac") > 1 ||
+        col("top_bigram_frac") < 0 || col("top_bigram_frac") > 1 ||
+        (col("dup_word_frac") > 0 && col("dup_word_frac") < col("top_word_frac")))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("q97 split is deterministic and roughly 80/10/10") {
+    val out = CorpusQueries.queries("q97_train_split")(spark, dir)
+    val bySplit = out.groupBy("split").agg(sum("n_docs").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = bySplit.values.sum
+    assert(total == 500)
+    // md5 buckets on 500 docs: generous banding, but a broken hash (all one
+    // split, or row_number-style drift) lands far outside it.
+    assert(bySplit("train") > 350 && bySplit("train") < 450, bySplit.toString)
+    assert(bySplit("val") > 20 && bySplit("val") < 80, bySplit.toString)
+    assert(bySplit("test") > 20 && bySplit("test") < 80, bySplit.toString)
+    val again = CorpusQueries.queries("q97_train_split")(spark, dir)
+      .groupBy("split").agg(sum("n_docs").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == bySplit, "split assignment must be run-invariant")
+  }
+
+  test("q100 per-doc shared windows never exceed total windows") {
+    val out = CorpusQueries.queries("q100_substring_windows")(spark, dir).cache()
+    try {
+      assert(out.filter(col("n_shared") > col("n_win")).count() == 0)
+      assert(out.filter(col("has_shared") =!= (col("n_shared") > 0)).count() == 0)
+      // every long-enough doc yields at least one window
+      assert(out.filter(col("n_win") === 0).count() ==
+        Tables.documents(spark, dir).filter(length(col("text")) < 50).count())
+    } finally out.unpersist()
+  }
+}
