@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd k-means over an `array<float>` embedding column,
+  * formulated so every arithmetic step is EXACT integer math and therefore
+  * replayable by the DuckDB oracle:
+  *
+  *  - vectors are quantized once to `array<bigint>` (×10000, floor(+0.5) —
+  *    float→double widening and the double ops are IEEE-identical in both
+  *    engines);
+  *  - init is the deterministic strided sample (same coarse-quantizer
+  *    choice as [[IvfAnn]]);
+  *  - assignment is argmin of the codegen `l2dist2_l` kernel with (d², cid)
+  *    lexicographic tie-break — exact longs, no float comparisons anywhere;
+  *  - the update step is a component-wise integer mean (`sum div count`,
+  *    truncating toward zero in both Spark and DuckDB).
+  *
+  * Scale shape: per iteration one broadcast of k centroids (tiny, driver
+  * round-trip is k·dim longs), one codegen map over N vectors, and one
+  * (cid, pos)-keyed hash aggregate — no all-pairs, no global sort. The
+  * classic Spark Lloyd loop; iterations are a fixed small constant.
+  */
+object KMeansLloyd {
+
+  /** Quantized assignment after `iters` Lloyd rounds: returns
+    * (idCol, qvec, cid, d2) — d2 the exact squared distance to the final
+    * centroid. Clusters that lose all members simply vanish (no
+    * re-seeding), keeping the replay engine-independent. */
+  def fit(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    require(k >= 1 && iters >= 1)
+    graft.functions.VectorOps.register(vectors.sparkSession)
+    val q = vectors.select(col(idCol), expr(
+      s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT))")
+      .as("qvec"))
+    val n = q.count()
+    val stride = math.max(1L, n / k)
+    var cents = q
+      .filter((col(idCol) % stride === 0) && (col(idCol) / stride < k))
+      .select((col(idCol) / stride).cast("int").as("cid"), col("qvec").as("centroid"))
+    var assigned: DataFrame = null
+    for (i <- 1 to iters) {
+      assigned = q.crossJoin(broadcast(cents))
+        .withColumn("d2", expr("l2dist2_l(qvec, centroid)"))
+        .groupBy(col(idCol), col("qvec"))
+        .agg(min(struct(col("d2"), col("cid"))).as("best"))
+        .select(col(idCol), col("qvec"),
+          col("best.cid").as("cid"), col("best.d2").as("d2"))
+      if (i < iters) {
+        cents = assigned
+          .select(col("cid"), posexplode(col("qvec")).as(Seq("pos", "v")))
+          .groupBy(col("cid"), col("pos"))
+          .agg(expr("sum(v) div count(1)").as("m"))
+          .groupBy(col("cid"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+            .as("centroid"))
+      }
+    }
+    assigned
+  }
+}

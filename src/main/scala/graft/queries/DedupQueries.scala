@@ -114,8 +114,12 @@ object DedupQueries {
     * mins are partial-aggregable (map-side combine) hash aggregates; the
     * candidate join shuffles only (band_id, band_hash) keys; exact Jaccard
     * runs on candidates only — never all pairs.
+    *
+    * This is the pipeline up to its verified pair set: (id_a, id_b,
+    * n_inter, n_union) for every pair with exact Jaccard >= 0.5 — shared
+    * by q66 (pair report) and q101 (connected-component clustering).
     */
-  private val q66: Q = (s, d) => {
+  private def lshVerifiedPairs(s: SparkSession, d: String): DataFrame = {
     val docs = withShingles(Tables.documents(s, d), "text").select(col("doc_id"), col("sh"))
     val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
     // h_j(s) = first 60 bits of md5(j ':' s) — portable across engines.
@@ -142,13 +146,20 @@ object DedupQueries {
       .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("n_union", size(array_union(col("sh_a"), col("sh_b"))).cast("long"))
       .filter(col("n_inter").cast("double") / col("n_union") >= 0.5)
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"))
+  }
+
+  private val q66: Q = (s, d) =>
+    lshVerifiedPairs(s, d)
       .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"),
         round(col("n_inter").cast("double") / col("n_union"), 6).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
-  }
 
-  private val q66Sql =
-    """WITH sh AS (
+  /** Shared q66/q101 WITH-chain body ending in the verified pair set
+    * `p(id_a, id_b, n_inter, n_union)` — DuckDB replay of
+    * [[lshVerifiedPairs]]. */
+  private val lshPairsCte =
+    """sh AS (
       | SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
       |   i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS sh
       | FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) WHERE len(w) >= 3),
@@ -170,16 +181,52 @@ object DedupQueries {
       | UNION ALL SELECT doc_id, 3, CAST(('0x' || substr(md5(CAST(m6 AS VARCHAR) || ',' || CAST(m7 AS VARCHAR)),1,15)) AS BIGINT) FROM sig),
       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       | FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
-      | WHERE a.doc_id < b.doc_id)
-      |SELECT c.id_a, c.id_b,
+      | WHERE a.doc_id < b.doc_id),
+      |p AS (SELECT c.id_a, c.id_b,
       | CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS n_inter,
-      | CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS BIGINT) AS n_union,
-      | round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
-      |       len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
-      |FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b
-      |WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
-      |      len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5
-      |ORDER BY id_a, id_b""".stripMargin
+      | CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS BIGINT) AS n_union
+      | FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b
+      | WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+      |       len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5)""".stripMargin
+
+  private val q66Sql =
+    s"""WITH $lshPairsCte
+       |SELECT id_a, id_b, n_inter, n_union,
+       | round(CAST(n_inter AS DOUBLE) / n_union, 6) AS jaccard
+       |FROM p ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------- q101
+  /** Near-duplicate CLUSTERING: the q66 verified pairs become an undirected
+    * graph, [[graft.operators.ConnectedComponents]] labels every document
+    * with the min doc_id of its component (singletons included), and the
+    * output is the cluster census — what a dedup pipeline actually consumes
+    * (keep ONE representative per cluster, not "drop both ends of each
+    * pair"). Transitivity matters: A~B and B~C must collapse to one
+    * cluster even when A~C was never a candidate pair.
+    *
+    * ORACLE-VERIFIED: the pair set replays in DuckDB (q66's CTE) and the
+    * fixpoint (min reachable id per node) is replayed by a recursive CTE —
+    * iteration order cannot change it. */
+  private val q101: Q = (s, d) => {
+    val pairs = lshVerifiedPairs(s, d).select(col("id_a"), col("id_b"))
+    val nodes = Tables.documents(s, d).select(col("doc_id"))
+    graft.operators.ConnectedComponents.run(nodes, pairs)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("label").as("cluster"), col("n_docs"))
+      .orderBy(col("cluster"))
+  }
+
+  private val q101Sql =
+    s"""WITH RECURSIVE $lshPairsCte,
+       |e AS (SELECT id_a AS u, id_b AS v FROM p
+       |      UNION ALL SELECT id_b AS u, id_a AS v FROM p),
+       |reach AS (SELECT doc_id AS node, doc_id AS r FROM documents
+       |          UNION
+       |          SELECT e.u AS node, reach.r FROM e JOIN reach ON reach.node = e.v),
+       |lab AS (SELECT node, MIN(r) AS cluster FROM reach GROUP BY node)
+       |SELECT cluster, COUNT(*) AS n_docs FROM lab
+       |GROUP BY cluster ORDER BY cluster""".stripMargin
 
   // ---------------------------------------------------------------- q38 (no oracle: SimHash)
   /** 64-bit SimHash over distinct words + Hamming distance to doc_id+1.
@@ -328,7 +375,8 @@ object DedupQueries {
     "q35_dedup_exact_text" -> q35,
     "q36_jaccard_consecutive" -> q36,
     "q66_minhash_lsh_verified" -> q66,
-    "q67_simhash_portable" -> q67)
+    "q67_simhash_portable" -> q67,
+    "q101_dedup_clusters" -> q101)
 
   /** Bench-only fast twins of the oracle-verified q66/q67: same LSH /
     * SimHash formulations with xxhash64 in place of portable md5-60bit
@@ -347,5 +395,6 @@ object DedupQueries {
     "q35_dedup_exact_text" -> q35Sql,
     "q36_jaccard_consecutive" -> q36Sql,
     "q66_minhash_lsh_verified" -> q66Sql,
+    "q101_dedup_clusters" -> q101Sql,
     "q67_simhash_portable" -> q67Sql)
 }

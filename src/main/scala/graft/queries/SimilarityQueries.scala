@@ -281,6 +281,53 @@ object SimilarityQueries {
       |      FROM adc)
       |SELECT q_id, rank, vec_id, adist_u FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q98
+  /** Corpus clustering: exact-integer Lloyd k-means
+    * ([[graft.operators.KMeansLloyd]], k=8, 2 rounds) over the embedding
+    * table — the operator that turns a vector corpus into balanced domain
+    * partitions (per-cluster dedup, mixture weighting, stratified eval).
+    * ORACLE-VERIFIED like its ANN siblings: quantized integer vectors,
+    * strided seeding, argmin with (d², cid) tie-break, and truncating
+    * integer-mean updates replay exactly in DuckDB. */
+  private val q98: Q = (s, d) =>
+    graft.operators.KMeansLloyd
+      .fit(Tables.embeddings(s, d), "vec_id", "embedding", k = 8, iters = 2)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("d2")).as("inertia"),
+        min(col("vec_id")).as("first_member"))
+      .orderBy(col("cid"))
+
+  private val q98Sql: String =
+    """WITH q AS (SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)) AS qvec
+      |  FROM embeddings),
+      |st AS (SELECT greatest(1, (SELECT COUNT(*) FROM q) // 8) AS stride),
+      |c0 AS (SELECT CAST(vec_id // st.stride AS INT) AS cid, qvec AS centroid
+      |       FROM q, st WHERE vec_id % st.stride = 0 AND vec_id // st.stride < 8),
+      |d1 AS (SELECT vec_id, cid, SUM((x - y) * (x - y)) AS d2
+      |       FROM (SELECT q.vec_id, c0.cid, UNNEST(q.qvec) AS x, UNNEST(c0.centroid) AS y
+      |             FROM q, c0)
+      |       GROUP BY vec_id, cid),
+      |a1 AS (SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+      |    FROM d1) WHERE rk = 1),
+      |m1 AS (SELECT a1.cid, generate_subscripts(q.qvec, 1) AS pos, UNNEST(q.qvec) AS v
+      |       FROM a1 JOIN q ON q.vec_id = a1.vec_id),
+      |c1 AS (SELECT cid, list(CAST(m AS BIGINT) ORDER BY pos) AS centroid
+      |       FROM (SELECT cid, pos, SUM(v) // COUNT(*) AS m FROM m1 GROUP BY cid, pos)
+      |       GROUP BY cid),
+      |d2t AS (SELECT vec_id, cid, SUM((x - y) * (x - y)) AS d2
+      |        FROM (SELECT q.vec_id, c1.cid, UNNEST(q.qvec) AS x, UNNEST(c1.centroid) AS y
+      |              FROM q, c1)
+      |        GROUP BY vec_id, cid),
+      |a2 AS (SELECT vec_id, cid, d2 FROM (
+      |    SELECT vec_id, cid, d2, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+      |    FROM d2t) WHERE rk = 1)
+      |SELECT cid, COUNT(*) AS n_members, CAST(SUM(d2) AS BIGINT) AS inertia,
+      | MIN(vec_id) AS first_member
+      |FROM a2 GROUP BY cid ORDER BY cid""".stripMargin
+
   // ---------------------------------------------------------------- q85
   /** The declarative dot-product formulation — `aggregate(zip_with(a, b,
     * (x, y) -> x*y), 0D, (acc, v) -> acc + v)` — kept as a correctness
@@ -307,7 +354,8 @@ object SimilarityQueries {
     "q42_embedding_neardup" -> q42,
     "q43_ann_lsh_bucketed" -> q43,
     "q51_ann_ivf" -> q51,
-    "q90_ann_pq" -> q90)
+    "q90_ann_pq" -> q90,
+    "q98_kmeans_clusters" -> q98)
 
   val oracle: Map[String, String] = Map(
     "q40_cosine_vs_query" -> q40Sql,
@@ -316,5 +364,6 @@ object SimilarityQueries {
     "q42_embedding_neardup" -> q42Sql,
     "q43_ann_lsh_bucketed" -> q43Sql,
     "q51_ann_ivf" -> q51Sql,
-    "q90_ann_pq" -> q90Sql)
+    "q90_ann_pq" -> q90Sql,
+    "q98_kmeans_clusters" -> q98Sql)
 }

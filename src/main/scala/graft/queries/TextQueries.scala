@@ -368,7 +368,58 @@ object TextQueries {
       |FROM c GROUP BY source, (cum - toks) // 512
       |ORDER BY source, pack_id""".stripMargin
 
+  // ---------------------------------------------------------------- q99
+  /** Corpus vocabulary census + Zipf-law slope: least-squares fit of
+    * ln(freq) on ln(rank) over the whole ranked vocabulary. Ranking uses
+    * [[graft.functions.GlobalIndex]] (range-partition + zipWithIndex), not
+    * a partition-less window — the same scale-safe total order q61 uses.
+    * Exactness: each log term is rounded to 6 decimals and summed as
+    * DECIMAL (order-invariant across 1000 executors); doubles appear only
+    * in the final fixed-order slope expression, identical in both engines.
+    * A healthy natural-language corpus fits slope ≈ -1; flat slopes flag
+    * templated/synthetic text — a standard corpus-quality audit. */
+  private val q99: Q = (s, d) => {
+    val wc = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val ranked = graft.functions.GlobalIndex
+      .withRowNumber(wc, "rank", col("n").desc, col("w"))
+    ranked
+      .select(col("n"),
+        round(log(col("rank").cast("double")), 6).cast("decimal(12,6)").as("x"),
+        round(log(col("n").cast("double")), 6).cast("decimal(12,6)").as("y"))
+      .agg(sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("vocab_size"),
+        sum(col("x")).as("_sx"), sum(col("y")).as("_sy"),
+        sum(col("x") * col("y")).as("_sxy"), sum(col("x") * col("x")).as("_sxx"))
+      .select(col("n_tokens"), col("vocab_size"),
+        round(
+          (col("vocab_size").cast("double") * col("_sxy").cast("double") -
+            col("_sx").cast("double") * col("_sy").cast("double")) /
+            (col("vocab_size").cast("double") * col("_sxx").cast("double") -
+              col("_sx").cast("double") * col("_sx").cast("double")), 6)
+          .as("zipf_slope"))
+  }
+
+  private val q99Sql =
+    """WITH wc AS (SELECT w, COUNT(*) AS n
+      |  FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE w <> '' GROUP BY w),
+      |r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, w) AS rank FROM wc),
+      |t AS (SELECT n,
+      |  CAST(round(ln(CAST(rank AS DOUBLE)), 6) AS DECIMAL(12,6)) AS x,
+      |  CAST(round(ln(CAST(n AS DOUBLE)), 6) AS DECIMAL(12,6)) AS y FROM r),
+      |s AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tokens, COUNT(*) AS vocab_size,
+      |  CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+      |  CAST(SUM(x * y) AS DOUBLE) AS sxy, CAST(SUM(x * x) AS DOUBLE) AS sxx,
+      |  CAST(COUNT(*) AS DOUBLE) AS m FROM t)
+      |SELECT n_tokens, vocab_size,
+      | round((m * sxy - sx * sy) / (m * sxx - sx * sx), 6) AS zipf_slope
+      |FROM s""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q99_zipf_vocab" -> q99,
     "q84_corpus_cleaning" -> q84,
     "q91_weighted_mix_sample" -> q91,
     "q92_sequence_packing" -> q92,
@@ -383,6 +434,7 @@ object TextQueries {
     "q69_levenshtein_neardup" -> q69)
 
   val oracle: Map[String, String] = Map(
+    "q99_zipf_vocab" -> q99Sql,
     "q84_corpus_cleaning" -> q84Sql,
     "q91_weighted_mix_sample" -> q91Sql,
     "q92_sequence_packing" -> q92Sql,
