@@ -85,9 +85,17 @@ object PqAnn {
       val kept = codebook.join(refined.select("s", "code"), Seq("s", "code"), "left_anti")
       codebook = refined.unionByName(kept)
     }
-    codebook = codebook.cache()
-    val codes = assign(xu, codebook, idCol).select(col(idCol), col("s"), col("code"))
-    (codes, codebook)
+    // The codebook is m×k rows of short integer arrays — the deliberately
+    // tiny side (like IvfAnn's coarse quantizer). Materialize it ONCE to
+    // the driver and hand back a LocalTableScan: both downstream uses
+    // (final assign + search's broadcast) read the local relation instead
+    // of re-running the Lloyd lineage, and nothing stays persisted on the
+    // executors afterwards (a cache() here leaked across bench reruns).
+    val localRows = java.util.Arrays.asList(codebook.collect(): _*)
+    val localCodebook =
+      vectors.sparkSession.createDataFrame(localRows, codebook.schema)
+    val codes = assign(xu, localCodebook, idCol).select(col(idCol), col("s"), col("code"))
+    (codes, localCodebook)
   }
 
   /** Asymmetric-distance top-`topK` per query over the encoded corpus. */

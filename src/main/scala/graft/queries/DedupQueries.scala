@@ -29,16 +29,23 @@ object DedupQueries {
   }
 
   // ---------------------------------------------------------------- q35
+  /** Exact text dedup. The shuffle key is md5(text), not text: at corpus
+    * scale the group key would otherwise carry whole documents through the
+    * exchange; 128-bit md5 collides with probability ~n²/2¹²⁹ (≈1e-17 at
+    * 10¹¹ docs), far below hardware corruption rates. The snippet is
+    * aggregated (texts in a group are identical) so no second pass over
+    * the full text is needed. */
   private val q35: Q = (s, d) =>
     Tables.documents(s, d)
-      .groupBy(col("text"))
-      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-      .select(col("keep_id"), col("n_copies"), substring(col("text"), 1, 40).as("snippet"))
+      .groupBy(md5(col("text")).as("_fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"),
+        min(substring(col("text"), 1, 40)).as("snippet"))
+      .select(col("keep_id"), col("n_copies"), col("snippet"))
       .orderBy(col("keep_id"))
 
   private val q35Sql =
-    """SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies, substr(text, 1, 40) AS snippet
-      |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin
+    """SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies, min(substr(text, 1, 40)) AS snippet
+      |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
 
   // ---------------------------------------------------------------- q36
   private val q36: Q = (s, d) => {

@@ -690,18 +690,24 @@ object RelationalQueries {
     // Unit price in exact integer milli-cents: round(double, 4) straddles
     // the .5 boundary differently per engine (observed at sf0.1), so the
     // comparable quantity is integer division — portable at any scale.
+    //
+    // The selective part filter joins BELOW the aggregate: Catalyst cannot
+    // push a join under a groupBy itself, and the filter is on the group
+    // key, so pre-joining is semantics-preserving and cuts the rows the
+    // aggregate + window ever see (~10× here, the same ratio at 100 TB).
+    val parts = broadcast(Tables.part(s, d).filter(col("p_size") > 45)
+      .select(col("p_partkey"), col("p_name")))
     val unit = Tables.lineitem(s, d)
+      .join(parts, col("p_partkey") === col("l_partkey"))
       .withColumn("unit_mc",
         expr("CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * 100 AS BIGINT) * 1000 div CAST(l_quantity AS BIGINT)"))
-      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .groupBy(col("l_partkey"), col("p_name"), col("l_suppkey"))
       .agg(min(col("unit_mc")).as("min_unit_mc"))
     val w = Window.partitionBy(col("l_partkey")).orderBy(col("min_unit_mc"), col("l_suppkey"))
     unit.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") === 1)
-      .join(broadcast(Tables.part(s, d).filter(col("p_size") > 45)),
-        col("p_partkey") === col("l_partkey"))
       .join(broadcast(Tables.supplier(s, d)), col("s_suppkey") === col("l_suppkey"))
-      .select(col("p_partkey"), col("p_name"), col("s_name"),
+      .select(col("l_partkey").as("p_partkey"), col("p_name"), col("s_name"),
         (col("min_unit_mc").cast("double") / 100000).as("unit_cost"))
       .orderBy(col("p_partkey"))
   }
