@@ -1,24 +1,38 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
 
-/** Connected components by iterative min-label propagation with one-hop
-  * path compression — the operator that turns pairwise near-duplicate
-  * evidence (LSH/SimHash/set-similarity pairs) into dedup CLUSTERS, so a
-  * pipeline can keep one canonical document per group instead of dropping
-  * both ends of every pair.
+/** Connected components over a pair list — the operator that turns pairwise
+  * near-duplicate evidence (LSH/SimHash/set-similarity pairs) into dedup
+  * CLUSTERS, so a pipeline can keep one canonical document per group
+  * instead of dropping both ends of every pair.
   *
-  * Each round: every node takes the min label over itself and its
-  * neighbors, then jumps one hop through the label table
-  * (label := label(label)) — the path-compression step that collapses
-  * chains geometrically, so convergence is O(log diameter) rounds, not
-  * O(diameter). All work is equi-joins and hash aggregates keyed on node
-  * ids: shuffle-partitioned, no driver state beyond one sum per round.
-  * Labels are monotonically non-increasing integers, so `sum(label)` is a
-  * strictly decreasing convergence metric and the fixpoint (min id per
-  * component) is unique — the result does not depend on round count.
+  * Hybrid execution, chosen by measured edge count (the count also pins the
+  * persisted edge list, which is typically an expensive upstream pipeline):
+  *
+  *  - **small edge sets** (≤ `localEdgeThreshold`, default 2²⁰ pairs ≈ a
+  *    few MB) run union-find on the driver. Even at 100 TB of corpus the
+  *    EDGE list after LSH verification is tiny relative to the corpus, and
+  *    a distributed iteration would be pure scheduler latency; this is the
+  *    same algorithm-switch GraphFrames applies.
+  *  - **large edge sets** run iterative min-label propagation with one-hop
+  *    path compression (label := label(label)), collapsing chains
+  *    geometrically: O(log diameter) rounds of equi-joins and hash
+  *    aggregates keyed on node ids — shuffle-partitioned, no driver state
+  *    beyond one sum per round.
+  *
+  * Isolated nodes never enter either path: in a dedup graph they are the
+  * overwhelming majority of the corpus, so the working set is O(nodes
+  * touching an edge), not O(corpus); they rejoin as self-labeled
+  * singletons at the end.
+  *
+  * Both paths reach the identical unique fixpoint (min id per component) —
+  * labels only decrease, so `sum(label)` is a strictly decreasing
+  * convergence metric and the result does not depend on round count.
+  * ConnectedComponentsSpec pins both paths to a reference union-find.
   */
 object ConnectedComponents {
 
@@ -29,15 +43,68 @@ object ConnectedComponents {
     * @param edges (src, dst) undirected pairs, each given once
     * @return (node, label) — label = min id of the node's component
     */
-  def run(nodes: DataFrame, edges: DataFrame, maxIters: Int = 20): DataFrame = {
+  def run(nodes: DataFrame, edges: DataFrame, maxIters: Int = 20,
+      localEdgeThreshold: Long = 1L << 20): DataFrame = {
     val idCol = nodes.columns.head
-    val sym = edges.select(col(edges.columns(0)).as("src"), col(edges.columns(1)).as("dst"))
+    // Persist and materialize the projected edge list ONCE, eagerly: the
+    // edge input is typically an expensive pipeline (q101 feeds the whole
+    // LSH near-dup chain in here), and without this every downstream
+    // join/broadcast — plus the mirrored union branch — would walk that
+    // lineage again. The count both pins the cache and sizes the plan.
+    val sym = edges
+      .select(col(edges.columns(0)).cast("long").as("src"),
+        col(edges.columns(1)).cast("long").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edgeCount = sym.count()
     val both = sym.union(sym.select(col("dst").as("src"), col("src").as("dst")))
+    val allNodes = nodes.select(col(idCol).cast("long").as("node"))
+    val touched = both.select(col("src").as("node")).distinct()
+    val isolated = allNodes.join(touched, Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("label"))
+    val core =
+      if (edgeCount <= localEdgeThreshold) localUnionFind(nodes, sym)
+      else propagate(both, allNodes, touched, maxIters)
+    core.unionByName(isolated)
+  }
+
+  /** Driver-side union-find with path compression over a collected edge
+    * list — exact same fixpoint as [[propagate]], none of its per-round
+    * scheduling latency. Bounded by `localEdgeThreshold` (edges only; the
+    * corpus itself never leaves the executors). */
+  private def localUnionFind(nodes: DataFrame, sym: DataFrame): DataFrame = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var root = x
+      while (parent.getOrElse(root, root) != root) root = parent.getOrElse(root, root)
+      var cur = x // compress the walked path
+      while (cur != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
+      root
+    }
+    val endpoints = scala.collection.mutable.SortedSet.empty[Long]
+    sym.collect().foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      endpoints += a += b
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // every edge endpoint gets a label — roots never appear as keys in
+    // `parent`, so iterate the endpoint set, not the parent map
+    val rows: java.util.List[Row] =
+      java.util.Arrays.asList(endpoints.toSeq.map(n => Row(n, find(n))): _*)
+    nodes.sparkSession.createDataFrame(rows, StructType(Seq(
+      StructField("node", LongType, nullable = false),
+      StructField("label", LongType, nullable = false))))
+  }
+
+  /** Distributed min-label propagation + one-hop compression. */
+  private def propagate(both: DataFrame, allNodes: DataFrame,
+      touched: DataFrame, maxIters: Int): DataFrame = {
+    var labels = allNodes.join(touched, Seq("node"), "left_semi")
+      .select(col("node"), col("node").as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = nodes
-      .select(col(idCol).cast("long").as("node"), col(idCol).cast("long").as("label"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
+    // Sentinel, not a measured sum: label sums are non-negative, so -1
+    // never matches and the first round runs unconditionally.
+    var prevSum = -1L
     var it = 0
     var converged = false
     while (!converged && it < maxIters) {
@@ -61,7 +128,6 @@ object ConnectedComponents {
       prevSum = s
       it += 1
     }
-    both.unpersist()
     labels
   }
 }
