@@ -44,20 +44,30 @@ object PqAnn {
     * slower on the n·m·k assignment join). */
   private val IntDist = "l2dist2_l(xu, cu)"
 
-  /** Nearest-centroid assignment of every (vector, subspace) row: a
-    * broadcast join + `min_by` hash aggregate (struct ordering gives the
-    * ties → lower code rule) — partial-aggregable and cheaper than a
-    * sort-based window over the n·m·k rows. Keeps `xu` (constant per
-    * group) for the refinement step. */
-  private def assign(xu: DataFrame, codebook: DataFrame, idCol: String): DataFrame =
-    xu.join(broadcast(codebook), Seq("s"))
-      .withColumn("d_u", expr(IntDist))
-      .groupBy(col(idCol), col("s"))
-      .agg(min_by(col("code"), struct(col("d_u"), col("code"))).as("code"),
-        first(col("xu")).as("xu"))
+  /** Nearest-centroid assignment of every (vector, subspace) row: the
+    * codebook is always driver-resident (m·k short vectors), so encoding is
+    * the MAP-ONLY codegen argmin [[graft.functions.NearestCode]] — no
+    * join, no shuffle, no n·m·k exploded aggregate. An earlier broadcast-
+    * join + `min_by` formulation shuffled ~20M (row, code) pairs at sf1;
+    * this one touches each (row, subspace) exactly once. */
+  private def withCodes(xu: DataFrame, cb: Array[Array[Array[Long]]]): DataFrame = {
+    xu.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pq_nearest_code",
+      { case Seq(s, x) => graft.functions.NearestCode(s, x, cb) }, "built-in")
+    // expr() resolves eagerly at DataFrame construction, so a later
+    // re-registration (next Lloyd round) cannot mutate this plan
+    xu.withColumn("code", expr("pq_nearest_code(s, xu)"))
+  }
 
   /** Returns (codes, codebook): codes = (idCol, s, code) — m rows per
-    * vector; codebook = (s, code, cu: array<bigint>) in 1e-6 units. */
+    * vector; codebook = (s, code, cu: array<bigint>) in 1e-6 units.
+    *
+    * The codebook lives on the DRIVER between phases (it is m·k short
+    * vectors — the deliberately tiny side, like IvfAnn's coarse
+    * quantizer): seed and per-round means are small collects, every
+    * corpus-wide pass is either the map-only [[withCodes]] encode or one
+    * (s, code, pos)-keyed mean aggregate. Nothing is persisted on the
+    * executors and no Lloyd lineage is ever re-walked. */
   def build(vectors: DataFrame, idCol: String, vecCol: String,
       m: Int, k: Int, dim: Int, iters: Int = 1): (DataFrame, DataFrame) = {
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
@@ -68,34 +78,48 @@ object PqAnn {
     val xu = vectors
       .select(col(idCol), explode(array((0 until m).map(lit): _*)).as("s"), col(vecCol).as("__v"))
       .select(col(idCol), col("s"), expr(quantSlice("__v", sub)).as("xu"))
-    var codebook = xu
+    // seed codebook: deterministic strided sample, collected (k·m rows)
+    val seedRows = xu
       .filter((col(idCol) % stride === 0) && (col(idCol) / stride < k))
-      .select(col("s"), (col(idCol) / stride).cast("int").as("code"), col("xu").as("cu"))
+      .select(col("s"), (col(idCol) / stride).cast("int").as("code"), col("xu"))
+      .collect()
+    val nCodes = seedRows.iterator.map(_.getInt(1)).max + 1
+    var cb = Array.ofDim[Array[Long]](m, nCodes)
+    seedRows.foreach { r =>
+      cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Long](2).toArray
+    }
     for (_ <- 0 until iters) {
-      val members = assign(xu, codebook, idCol)
-      // element-wise integer mean per (s, code); cnt is constant across pos
-      val refined = members
+      // element-wise integer mean per (s, code); codes that attracted no
+      // members keep their previous centroid (their slot is not overwritten)
+      val meanRows = withCodes(xu, cb)
         .select(col("s"), col("code"), posexplode(col("xu")).as(Seq("pos", "v")))
         .groupBy(col("s"), col("code"), col("pos"))
-        .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
-        .withColumn("mv", expr("sv div cnt"))
-        .groupBy(col("s"), col("code"))
-        .agg(expr("transform(sort_array(collect_list(struct(pos, mv))), p -> p.mv)").as("cu"))
-      // codes that attracted no members keep their previous centroid
-      val kept = codebook.join(refined.select("s", "code"), Seq("s", "code"), "left_anti")
-      codebook = refined.unionByName(kept)
+        .agg(expr("sum(v) div count(1)").as("mv"))
+        .collect()
+      val next = cb.map(_.map(cu => if (cu == null) null else cu.clone()))
+      meanRows.groupBy(r => (r.getInt(0), r.getInt(1))).foreach {
+        case ((s, code), rows) =>
+          val cu = new Array[Long](sub)
+          rows.foreach(r => cu(r.getInt(2)) = r.getLong(3))
+          next(s)(code) = cu
+      }
+      cb = next
     }
-    // The codebook is m×k rows of short integer arrays — the deliberately
-    // tiny side (like IvfAnn's coarse quantizer). Materialize it ONCE to
-    // the driver and hand back a LocalTableScan: both downstream uses
-    // (final assign + search's broadcast) read the local relation instead
-    // of re-running the Lloyd lineage, and nothing stays persisted on the
-    // executors afterwards (a cache() here leaked across bench reruns).
-    val localRows = java.util.Arrays.asList(codebook.collect(): _*)
-    val localCodebook =
-      vectors.sparkSession.createDataFrame(localRows, codebook.schema)
-    val codes = assign(xu, localCodebook, idCol).select(col(idCol), col("s"), col("code"))
-    (codes, localCodebook)
+    val codes = withCodes(xu, cb).select(col(idCol), col("s"), col("code"))
+    val cbRows: java.util.List[org.apache.spark.sql.Row] = java.util.Arrays.asList(
+      (for (s <- 0 until m; c <- 0 until nCodes if cb(s)(c) != null)
+        yield org.apache.spark.sql.Row(s, c, cb(s)(c).toSeq)): _*)
+    val codebookDf = vectors.sparkSession.createDataFrame(cbRows,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("s",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("code",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("cu",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType, containsNull = false),
+          nullable = false))))
+    (codes, codebookDf)
   }
 
   /** Asymmetric-distance top-`topK` per query over the encoded corpus. */
