@@ -224,7 +224,39 @@ object CorpusQueries {
       |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q102
+  /** Stratified exact sampling: exactly ceil(20%) of each source stratum,
+    * chosen by md5 order — deterministic under re-partitioning and re-runs
+    * (rand()-based sampling is neither), which is what makes a training
+    * mixture reproducible. The window is PARTITIONED by source (bounded per
+    * stratum, scale-safe); completes the sampling family next to q73's
+    * global hash buckets and q91's weighted mix. */
+  private val q102: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("_h"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        md5Bucket60(col("doc_id").cast("string")).as("_h"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n_src", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .filter(col("rn") <= expr("(n_src + 4) div 5"))
+      .select(col("doc_id"), col("source"), col("rn"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q102Sql =
+    """WITH h AS (SELECT doc_id, source,
+      |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      | FROM documents),
+      |r AS (SELECT doc_id, source,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS rn,
+      |  COUNT(*) OVER (PARTITION BY source) AS n_src FROM h)
+      |SELECT doc_id, source, rn FROM r
+      |WHERE rn <= (n_src + 4) // 5 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q102_stratified_sample" -> q102,
     "q94_unicode_normalize" -> q94,
     "q95_pii_redaction" -> q95,
     "q96_repetition_quality" -> q96,
@@ -232,6 +264,7 @@ object CorpusQueries {
     "q100_substring_windows" -> q100)
 
   val oracle: Map[String, String] = Map(
+    "q102_stratified_sample" -> q102Sql,
     "q94_unicode_normalize" -> q94Sql,
     "q95_pii_redaction" -> q95Sql,
     "q96_repetition_quality" -> q96Sql,
