@@ -52,6 +52,62 @@ object SetSimilarityJoin {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** All ORDERED pairs (a, b), a ≠ b, with containment |a∩b|/|a| ≥
+    * `threshold` — the asymmetric cousin of [[jaccardJoin]], and the right
+    * primitive for decontamination: an eval document pasted inside a much
+    * larger training document has high containment but low Jaccard (the
+    * big document's size swamps the union), so a Jaccard join never sees
+    * it.
+    *
+    * Losslessness: if |A∩B| ≥ t·|A|, at least one of A's first
+    * |A| − ⌈t·|A|⌉ + 1 tokens (global rarest-first order) is in B —
+    * otherwise the intersection fits in A's suffix of ⌈t·|A|⌉ − 1 tokens,
+    * a contradiction. So A contributes its PREFIX and B contributes its
+    * FULL token list to the candidate join. The join keys are still A's
+    * rarest tokens, so hot corpus tokens never become keys; B's side is a
+    * plain inverted index, linear in corpus size. The positional filter
+    * holds at the pair's globally-first common token (which must sit in
+    * A's prefix, by the same argument): overlap ≤ 1 + min(n_a − p_a,
+    * n_b − p_b). Verified exactly on candidates via `sorted_overlap`. */
+  def containmentJoin(sets: DataFrame, idCol: String, setCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    graft.functions.SetKernels.register(sets.sparkSession)
+    val ss = sets.select(col(idCol), array_distinct(col(setCol)).as("_set"))
+    val ex = ss.select(col(idCol), explode(col("_set")).as("tok"))
+    val dfreq = ex.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val sorted = ex.join(dfreq, Seq("tok"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("st"))
+      .select(col(idCol), expr("transform(st, x -> x.tok)").as("toks"))
+      .withColumn("n", size(col("toks")))
+    val pref = sorted
+      .withColumn("plen", (col("n") - ceil(col("n") * threshold) + 1).cast("int"))
+      .select(col(idCol), col("n"),
+        posexplode(expr("slice(toks, 1, plen)")).as(Seq("p0", "tok")))
+      .withColumn("p", col("p0") + 1).drop("p0")
+    val full = sorted
+      .select(col(idCol), col("n"), posexplode(col("toks")).as(Seq("q0", "tok")))
+      .withColumn("q", col("q0") + 1).drop("q0")
+    val l = pref.select(col("tok"), col(idCol).as("id_a"), col("n").as("n_a"), col("p").as("p_a"))
+    val r = full.select(col("tok"), col(idCol).as("id_b"), col("n").as("n_b"), col("q").as("p_b"))
+    val minOverlap = lit(threshold) * col("n_a").cast("double") - lit(1e-9)
+    val cand = l.join(r, Seq("tok"))
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(col("n_b").cast("double") >= minOverlap)
+      .filter((lit(1) + least(col("n_a") - col("p_a"), col("n_b") - col("p_b")))
+        .cast("double") >= minOverlap)
+      .select(col("id_a"), col("id_b")).distinct()
+    val s2 = ss.select(col(idCol), sort_array(col("_set")).as("_set"))
+    cand
+      .join(s2.select(col(idCol).as("id_a"), col("_set").as("toks_a")), Seq("id_a"))
+      .join(s2.select(col(idCol).as("id_b"), col("_set").as("toks_b")), Seq("id_b"))
+      .withColumn("n_inter", expr("sorted_overlap(toks_a, toks_b)").cast("long"))
+      .withColumn("n_a", size(col("toks_a")).cast("long"))
+      .filter(col("n_inter").cast("double") >= col("n_a") * threshold - 1e-9)
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_a"))
+  }
+
   /** The pruned candidate stage alone: all (id_a, id_b) pairs surviving the
     * prefix, length, and positional filters — a superset of the true result
     * (lossless by construction), before the exact-Jaccard verify. Public so

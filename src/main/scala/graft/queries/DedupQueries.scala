@@ -202,6 +202,38 @@ object DedupQueries {
        | round(CAST(n_inter AS DOUBLE) / n_union, 6) AS jaccard
        |FROM p ORDER BY id_a, id_b""".stripMargin
 
+  // ---------------------------------------------------------------- q103
+  /** EXACT asymmetric containment join (|a∩b|/|a| ≥ 0.8,
+    * graft.operators.SetSimilarityJoin.containmentJoin): finds documents
+    * mostly CONTAINED in another — the decontamination case Jaccard
+    * structurally misses (a small eval doc pasted into a large train doc
+    * has tiny union-normalized similarity). Ordered pairs, zero false
+    * negatives; the brute-force O(N²) oracle proves the asymmetric
+    * prefix pruning is result-invariant. The containment test is the
+    * exact rational 5·|a∩b| ≥ 4·|a| on both sides, so no float boundary
+    * can disagree. */
+  private val q103: Q = (s, d) => {
+    val docs = withShingles(Tables.documents(s, d), "text")
+      .select(col("doc_id"), col("sh"))
+    graft.operators.SetSimilarityJoin.containmentJoin(docs, "doc_id", "sh", 0.8)
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_a"),
+        round(col("n_inter").cast("double") / col("n_a"), 6).as("containment"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val q103Sql =
+    """WITH sh AS (
+      | SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+      |   i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS sh
+      | FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) WHERE len(w) >= 3)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      | CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
+      | CAST(len(a.sh) AS BIGINT) AS n_a,
+      | round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 6) AS containment
+      |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+      |WHERE 5 * len(list_intersect(a.sh, b.sh)) >= 4 * len(a.sh)
+      |ORDER BY id_a, id_b""".stripMargin
+
   // ---------------------------------------------------------------- q101
   /** Near-duplicate CLUSTERING: the q66 verified pairs become an undirected
     * graph, [[graft.operators.ConnectedComponents]] labels every document
@@ -383,7 +415,8 @@ object DedupQueries {
     "q36_jaccard_consecutive" -> q36,
     "q66_minhash_lsh_verified" -> q66,
     "q67_simhash_portable" -> q67,
-    "q101_dedup_clusters" -> q101)
+    "q101_dedup_clusters" -> q101,
+    "q103_containment_join" -> q103)
 
   /** Bench-only fast twins of the oracle-verified q66/q67: same LSH /
     * SimHash formulations with xxhash64 in place of portable md5-60bit
@@ -403,5 +436,6 @@ object DedupQueries {
     "q36_jaccard_consecutive" -> q36Sql,
     "q66_minhash_lsh_verified" -> q66Sql,
     "q101_dedup_clusters" -> q101Sql,
+    "q103_containment_join" -> q103Sql,
     "q67_simhash_portable" -> q67Sql)
 }

@@ -84,4 +84,38 @@ class SetSimilarityJoinSpec extends AnyFunSuite {
     assert(got.map(p => (p._1, p._2)) == Set((1L, 2L), (3L, 4L)))
     assert(got.find(p => p._1 == 3L).get._3 == 1.0, "duplicates must not dilute jaccard")
   }
+
+  private def bruteContainment(sets: Seq[(Long, Set[String])], t: Double): Set[(Long, Long)] =
+    (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia != ib
+      c = sa.intersect(sb).size.toDouble / sa.size
+      if c >= t - 1e-9
+    } yield (ia, ib)).toSet
+
+  test("containment join == brute force, and catches what Jaccard misses") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val vocab = (0 until 120).map(i => s"tok$i")
+    val base = (0L until 50L).map { id =>
+      id -> (0 until (6 + rng.nextInt(18))).map(_ => vocab(rng.nextInt(vocab.size))).toSet
+    }
+    // the decontamination shape: a small doc fully embedded in a big one —
+    // high containment (1.0), low Jaccard (small/union)
+    val small = Set("tokA", "tokB", "tokC", "tokD")
+    val big = small ++ (0 until 60).map(i => s"big$i")
+    val sets = base ++ Seq(200L -> small, 201L -> big)
+    val df = sets.map { case (id, s) => (id, s.toArray) }.toDF("id", "toks")
+    for (t <- Seq(0.5, 0.8, 1.0)) {
+      val got = SetSimilarityJoin.containmentJoin(df, "id", "toks", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = bruteContainment(sets, t)
+      assert(got == want, s"threshold $t: got ${got.size} pairs, want ${want.size}")
+      assert(got.contains((200L, 201L)), s"embedded doc must be flagged at t=$t")
+    }
+    // …and the Jaccard join (union-normalized) structurally cannot see it
+    val jac = SetSimilarityJoin.jaccardJoin(df, "id", "toks", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((200L, 201L)),
+      "fixture must be a true Jaccard miss for the test to mean anything")
+  }
 }
