@@ -368,6 +368,49 @@ object EventQueries {
       |      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_last_hour
       |FROM events ORDER BY user_id, event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q104
+  /** Approximate percentiles (the GK/KLL-family `percentile_approx`
+    * sketch), ORACLE-VERIFIED with the q44 error-band trick: the query
+    * emits the EXACT p50/p90 order statistics plus booleans asserting the
+    * sketch landed within 15% of exact. At accuracy 10000 the sketch's
+    * rank error is ~n/10000 — orders of magnitude inside the band for any
+    * partitioning — so the booleans are stable facts the oracle states as
+    * literal TRUE, while a broken sketch (wrong merge, wrong rank math)
+    * flips them and fails the hash compare. */
+  private val q104: Q = (s, d) => {
+    val e = Tables.events(s, d)
+      .select(col("event_type"), col("event_id"),
+        (money(col("value")) * 100).cast("long").as("cents"))
+    val wr = Window.partitionBy(col("event_type")).orderBy(col("cents"), col("event_id"))
+    val wn = Window.partitionBy(col("event_type"))
+    val exact = e.withColumn("rn", row_number().over(wr))
+      .withColumn("n", count(lit(1)).over(wn))
+      .groupBy(col("event_type"))
+      .agg(
+        min(when(col("rn") === expr("(n + 1) div 2"), col("cents"))).as("exact_p50"),
+        min(when(col("rn") === expr("(9 * n + 9) div 10"), col("cents"))).as("exact_p90"))
+    val approx = e.groupBy(col("event_type"))
+      .agg(percentile_approx(col("cents"), array(lit(0.5), lit(0.9)), lit(10000)).as("ap"))
+      .select(col("event_type"), col("ap")(0).as("_a50"), col("ap")(1).as("_a90"))
+    exact.join(approx, Seq("event_type"))
+      .select(col("event_type"), col("exact_p50"), col("exact_p90"),
+        (abs(col("_a50") - col("exact_p50")) <= col("exact_p50") * 0.15).as("p50_in_band"),
+        (abs(col("_a90") - col("exact_p90")) <= col("exact_p90") * 0.15).as("p90_in_band"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q104Sql =
+    """WITH e AS (SELECT event_type, event_id,
+      |  CAST(CAST(value AS DECIMAL(15,2)) * 100 AS BIGINT) AS cents FROM events),
+      |o AS (SELECT event_type, cents,
+      |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rn,
+      |  COUNT(*) OVER (PARTITION BY event_type) AS n FROM e)
+      |SELECT event_type,
+      | MIN(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS exact_p50,
+      | MIN(CASE WHEN rn = (9 * n + 9) // 10 THEN cents END) AS exact_p90,
+      | TRUE AS p50_in_band, TRUE AS p90_in_band
+      |FROM o GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---------------------------------------------------------------- q81
   /** Exact quantiles as explicit order statistics: rank within group, pick
     * ceil(p·n). Built from integer cents and integer index arithmetic on
@@ -521,6 +564,7 @@ object EventQueries {
     "q75_exact_moment_stats" -> q75,
     "q80_range_frame_trailing" -> q80,
     "q81_exact_quantiles" -> q81,
+    "q104_approx_quantiles_banded" -> q104,
     "q82_unpivot_long" -> q82,
     "q83_gap_fill_calendar" -> q83,
     "q87_full_outer_daily" -> q87,
@@ -542,6 +586,7 @@ object EventQueries {
     "q75_exact_moment_stats" -> q75Sql,
     "q80_range_frame_trailing" -> q80Sql,
     "q81_exact_quantiles" -> q81Sql,
+    "q104_approx_quantiles_banded" -> q104Sql,
     "q82_unpivot_long" -> q82Sql,
     "q83_gap_fill_calendar" -> q83Sql,
     "q87_full_outer_daily" -> q87Sql,

@@ -25,7 +25,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
           | size(minhash_bands(array('a b c'))) AS band_len,
           | word_shingles('a b c d', 3) AS sh,
           | word_ngrams('a b c', 2) AS ng,
-          | rolling_fp('some document text here') AS fp
+          | rolling_fp('some document text here') AS fp,
+          | nfc_normalize('caf\u0065\u0301') AS nfc
           |""".stripMargin).collect()(0)
       assert(row.getDouble(0) == 4.0)
       assert(row.getDouble(1) == 5.0)
@@ -34,6 +35,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(row.getSeq[String](4) == Seq("a b c", "b c d"))
       assert(row.getSeq[String](5) == Seq("a b", "b c"))
       assert(!row.isNullAt(6))
+      assert(row.getString(7) == "caf\u00e9", "decomposed input must compose")
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)

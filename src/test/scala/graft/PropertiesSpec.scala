@@ -65,4 +65,44 @@ class PropertiesSpec extends AnyFunSuite {
         kept.toSet.intersect(AuditPipeline.EsAllowedFields.toSet))
     }
   }
+
+  test("pq_nearest_code matches a reference argmin on arbitrary codebooks") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val dim = 4
+    val genVec = Gen.listOfN(dim, Gen.chooseNum(-10000L, 10000L)).map(_.toArray)
+    val genCase = for {
+      k <- Gen.chooseNum(1, 16)
+      cb <- Gen.listOfN(k, genVec)
+      x <- genVec
+    } yield (cb.toArray, x)
+    samples(genCase).foreach { case (codes, x) =>
+      def d2(a: Array[Long], b: Array[Long]): Long =
+        a.zip(b).map { case (u, v) => (u - v) * (u - v) }.sum
+      val want = codes.zipWithIndex.minBy { case (c, i) => (d2(c, x), i) }._2
+      val expr = graft.functions.NearestCode(
+        org.apache.spark.sql.catalyst.expressions.Literal(0),
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          new GenericArrayData(x),
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false)),
+        Array(codes))
+      assert(expr.eval(null) == want, s"codebook=${codes.map(_.mkString(",")).mkString(";")} x=${x.mkString(",")}")
+    }
+  }
+
+  test("nfc_normalize is idempotent and length-non-increasing on arbitrary unicode") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // mix of ASCII, precomposed, decomposed, and combining-mark-heavy text
+    val genStr = Gen.listOf(Gen.oneOf(
+      "a", "á", "á", "ȩ́", "漢", "ﬁ", " ", "é", "z̈"))
+      .map(_.mkString)
+    samples(genStr).foreach { s =>
+      val once = graft.functions.UnicodeKernel.nfc(UTF8String.fromString(s))
+      val twice = graft.functions.UnicodeKernel.nfc(once)
+      assert(once == twice, s"not idempotent on ${s.codePoints().toArray.toSeq}")
+      assert(once.numChars() <= UTF8String.fromString(s).numChars(),
+        "NFC must never add code points")
+      assert(once.toString ==
+        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    }
+  }
 }
