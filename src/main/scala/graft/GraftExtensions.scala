@@ -60,6 +60,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("sorted_overlap",
         "sorted_overlap(a, b) - intersection size of two sorted distinct string arrays"),
       (es: Seq[Expression]) => SortedOverlap(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("misra_gries"),
+      info("misra_gries", "misra_gries(col, k) - Misra-Gries heavy-hitter candidate set"),
+      ((es: Seq[Expression]) =>
+        MisraGriesAgg(es(0), intLit(es(1))).toAggregateExpression())))
     ext.injectFunction((FunctionIdentifier("nfc_normalize"),
       info("nfc_normalize", "nfc_normalize(text) - Unicode canonical composition (NFC)"),
       (es: Seq[Expression]) => NfcNormalize(es.head)))

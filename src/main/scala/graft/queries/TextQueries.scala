@@ -418,8 +418,42 @@ object TextQueries {
       | round((m * sxy - sx * sy) / (m * sxx - sx * sx), 6) AS zipf_slope
       |FROM s""".stripMargin
 
+  // ---------------------------------------------------------------- q105
+  /** Exact corpus heavy hitters (frequency > n/30) via the classic two-pass
+    * bounded-memory scheme: pass 1 is [[graft.functions.MisraGriesAgg]]
+    * (a `TypedImperativeAggregate` — O(k) state per partition no matter
+    * the corpus size) whose candidate set provably contains every true
+    * heavy hitter under any merge order; pass 2 re-counts ONLY candidates
+    * and applies the exact integer threshold. The merge-order-dependent
+    * candidate set never reaches the output, so the result is
+    * deterministic and the oracle is a plain GROUP BY + HAVING. */
+  private val q105: Q = (s, d) => {
+    graft.functions.MisraGries.register(s)
+    val words = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val cands = words.agg(expr("misra_gries(w, 30)").as("cand"))
+      .select(explode(col("cand")).as("w"))
+    val counts = words.groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val tot = words.agg(count(lit(1)).as("n_total"))
+    cands.join(counts, Seq("w"))
+      .crossJoin(broadcast(tot))
+      .filter(col("freq") * 30 > col("n_total"))
+      .select(col("w"), col("freq"), col("n_total"))
+      .orderBy(col("w"))
+  }
+
+  private val q105Sql =
+    """WITH ww AS (SELECT w FROM (SELECT UNNEST(string_split(text, ' ')) AS w
+      |  FROM documents) WHERE w <> ''),
+      |t AS (SELECT COUNT(*) AS n_total FROM ww),
+      |c AS (SELECT w, COUNT(*) AS freq FROM ww GROUP BY w)
+      |SELECT c.w, c.freq, t.n_total FROM c, t
+      |WHERE c.freq * 30 > t.n_total ORDER BY w""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q99_zipf_vocab" -> q99,
+    "q105_heavy_hitters" -> q105,
     "q84_corpus_cleaning" -> q84,
     "q91_weighted_mix_sample" -> q91,
     "q92_sequence_packing" -> q92,
@@ -435,6 +469,7 @@ object TextQueries {
 
   val oracle: Map[String, String] = Map(
     "q99_zipf_vocab" -> q99Sql,
+    "q105_heavy_hitters" -> q105Sql,
     "q84_corpus_cleaning" -> q84Sql,
     "q91_weighted_mix_sample" -> q91Sql,
     "q92_sequence_packing" -> q92Sql,
