@@ -36,6 +36,14 @@ object Bench {
     // absorbs the one-off outlier; per-query consecutive passes keep each
     // query's own code/data caches warm so the number is steady-state.
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt.max(1)
+    // fail fast, BEFORE hours of timing work: a prefix collision would
+    // otherwise throw after the loop and lose the whole run's JSON line
+    def shortKey(name: String): String = {
+      val cut = name.indexOf('_')
+      if (cut > 0) name.substring(0, cut) else name
+    }
+    require(selected.keySet.map(shortKey).size == selected.size,
+      "short bench keys must stay unique")
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
@@ -59,12 +67,6 @@ object Bench {
     // the capture window; the prefix is unique across the inventory.
     def f3(v: Double): String = f"$v%.3f"
     val total = results.map(_._2).filter(_ >= 0).sum
-    def shortKey(name: String): String = {
-      val cut = name.indexOf('_')
-      if (cut > 0) name.substring(0, cut) else name
-    }
-    require(results.map(r => shortKey(r._1)).distinct.size == results.size,
-      "short bench keys must stay unique")
     val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + f3(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","passes":$passes,"queries":$qs,"sf":"$sfDir"}""")

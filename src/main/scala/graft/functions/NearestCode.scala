@@ -35,14 +35,18 @@ case class NearestCode(left: Expression, right: Expression,
     var c = 0
     while (c < cs.length) {
       val cu = cs(c)
-      var d = 0L
-      var j = 0
-      while (j < cu.length) {
-        val diff = x.getLong(j) - cu(j)
-        d += diff * diff
-        j += 1
+      // null slot = code never seeded (sparse/non-contiguous id space) —
+      // skip it rather than NPE; such codes also have no codebook row
+      if (cu != null) {
+        var d = 0L
+        var j = 0
+        while (j < cu.length) {
+          val diff = x.getLong(j) - cu(j)
+          d += diff * diff
+          j += 1
+        }
+        if (d < best) { best = d; bi = c }
       }
-      if (d < best) { best = d; bi = c }
       c += 1
     }
     bi
@@ -63,12 +67,15 @@ case class NearestCode(left: Expression, right: Expression,
          |long[][] $cs = $cbRef[$s];
          |long $best = Long.MAX_VALUE; int $bi = 0;
          |for (int $c = 0; $c < $cs.length; $c++) {
-         |  long[] $cu = $cs[$c]; long $d = 0L;
-         |  for (int $j = 0; $j < $cu.length; $j++) {
-         |    long $diff = $x.getLong($j) - $cu[$j];
-         |    $d += $diff * $diff;
+         |  long[] $cu = $cs[$c];
+         |  if ($cu != null) {
+         |    long $d = 0L;
+         |    for (int $j = 0; $j < $cu.length; $j++) {
+         |      long $diff = $x.getLong($j) - $cu[$j];
+         |      $d += $diff * $diff;
+         |    }
+         |    if ($d < $best) { $best = $d; $bi = $c; }
          |  }
-         |  if ($d < $best) { $best = $d; $bi = $c; }
          |}
          |${ev.value} = $bi;
        """.stripMargin)

@@ -46,25 +46,41 @@ object ConnectedComponents {
   def run(nodes: DataFrame, edges: DataFrame, maxIters: Int = 20,
       localEdgeThreshold: Long = 1L << 20): DataFrame = {
     val idCol = nodes.columns.head
+    val allNodes = nodes.select(col(idCol).cast("long").as("node"))
     // Persist and materialize the projected edge list ONCE, eagerly: the
     // edge input is typically an expensive pipeline (q101 feeds the whole
     // LSH near-dup chain in here), and without this every downstream
     // join/broadcast — plus the mirrored union branch — would walk that
     // lineage again. The count both pins the cache and sizes the plan.
+    // Edges are restricted to endpoints present in `nodes` so both
+    // execution paths see the identical graph (the driver path would
+    // otherwise happily propagate through ids the caller filtered out).
     val sym = edges
       .select(col(edges.columns(0)).cast("long").as("src"),
         col(edges.columns(1)).cast("long").as("dst"))
+      .join(allNodes.select(col("node").as("src")), Seq("src"), "left_semi")
+      .join(allNodes.select(col("node").as("dst")), Seq("dst"), "left_semi")
+      .select(col("src"), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val edgeCount = sym.count()
     val both = sym.union(sym.select(col("dst").as("src"), col("src").as("dst")))
-    val allNodes = nodes.select(col(idCol).cast("long").as("node"))
     val touched = both.select(col("src").as("node")).distinct()
-    val isolated = allNodes.join(touched, Seq("node"), "left_anti")
-      .select(col("node"), col("node").as("label"))
+    // core labels cover touched nodes only and are fully materialized (a
+    // local relation, or the loop's persisted final frame) before `sym` is
+    // released below — the returned frame's lineage must NOT reach back
+    // into the edge pipeline, or the caller's first action re-runs it.
     val core =
       if (edgeCount <= localEdgeThreshold) localUnionFind(nodes, sym)
       else propagate(both, allNodes, touched, maxIters)
-    core.unionByName(isolated)
+    val result = allNodes
+      .join(core.select(col("node"), col("label")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+    // Honest + leak-free: without this, the cached edge list both
+    // accumulates across calls AND gets silently REUSED by later identical
+    // plans (Spark's CacheManager matches canonicalized plans), making
+    // repeat timings look ~4x faster than a fresh run actually is.
+    sym.unpersist()
+    result
   }
 
   /** Driver-side union-find with path compression over a collected edge

@@ -37,9 +37,19 @@ object KMeansLloyd {
       .as("qvec"))
     val n = q.count()
     val stride = math.max(1L, n / k)
-    var cents = q
+    // Each round's centroid table is COLLECTED (k·dim longs — tiny) and
+    // rebuilt as a local relation: a lazy centroid frame would embed every
+    // prior round's crossJoin+aggregate in its lineage, and the caller's
+    // action would recompute the whole Lloyd history once per round (the
+    // same disease PqAnn's encode had; fixed the same way).
+    def localize(df: DataFrame): DataFrame = {
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        java.util.Arrays.asList(df.collect(): _*)
+      vectors.sparkSession.createDataFrame(rows, df.schema)
+    }
+    var cents = localize(q
       .filter((col(idCol) % stride === 0) && (col(idCol) / stride < k))
-      .select((col(idCol) / stride).cast("int").as("cid"), col("qvec").as("centroid"))
+      .select((col(idCol) / stride).cast("int").as("cid"), col("qvec").as("centroid")))
     var assigned: DataFrame = null
     for (i <- 1 to iters) {
       assigned = q.crossJoin(broadcast(cents))
@@ -49,13 +59,13 @@ object KMeansLloyd {
         .select(col(idCol), col("qvec"),
           col("best.cid").as("cid"), col("best.d2").as("d2"))
       if (i < iters) {
-        cents = assigned
+        cents = localize(assigned
           .select(col("cid"), posexplode(col("qvec")).as(Seq("pos", "v")))
           .groupBy(col("cid"), col("pos"))
           .agg(expr("sum(v) div count(1)").as("m"))
           .groupBy(col("cid"))
           .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
-            .as("centroid"))
+            .as("centroid")))
       }
     }
     assigned

@@ -83,6 +83,9 @@ object PqAnn {
       .filter((col(idCol) % stride === 0) && (col(idCol) / stride < k))
       .select(col("s"), (col(idCol) / stride).cast("int").as("code"), col("xu"))
       .collect()
+    require(seedRows.nonEmpty,
+      s"strided seeding matched no rows: ids must include multiples of $stride below ${stride * k} " +
+        "(non-0-based or heavily filtered id spaces need re-indexing before PQ build)")
     val nCodes = seedRows.iterator.map(_.getInt(1)).max + 1
     var cb = Array.ofDim[Array[Long]](m, nCodes)
     seedRows.foreach { r =>

@@ -19,10 +19,7 @@ import org.apache.spark.sql.functions._
 object CorpusQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  /** 60-bit md5 bucket of a string column — portable to DuckDB as
-    * `CAST(('0x' || substr(md5(x),1,15)) AS BIGINT)` (same trick as q73). */
-  private def md5Bucket60(c: org.apache.spark.sql.Column) =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  import graft.functions.PortableHash.md5Bucket60
 
   // ---------------------------------------------------------------- q94
   /** Unicode NFC normalization ([[graft.functions.NfcNormalize]], a codegen

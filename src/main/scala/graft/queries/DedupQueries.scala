@@ -131,14 +131,14 @@ object DedupQueries {
     val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
     // h_j(s) = first 60 bits of md5(j ':' s) — portable across engines.
     def h(j: Int): Column =
-      conv(substring(md5(concat(lit(s"$j:"), col("s"))), 1, 15), 16, 10).cast("long")
+      graft.functions.PortableHash.md5Bucket60(concat(lit(s"$j:"), col("s")))
     val mins = (0 to 7).map(j => min(h(j)).as(s"m$j"))
     val sig = ex.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
     // 4 bands × 2 rows; band hash = 60-bit md5 of the joined member minima.
     def bh(b: Int): Column =
-      conv(substring(md5(concat(
+      graft.functions.PortableHash.md5Bucket60(concat(
         col(s"m${2 * b}").cast("string"), lit(","),
-        col(s"m${2 * b + 1}").cast("string"))), 1, 15), 16, 10).cast("long")
+        col(s"m${2 * b + 1}").cast("string")))
     val bands = sig
       .select(col("doc_id"), posexplode(array(bh(0), bh(1), bh(2), bh(3))))
       .withColumnRenamed("pos", "band_id").withColumnRenamed("col", "band_hash")
@@ -304,7 +304,7 @@ object DedupQueries {
       .withColumn("ws", array_distinct(split(col("text"), " ")))
     val ew = wd.select(col("doc_id"), explode(col("ws")).as("w"))
       .select(col("doc_id"),
-        conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("h"))
+        graft.functions.PortableHash.md5Bucket60(col("w")).as("h"))
     val bits = ew
       .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(59))).as("b"))
       .groupBy(col("doc_id"), col("b"))

@@ -392,10 +392,15 @@ object EventQueries {
     val approx = e.groupBy(col("event_type"))
       .agg(percentile_approx(col("cents"), array(lit(0.5), lit(0.9)), lit(10000)).as("ap"))
       .select(col("event_type"), col("ap")(0).as("_a50"), col("ap")(1).as("_a90"))
+    // Band: 15% of |exact| with an absolute floor of 50 cents — a relative
+    // band alone is ill-defined when a group's exact percentile is 0 (it
+    // would demand sketch equality) or negative (vacuously false).
+    def inBand(a: org.apache.spark.sql.Column, e: org.apache.spark.sql.Column) =
+      abs(a - e) <= greatest(abs(e) * 0.15, lit(50.0))
     exact.join(approx, Seq("event_type"))
       .select(col("event_type"), col("exact_p50"), col("exact_p90"),
-        (abs(col("_a50") - col("exact_p50")) <= col("exact_p50") * 0.15).as("p50_in_band"),
-        (abs(col("_a90") - col("exact_p90")) <= col("exact_p90") * 0.15).as("p90_in_band"))
+        inBand(col("_a50"), col("exact_p50")).as("p50_in_band"),
+        inBand(col("_a90"), col("exact_p90")).as("p90_in_band"))
       .orderBy(col("event_type"))
   }
 

@@ -642,7 +642,7 @@ object RelationalQueries {
     * plain filter — the standard way to carve a stable sample from 100 TB. */
   private val q73: Q = (s, d) =>
     Tables.lineitem(s, d)
-      .filter(conv(substring(md5(col("l_orderkey").cast("string")), 1, 15), 16, 10)
+      .filter(graft.functions.PortableHash.md5Bucket60(col("l_orderkey").cast("string"))
         .cast("long") % 10 === 0)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_sampled"),
