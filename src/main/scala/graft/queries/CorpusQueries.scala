@@ -252,8 +252,58 @@ object CorpusQueries {
       |SELECT doc_id, source, rn FROM r
       |WHERE rn <= (n_src + 4) // 5 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q106
+  /** Mixture REBALANCING: downsample every source stratum toward the
+    * uniform target share (total/n_sources docs each), accepting documents
+    * whose 60-bit hash clears a per-source threshold. The acceptance test
+    * is EXACT integer arithmetic — keep iff h·n_src < target·2⁶⁰, compared
+    * in DECIMAL(38) on the Spark side and HUGEINT in DuckDB — so no float
+    * boundary can flip a document between engines or between runs. Strata
+    * below target keep everything (min(1, ·) by construction). Hash-based
+    * acceptance keeps the mixture reproducible and incrementally stable:
+    * re-running over a grown corpus keeps previously accepted docs
+    * accepted as long as the stratum's share did not shrink. */
+  private val q106: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        md5Bucket60(col("doc_id").cast("string")).as("h"))
+    val bySrc = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    // integer division on BOTH sides (Spark div / DuckDB // truncate alike);
+    // float division + cast would round differently per engine
+    val target = bySrc.agg(expr("sum(n_src) div count(1)").as("target_n"))
+    // exact integer acceptance: h·n_src < target·2⁶⁰, in decimals sized so
+    // no product can hit Spark's precision-loss cap (h<2⁶⁰: 19 digits,
+    // n_src: 10, target: 11 → products of 30/31 digits, well inside 38)
+    val Pow60 = lit(1152921504606846976L) // 2^60
+    val kept = docs.join(bySrc, Seq("source")).crossJoin(broadcast(target))
+      .filter(col("h").cast("decimal(19,0)") * col("n_src").cast("decimal(10,0)") <
+        col("target_n").cast("decimal(11,0)") * Pow60.cast("decimal(19,0)"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+    bySrc.crossJoin(broadcast(target))
+      .join(kept, Seq("source"), "left")
+      .select(col("source"), coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        col("n_src"), col("target_n"))
+      .orderBy(col("source"))
+  }
+
+  private val q106Sql =
+    """WITH h AS (SELECT doc_id, source,
+      |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      | FROM documents),
+      |b AS (SELECT source, COUNT(*) AS n_src FROM h GROUP BY source),
+      |t AS (SELECT CAST(SUM(n_src) // COUNT(*) AS BIGINT) AS target_n FROM b),
+      |kept AS (SELECT h.source, COUNT(*) AS n_kept
+      |         FROM h JOIN b ON b.source = h.source, t
+      |         WHERE CAST(h.h AS HUGEINT) * b.n_src <
+      |               CAST(t.target_n AS HUGEINT) * CAST(1152921504606846976 AS HUGEINT)
+      |         GROUP BY h.source)
+      |SELECT b.source, COALESCE(k.n_kept, 0) AS n_kept, b.n_src, t.target_n
+      |FROM b LEFT JOIN kept k ON k.source = b.source, t
+      |ORDER BY b.source""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q102_stratified_sample" -> q102,
+    "q106_mixture_rebalance" -> q106,
     "q94_unicode_normalize" -> q94,
     "q95_pii_redaction" -> q95,
     "q96_repetition_quality" -> q96,
@@ -262,6 +312,7 @@ object CorpusQueries {
 
   val oracle: Map[String, String] = Map(
     "q102_stratified_sample" -> q102Sql,
+    "q106_mixture_rebalance" -> q106Sql,
     "q94_unicode_normalize" -> q94Sql,
     "q95_pii_redaction" -> q95Sql,
     "q96_repetition_quality" -> q96Sql,

@@ -64,6 +64,31 @@ class CorpusQueriesSpec extends AnyFunSuite {
     assert(again == bySplit, "split assignment must be run-invariant")
   }
 
+  test("q106 acceptance rule downsamples skewed strata toward the target") {
+    import org.apache.spark.sql.functions.{coalesce, count, expr, lit}
+    import spark.implicits._
+    import graft.functions.PortableHash.md5Bucket60
+    // skewed fixture: the query runs on the (uniform) documents table, so
+    // replicate its acceptance rule on planted skew to check the math
+    val docs = ((0 until 300).map(i => (i.toLong, "big")) ++
+      (300 until 330).map(i => (i.toLong, "mid")) ++
+      (330 until 335).map(i => (i.toLong, "tiny"))).toDF("doc_id", "source")
+    val bySrc = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    val target = bySrc.agg(expr("sum(n_src) div count(1)").as("target_n")) // 111
+    val kept = docs
+      .select(col("doc_id"), col("source"), md5Bucket60(col("doc_id").cast("string")).as("h"))
+      .join(bySrc, Seq("source")).crossJoin(target)
+      .filter(col("h").cast("decimal(19,0)") * col("n_src").cast("decimal(10,0)") <
+        col("target_n").cast("decimal(11,0)") * lit(1152921504606846976L).cast("decimal(19,0)"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // big (300 docs, target 111): acceptance fraction 111/300 = 0.37 — the
+    // kept count concentrates near 111 (binomial, sd ~8); sub-target strata
+    // keep everything.
+    assert(kept("big") > 80 && kept("big") < 145, kept.toString)
+    assert(kept("mid") == 30 && kept("tiny") == 5, kept.toString)
+  }
+
   test("q100 per-doc shared windows never exceed total windows") {
     val out = CorpusQueries.queries("q100_substring_windows")(spark, dir).cache()
     try {
