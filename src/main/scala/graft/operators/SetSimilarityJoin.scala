@@ -91,8 +91,35 @@ object SetSimilarityJoin {
       .withColumn("q", col("q0") + 1).drop("q0")
     val l = pref.select(col("tok"), col(idCol).as("id_a"), col("n").as("n_a"), col("p").as("p_a"))
     val r = full.select(col("tok"), col(idCol).as("id_b"), col("n").as("n_b"), col("q").as("p_b"))
+    // Length-bucketed B-side index: the raw A-prefix × B-full-list join's
+    // candidate volume tracks corpus self-similarity super-linearly (3.2×
+    // at 10× data measured at sf1) because every B token occurrence meets
+    // every A prefix occurrence of that token before the positional filter
+    // runs. Bucketing A rows by size class k = ⌊log₂ n_a⌋ and joining on
+    // (k, tok) moves the positional bound BEFORE the join: a B occurrence
+    // at position p_b can only satisfy overlap ≤ 1 + (n_b − p_b) ≥ t·n_a ≥
+    // t·2^k when n_b − p_b + 1 ≥ t·2^k, so it is replicated only into
+    // buckets up to kcap = ⌊log₂((n_b − p_b + 1)/t)⌋ — deep positions serve
+    // only small-A buckets, and short B docs drop out of large-A buckets
+    // entirely (n_b ≥ n_b − p_b + 1 subsumes the length filter). Lossless:
+    // a qualifying pair's first common token sits in A's prefix with
+    // 1 + min(n_a − p_a, n_b − p_b) ≥ t·n_a ≥ t·2^k, so its B occurrence
+    // reaches bucket k. The ±1e-9 slack keeps FP log/floor boundaries from
+    // ever pruning (kcap can only round UP a hair — extra candidates, never
+    // lost ones). Bucket range is ~log₂(max/min doc size) ≈ 10, and the
+    // per-row replication factor shrinks with p_b, so the B index grows by
+    // a small constant while join output drops with the pre-applied bound.
+    val lb = l.withColumn("k", floor(log(2.0, col("n_a"))).cast("int"))
+    val bounds = lb.agg(min(col("k")).as("kmin"), max(col("k")).as("kmax"))
+    val rb = r.crossJoin(broadcast(bounds))
+      .withColumn("kcap", least(col("kmax"),
+        floor(log(2.0, (col("n_b") - col("p_b") + 1).cast("double") / threshold)
+          + lit(1e-9)).cast("int")))
+      .filter(col("kcap") >= col("kmin"))
+      .withColumn("k", explode(sequence(col("kmin"), col("kcap"))))
+      .drop("kmin", "kmax", "kcap")
     val minOverlap = lit(threshold) * col("n_a").cast("double") - lit(1e-9)
-    val cand = l.join(r, Seq("tok"))
+    val cand = lb.join(rb, Seq("tok", "k"))
       .filter(col("id_a") =!= col("id_b"))
       .filter(col("n_b").cast("double") >= minOverlap)
       .filter((lit(1) + least(col("n_a") - col("p_a"), col("n_b") - col("p_b")))
