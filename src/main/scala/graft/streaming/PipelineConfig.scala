@@ -1,5 +1,18 @@
 package graft.streaming
 
+/** ES transport authentication mode (lambda_function.py:61-66): the
+  * reference uses HTTP basic auth when its secret carries master-user
+  * credentials, and falls back to an AWS SigV4 request signer otherwise.
+  * No network exists in this harness, so the mode is carried as sink
+  * metadata (see [[Sinks.writeEs]]) rather than a live client. */
+sealed trait AuthMode { def name: String }
+object AuthMode {
+  /** `(master_user_name, master_user_password)` basic-auth tuple. */
+  case object Basic extends AuthMode { val name = "basic" }
+  /** `AWSV4SignerAuth(credentials, region)` IAM request signing. */
+  case object SigV4 extends AuthMode { val name = "sigv4" }
+}
+
 /** Driver-side configuration for the fan-out pipeline.
   *
   * Mirrors the reference's env + Secrets Manager lookup
@@ -13,7 +26,8 @@ final case class PipelineConfig(
     esIndexPrefix: String = "audit-",
     splunkIndex: String = "audit-splunk",
     splunkDisabled: Boolean = false,
-    maxBatchSize: Int = 500)
+    maxBatchSize: Int = 500,
+    esAuthMode: AuthMode = AuthMode.SigV4)
 
 object PipelineConfig {
 
@@ -26,5 +40,12 @@ object PipelineConfig {
       splunkIndex = secrets.getOrElse("splunk_index", "audit-splunk"),
       // reference: truthiness of the string "true" (lambda_function.py:106-108)
       splunkDisabled = secrets.get("splunk_disabled").exists(_.equalsIgnoreCase("true")),
-      maxBatchSize = secrets.get("max_batch_size").flatMap(_.toIntOption).getOrElse(500))
+      maxBatchSize = secrets.get("max_batch_size").flatMap(_.toIntOption).getOrElse(500),
+      // reference branch (lambda_function.py:61-66): a secret carrying the
+      // master-user credential pair selects basic auth; otherwise the client
+      // signs requests with ambient IAM credentials (SigV4).
+      esAuthMode =
+        if (secrets.contains("master_user_name") && secrets.contains("master_user_password"))
+          AuthMode.Basic
+        else AuthMode.SigV4)
 }

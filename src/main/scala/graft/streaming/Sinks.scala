@@ -50,7 +50,9 @@ object Sinks {
     * - errors: bulk failures are logged, not raised (raise_on_error=False):
     *   the write is wrapped, failure returns 0 delivered.
     */
-  def writeEs(pruned: DataFrame, dir: String, prefix: String, m: SinkMetrics): Long = {
+  def writeEs(pruned: DataFrame, dir: String, prefix: String, m: SinkMetrics,
+      authMode: AuthMode = AuthMode.SigV4): Long = {
+    writeTransportMeta(dir, authMode)
     val keyed = AuditPipeline.withRoutingKeys(AuditPipeline.skipNulls(pruned), prefix)
       .dropDuplicates("_id")
       .withColumn("index_date", to_date(col("datetime")).cast("string"))
@@ -71,10 +73,47 @@ object Sinks {
     }
   }
 
+  /** Record the transport configuration a real client would be built with
+    * (lambda_function.py:61-74: auth mode + port 443 TLS + gzip + cert
+    * verification) as a sidecar marker in the index dir — the simulator's
+    * observable stand-in for the OpenSearch client kwargs. Driver-side,
+    * tiny, idempotent (last write wins, like reconnecting a client). */
+  private def writeTransportMeta(dir: String, authMode: AuthMode): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    val meta = s"""{"auth_mode":"${authMode.name}","port":443,"use_ssl":true,""" +
+      """"http_compress":true,"verify_certs":true}"""
+    Files.write(Paths.get(dir, "_transport.json"),
+      meta.getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  /** Read back the transport marker for the simulated index (test hook). */
+  def readTransportMeta(dir: String): String =
+    new String(Files.readAllBytes(Paths.get(dir, "_transport.json")),
+      StandardCharsets.UTF_8)
+
   /** Read the simulated index with upsert semantics: last write per `_id`
-    * wins (the state an OpenSearch reader would observe). */
+    * wins (the state an OpenSearch reader would observe). The `_transport`
+    * marker is invisible here — `_`-prefixed files are metadata by Hadoop
+    * convention and the parquet reader skips them. */
   def readEsIndex(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir).dropDuplicates("_id")
+
+  /** Dead-letter sink: quarantine rows that failed decode/validation, with
+    * their RAW payload so they can be replayed after a fix. The reference
+    * has no such path — a malformed record crashes the whole batch and
+    * poisons at-least-once redelivery forever (lambda_function.py:45,141);
+    * this is the stricter-than-reference option SURVEY §2a documents.
+    * Parquet append keyed by batch tag; returns rows quarantined. */
+  def writeDeadLetter(dead: DataFrame, dir: String, batchTag: String,
+      rawCol: String = "_raw"): Long = {
+    val obs = org.apache.spark.sql.Observation()
+    val observed = dead.select(col(rawCol).as("raw_payload"))
+      .withColumn("dl_batch", lit(batchTag))
+      .observe(obs, count(lit(1)).as("n"))
+    observed.write.mode("append").parquet(dir)
+    obs.get("n").asInstanceOf[Long]
+  }
 
   /** One simulated bulk round-trip: given a chunk's doc `_id`s, return the
     * subset that FAILED this attempt (the per-document rejections a real

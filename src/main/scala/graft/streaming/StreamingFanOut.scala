@@ -33,14 +33,42 @@ object StreamingFanOut {
     batch.persist()
     try {
       val enriched = AuditPipeline.enrich(batch)
-      Sinks.writeEs(AuditPipeline.filterForEs(enriched), esDir, config.esIndexPrefix, metrics)
+      Sinks.writeEs(AuditPipeline.filterForEs(enriched), esDir,
+        config.esIndexPrefix, metrics, config.esAuthMode)
       if (!config.splunkDisabled) {
-        val tag = if (batchId >= 0) f"b$batchId%06d"
-                  else java.util.UUID.randomUUID().toString.take(8)
+        val tag = batchTag(batchId)
         Sinks.writeSplunk(AuditPipeline.skipNulls(enriched), splunkDir,
           config.splunkIndex, metrics, config.maxBatchSize, tag)
       }
     } finally batch.unpersist()
+  }
+
+  private def batchTag(batchId: Long): String =
+    if (batchId >= 0) f"b$batchId%06d"
+    else java.util.UUID.randomUUID().toString.take(8)
+
+  /** One RAW micro-batch: decode keeping the raw payload, quarantine rows
+    * whose payload did not yield the two fields the reference reads
+    * unconditionally (`datetime`, `random_id`, lambda_function.py:80-81)
+    * into the dead-letter sink WITH their raw payload for replay, and fan
+    * the valid remainder out exactly as [[processBatch]].
+    *
+    * This is the live wiring of [[AuditPipeline.partitionValid]]: the
+    * reference lets one malformed record crash the whole Lambda invoke
+    * (at-least-once redelivery re-poisons forever, lambda_function.py:45,
+    * 141); here valid rows flow on and the poison pill is parked where an
+    * operator can inspect and re-ingest it. */
+  def processRawBatch(rawBatch: DataFrame, dataCol: String,
+      esDir: String, splunkDir: String, deadLetterDir: String,
+      config: PipelineConfig, metrics: SinkMetrics,
+      batchId: Long = -1L): Unit = {
+    val decoded = AuditPipeline.decodeKinesisWithRaw(rawBatch, dataCol)
+    decoded.persist()
+    try {
+      val (valid, dead) = AuditPipeline.partitionValid(decoded)
+      Sinks.writeDeadLetter(dead, deadLetterDir, batchTag(batchId))
+      processBatch(valid.drop("_raw"), esDir, splunkDir, config, metrics, batchId)
+    } finally decoded.unpersist()
   }
 
   /** Full-fidelity micro-batch on the VariantType decode path: ES gets the
@@ -59,17 +87,26 @@ object StreamingFanOut {
   def processBatchVariant(rawBatch: DataFrame, dataCol: String,
       esDir: String, splunkDir: String,
       config: PipelineConfig, metrics: SinkMetrics,
-      batchId: Long = -1L): Unit = {
+      batchId: Long = -1L, deadLetterDir: Option[String] = None): Unit = {
     import org.apache.spark.sql.functions._
-    val decoded = AuditPipeline.decodeKinesisVariant(rawBatch, dataCol)
-    decoded.persist()
+    val full = AuditPipeline.decodeKinesisVariant(rawBatch, dataCol)
+    full.persist()
+    // The variant decode keeps the raw payload column, so the dead-letter
+    // split reuses partitionValid directly — same validity pair, same
+    // quarantine-with-raw semantics as [[processRawBatch]].
+    val decoded = deadLetterDir match {
+      case Some(dlq) =>
+        val (valid, dead) = AuditPipeline.partitionValid(full)
+        Sinks.writeDeadLetter(dead, dlq, batchTag(batchId), rawCol = dataCol)
+        valid
+      case None => full
+    }
     try {
       val enriched = AuditPipeline.enrich(decoded)
       Sinks.writeEs(AuditPipeline.filterForEs(enriched), esDir,
-        config.esIndexPrefix, metrics)
+        config.esIndexPrefix, metrics, config.esAuthMode)
       if (!config.splunkDisabled) {
-        val tag = if (batchId >= 0) f"b$batchId%06d"
-                  else java.util.UUID.randomUUID().toString.take(8)
+        val tag = batchTag(batchId)
         // fullRecordJson needs non-null datetime (same validity pair as
         // partitionValid) — a null would otherwise serialize as a literal
         // "null" line in the HEC archive instead of being skipped.
@@ -81,7 +118,7 @@ object StreamingFanOut {
             .as("line"))
         Sinks.writeSplunkLines(lines, splunkDir, metrics, config.maxBatchSize, tag)
       }
-    } finally decoded.unpersist()
+    } finally full.unpersist()
   }
 
   /** Start the streaming query over an already-decoded source stream.
@@ -93,6 +130,22 @@ object StreamingFanOut {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, esDir, splunkDir, config, metrics, batchId)
+      }
+      .start()
+
+  /** Start the streaming query over a RAW base64-payload stream, with the
+    * dead-letter quarantine live: every micro-batch runs
+    * [[processRawBatch]], so undecodable payloads land in `deadLetterDir`
+    * (with raw payload, replayable) while valid rows reach both sinks. */
+  def startRaw(rawSource: DataFrame, dataCol: String,
+      esDir: String, splunkDir: String, deadLetterDir: String,
+      checkpointDir: String, config: PipelineConfig,
+      metrics: SinkMetrics): StreamingQuery =
+    rawSource.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processRawBatch(batch, dataCol, esDir, splunkDir, deadLetterDir,
+          config, metrics, batchId)
       }
       .start()
 }

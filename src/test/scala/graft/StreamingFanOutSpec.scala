@@ -132,6 +132,62 @@ class StreamingFanOutSpec extends AnyFunSuite {
     assert(StreamingFanOutSpec.attempts.get("id-9") == 4, "initial + 3 retries")
   }
 
+  test("dead-letter path: malformed payloads quarantined with raw payload, valid rows flow on (SURVEY §2a error semantics)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (esDir, splunkDir, dlqDir, ckpt) = (tmp("es"), tmp("splunk"), tmp("dlq"), tmp("ckpt"))
+    val metrics = SinkMetrics(spark)
+    val stream = MemoryStream[String]
+    val q = StreamingFanOut.startRaw(
+      stream.toDF().withColumnRenamed("value", "data"), "data",
+      esDir, splunkDir, dlqDir, ckpt, PipelineConfig(), metrics)
+
+    // 2 valid records + a non-JSON payload + a JSON record missing the
+    // fields the reference reads unconditionally (datetime/random_id)
+    val poison1 = b64("this is not json at all")
+    val poison2 = b64("""{"kind_id": 42, "ip": "9.9.9.9"}""")
+    stream.addData(b64(recJson(1)), poison1, b64(recJson(2)), poison2)
+    q.processAllAvailable()
+    q.stop()
+
+    // valid rows reached both sinks
+    assert(Sinks.readEsIndex(spark, esDir).count() == 2)
+    assert(spark.read.json(s"$splunkDir/*.jsonl").count() == 2)
+    // poison pills are parked with their RAW payload, replayable
+    val dead = spark.read.parquet(dlqDir)
+    assert(dead.count() == 2)
+    val raws = dead.select("raw_payload").collect().map(_.getString(0)).toSet
+    assert(raws == Set(poison1, poison2),
+      "dead letters must carry the original payload for replay")
+    assert(dead.columns.contains("dl_batch"))
+  }
+
+  test("auth mode: secret with credentials selects basic, otherwise sigv4, recorded in sink transport metadata (lambda_function.py:61-74)") {
+    import spark.implicits._
+    val basic = PipelineConfig.fromSecrets(
+      Map("master_user_name" -> "admin", "master_user_password" -> "s3cret"))
+    assert(basic.esAuthMode == graft.streaming.AuthMode.Basic)
+    val iam = PipelineConfig.fromSecrets(Map("es_index_prefix" -> "audit-"))
+    assert(iam.esAuthMode == graft.streaming.AuthMode.SigV4)
+    // one credential alone is not a basic-auth pair
+    assert(PipelineConfig.fromSecrets(Map("master_user_name" -> "admin"))
+      .esAuthMode == graft.streaming.AuthMode.SigV4)
+
+    // the sink simulator records the transport it would build the client with
+    val batch = graft.pipeline.AuditPipeline.decodeKinesis(
+      Seq(b64(recJson(1))).toDF("data"), "data")
+    for ((config, expect) <- Seq((basic, "\"auth_mode\":\"basic\""),
+        (iam, "\"auth_mode\":\"sigv4\""))) {
+      val (esDir, splunkDir) = (tmp("es"), tmp("splunk"))
+      StreamingFanOut.processBatch(batch, esDir, splunkDir, config, SinkMetrics(spark))
+      val meta = Sinks.readTransportMeta(esDir)
+      assert(meta.contains(expect), s"transport meta: $meta")
+      assert(meta.contains("\"use_ssl\":true") && meta.contains("\"http_compress\":true"))
+      // the marker must not leak into the index read (Hadoop `_` convention)
+      assert(Sinks.readEsIndex(spark, esDir).count() == 1)
+    }
+  }
+
   test("splunk chunks are <= maxBatchSize and preserve all events (lambda_function.py:115,128-134)") {
     import spark.implicits._
     val splunkDir = tmp("splunk")

@@ -57,4 +57,56 @@ class StreamingNearDupSpec extends AnyFunSuite {
         "state must persist across multiple batches")
     } finally q.stop()
   }
+
+  test("TTL: an expired bucket stops suppressing and its state is evicted") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // keep event times strictly above the epoch: Spark's late-row filter
+    // drops rows with event time <= the current watermark, and the INITIAL
+    // watermark is 0 — a t=0 resident would silently never seat
+    def t(sec: Long) = new java.sql.Timestamp((1000 + sec) * 1000L)
+    val filler1 = "totally separate subject matter concerning database engines and columnar storage formats in general"
+    val filler2 = "yet more distinct prose on watermarks state stores and timeout semantics for stream processing"
+
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = StreamingNearDup.detectWithTtl(
+      stream.toDF().toDF("doc_id", "text", "ts"),
+      threshold = 0.5, tsCol = "ts", watermarkDelay = "0 seconds", ttlMs = 10_000L)
+
+    val q = out.writeStream
+      .format("memory").queryName("neardup_ttl_out").outputMode("append").start()
+    try {
+      // batch 1 (t=0s): resident seated, lease runs to t=10s
+      stream.addData((1L, base, t(0)))
+      q.processAllAvailable()
+      // batch 2 (t=5s): inside the lease -> suppressed as usual
+      stream.addData((10L, nearDup, t(5)))
+      q.processAllAvailable()
+      val flagged = spark.table("neardup_ttl_out")
+        .select("doc_id", "dup_of").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(flagged == Set((10L, 1L)), s"in-lease near-dup must be suppressed: $flagged")
+
+      // batch 3 (t=100s): advances the watermark far past the lease…
+      stream.addData((3L, filler1, t(100)))
+      q.processAllAvailable()
+      // …batch 4 fires the expirations (timeouts are processed for keys
+      // without new data once the watermark passes their lease)
+      stream.addData((4L, filler2, t(101)))
+      q.processAllAvailable()
+
+      // batch 5 (t=102s): a fresh near-dup of doc 1 — its buckets expired,
+      // so it is NOT suppressed; it becomes the new resident instead
+      stream.addData((50L, base.replace("cat", "bird"), t(102)))
+      q.processAllAvailable()
+      assert(spark.table("neardup_ttl_out").filter("doc_id = 50").isEmpty,
+        "post-expiry arrival must seat a new resident, not match evicted state")
+
+      // and the new resident DOES suppress its own later near-dups
+      stream.addData((60L, base.replace("cat", "bird").replace("dog", "wolf"), t(103)))
+      q.processAllAvailable()
+      val again = spark.table("neardup_ttl_out").filter("doc_id = 60").collect()
+      assert(again.nonEmpty && again.head.getLong(1) == 50L,
+        "the re-seated bucket must suppress against the NEW resident")
+    } finally q.stop()
+  }
 }
