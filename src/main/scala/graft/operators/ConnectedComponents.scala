@@ -144,6 +144,25 @@ object ConnectedComponents {
       prevSum = s
       it += 1
     }
-    labels
+    // The docstring's fixpoint guarantee only holds if the loop actually
+    // converged; silently returning mid-propagation labels would hand the
+    // caller WRONG components. Fail fast like Bench's prefix-collision
+    // require — maxIters is a runaway bound, not an accuracy dial.
+    if (!converged) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"connected components did not reach the min-label fixpoint in $maxIters rounds; " +
+          "raise maxIters (rounds needed ~ log2 of the largest component's diameter)")
+    }
+    // Hand back the final labels WITHOUT leaving a CacheManager entry
+    // behind: localCheckpoint materializes the result and truncates the
+    // loop's lineage (so unpersisting the last round's cache below cannot
+    // trigger a full recompute), its blocks are released by GC/ContextCleaner
+    // when the caller drops the frame, and — unlike .persist — it is never
+    // silently substituted into later identical plans by CacheManager (the
+    // bench-honesty trap the eager edge-list unpersist in run() guards).
+    val out = labels.localCheckpoint(true)
+    labels.unpersist()
+    out
   }
 }

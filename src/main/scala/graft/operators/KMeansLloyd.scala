@@ -47,9 +47,17 @@ object KMeansLloyd {
         java.util.Arrays.asList(df.collect(): _*)
       vectors.sparkSession.createDataFrame(rows, df.schema)
     }
-    var cents = localize(q
+    val seed = q
       .filter((col(idCol) % stride === 0) && (col(idCol) / stride < k))
-      .select((col(idCol) / stride).cast("int").as("cid"), col("qvec").as("centroid")))
+      .select((col(idCol) / stride).cast("int").as("cid"), col("qvec").as("centroid"))
+    var cents = localize(seed)
+    // Strided seeding assumes a dense 0-based id space (same contract as
+    // PqAnn.build): with filtered or offset ids the seed can come up empty
+    // or short and the fit would silently degenerate. Fail fast instead.
+    val nSeeded = cents.count()
+    require(nSeeded == math.min(k.toLong, n),
+      s"k-means seeding produced $nSeeded of ${math.min(k.toLong, n)} centroids — " +
+        s"$idCol must be dense and 0-based (re-index with row_number()-1 if filtered)")
     var assigned: DataFrame = null
     for (i <- 1 to iters) {
       assigned = q.crossJoin(broadcast(cents))

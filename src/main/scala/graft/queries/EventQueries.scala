@@ -395,6 +395,14 @@ object EventQueries {
     // Band: 15% of |exact| with an absolute floor of 50 cents — a relative
     // band alone is ill-defined when a group's exact percentile is 0 (it
     // would demand sketch equality) or negative (vacuously false).
+    // CALIBRATION caveat (ADVICE r5): percentile_approx guarantees RANK
+    // error (~n/accuracy), and this check converts it into a VALUE band —
+    // valid for the generated events distribution (smooth, no jumps or
+    // plateaus near p50/p90 at any driver SF), where a few ranks of error
+    // moves the value far less than 15%. On a distribution with a value
+    // jump inside the rank tolerance the boolean could flip for a correct
+    // sketch; re-derive the band (or band on rank) before reusing this
+    // oracle pattern on other data.
     def inBand(a: org.apache.spark.sql.Column, e: org.apache.spark.sql.Column) =
       abs(a - e) <= greatest(abs(e) * 0.15, lit(50.0))
     exact.join(approx, Seq("event_type"))

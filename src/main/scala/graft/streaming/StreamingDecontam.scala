@@ -44,7 +44,16 @@ object StreamingDecontam {
 
   /** Flag streaming documents sharing ≥ `minShared` informative shingles
     * with any eval document. `stream` must carry (idCol, textCol); output
-    * is (doc_id, test_id, n_shared) per flagged pair, append-mode safe. */
+    * is (doc_id, test_id, n_shared) per flagged pair.
+    *
+    * Intended to run inside `foreachBatch` (as StreamingDecontamSpec
+    * does), where each micro-batch is a complete DataFrame and the
+    * groupBy is an ordinary batch aggregation. Attached directly to a
+    * streaming sink in append mode, Spark would reject the aggregation
+    * for lacking a watermark. Assumes each document arrives WHOLE in one
+    * micro-batch — text split across batches would under-count its
+    * per-batch shingle overlap (contamination is a per-document fact, so
+    * feed whole documents). */
   def flagContaminated(stream: DataFrame, evalShingles: DataFrame,
       idCol: String, textCol: String, minShared: Int = 3): DataFrame = {
     graft.functions.TextKernels.register(stream.sparkSession)
