@@ -32,41 +32,137 @@ case class FrameRecord(doc_id: Long, frame_no: Long, frame: Array[Byte])
 
 object Multimodal {
 
-  /** Wrap the documents table as media objects: the text payload stands in
-    * for an encoded image (this container has no image codecs — see
-    * [[decodeStub]]); metadata carries the typed sidecar fields. */
-  def toMedia(docs: DataFrame)(implicit spark: SparkSession): Dataset[MediaRecord] = {
-    import spark.implicits._
-    docs.select(
-        col("doc_id"),
-        encode(col("text"), "UTF-8").as("media"),
-        lit("img").as("format"),
-        map(
-          lit("lang"), col("lang"),
-          lit("source"), col("source"),
-          lit("n_chars"), col("n_chars").cast("string")).as("meta"))
-      .as[MediaRecord]
+  /** Header overhead prepended by [[toMedia]]: both synthesized container
+    * formats are exactly 33 bytes before the payload (PNG: 8-byte
+    * signature + 25-byte IHDR chunk; JPEG: SOI + 18-byte JFIF APP0 +
+    * 13-byte SOF0), so the oracle's byte arithmetic is one constant. */
+  val HeaderBytes = 33
+
+  private def be16(v: Int): Array[Byte] = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def be32(v: Int): Array[Byte] =
+    Array((v >>> 24).toByte, ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  /** Real container-format headers carrying the dimensions IN THE BYTES
+    * (the decode side re-reads them with a genuine parser — see
+    * [[parseDims]] — not a formula):
+    *
+    *  - `png`: the 8-byte PNG signature followed by a spec-shaped IHDR
+    *    chunk (length=13, type, width/height as big-endian u32, bit depth
+    *    8, color type 2 (truecolor), compression/filter/interlace 0). The
+    *    chunk CRC is zeroed — this harness has no zlib CRC table and the
+    *    parser (like most fast-path decoders) does not verify it.
+    *  - `jpeg`: SOI, a spec-shaped JFIF APP0 segment (length 16,
+    *    identifier "JFIF\0", version 1.1, no thumbnail), and an SOF0
+    *    baseline frame header (length 11, precision 8, height/width as
+    *    big-endian u16, one component) — dimensions live in SOF0, so the
+    *    parser must WALK segments to find them, as a real decoder does.
+    */
+  def headerFor(format: String, width: Int, height: Int): Array[Byte] = format match {
+    case "png" =>
+      require(width > 0 && height > 0, "png dims must be positive")
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+        be32(13) ++ "IHDR".getBytes("US-ASCII") ++
+        be32(width) ++ be32(height) ++
+        Array[Byte](8, 2, 0, 0, 0) ++
+        be32(0) // CRC not computed (documented above)
+    case "jpeg" =>
+      require(width > 0 && height > 0 && width < 65536 && height < 65536,
+        "jpeg dims must fit u16")
+      Array[Byte](0xff.toByte, 0xd8.toByte) ++                 // SOI
+        Array[Byte](0xff.toByte, 0xe0.toByte) ++ be16(16) ++   // APP0, len 16
+        "JFIF".getBytes("US-ASCII") ++ Array[Byte](0, 1, 1, 0) ++
+        be16(1) ++ be16(1) ++ Array[Byte](0, 0) ++             // 1:1 density, no thumb
+        Array[Byte](0xff.toByte, 0xc0.toByte) ++ be16(11) ++   // SOF0, len 11
+        Array[Byte](8) ++ be16(height) ++ be16(width) ++
+        Array[Byte](1, 1, 0x11, 0)                             // 1 component
+    case other => throw new IllegalArgumentException(s"unknown media format: $other")
   }
 
-  /** STUB DECODER — deterministic fake.
+  /** Pure-JVM dimension parse — the real byte-format logic a decode stage
+    * runs before handing pixels to a codec. Format is SNIFFED from the
+    * magic bytes, never trusted from metadata:
     *
-    * A real deployment would decode the payload here (e.g. JPEG → pixel
-    * array) with a native codec initialized once per partition. No image
-    * libraries exist in this container, so the stub derives pseudo-features
-    * purely from the payload length and doc id; it is deterministic so the
-    * DuckDB oracle can reproduce it from `octet_length(text)`. The Spark-side
-    * plumbing (binary column, partition-batched mapPartitions, typed output
-    * encoder) is the real thing.
-    */
-  def decodeStub(r: MediaRecord): MediaFeatures = {
+    *  - PNG: verify the 8-byte signature, then walk chunks
+    *    (length/type/data/crc) until IHDR and read width/height (BE u32).
+    *  - JPEG: verify SOI, then walk marker segments (skipping by each
+    *    segment's declared length, tolerating fill bytes) until a
+    *    start-of-frame marker (SOF0-SOF15 minus DHT/JPG/DAC, as in the
+    *    JPEG spec) and read height/width (BE u16) from its payload.
+    *
+    * Throws on malformed bytes — decode is the stage where a corrupt
+    * object must surface, not flow on as zeros. */
+  def parseDims(media: Array[Byte]): (String, Int, Int) = {
+    def u8(i: Int): Int = media(i) & 0xff
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int): Long = (u16(i).toLong << 16) | u16(i + 2)
+    val pngSig = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a)
+    if (media.length >= 8 && pngSig.indices.forall(i => u8(i) == pngSig(i))) {
+      var off = 8 // walk chunks: u32 length, 4-byte type, data, u32 crc
+      while (off + 8 <= media.length) {
+        val len = u32(off)
+        val ctype = new String(media, off + 4, 4, "US-ASCII")
+        if (ctype == "IHDR") {
+          require(len >= 8 && off + 16 <= media.length, "truncated IHDR")
+          return ("png", u32(off + 8).toInt, u32(off + 12).toInt)
+        }
+        off += 8 + len.toInt + 4
+      }
+      throw new IllegalArgumentException("png: no IHDR chunk")
+    } else if (media.length >= 2 && u8(0) == 0xff && u8(1) == 0xd8) {
+      var off = 2 // walk segments: 0xff marker, u16 length (incl. itself)
+      while (off + 4 <= media.length) {
+        if (u8(off) != 0xff) throw new IllegalArgumentException(
+          f"jpeg: expected marker at $off, got 0x${u8(off)}%02x")
+        var m = u8(off + 1)
+        var p = off + 1
+        while (m == 0xff && p + 1 < media.length) { p += 1; m = u8(p) } // fill bytes
+        val seg = p + 1
+        val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+        if (isSof) {
+          require(seg + 7 <= media.length, "truncated SOF")
+          return ("jpeg", u16(seg + 5), u16(seg + 3))
+        }
+        off = seg + u16(seg)
+      }
+      throw new IllegalArgumentException("jpeg: no SOF marker")
+    } else throw new IllegalArgumentException("unrecognized media magic bytes")
+  }
+
+  /** Wrap the documents table as media objects: the text payload stands in
+    * for the entropy-coded body (this container has no pixel codecs), but
+    * the CONTAINER is real — [[headerFor]] writes a spec-shaped PNG or
+    * JPEG header (alternating by doc id) whose dimension fields the decode
+    * side parses back out of the bytes. Metadata carries the typed sidecar
+    * fields. Dimension values are a deterministic function of payload size
+    * and doc id so the DuckDB oracle can replay them arithmetically while
+    * Spark must earn them through the byte parse. */
+  def toMedia(docs: DataFrame)(implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars").cast("string"))
+      .as[(Long, String, String, String, String)]
+      .map { case (id, text, lang, source, nChars) =>
+        val payload = text.getBytes("UTF-8")
+        val fmt = if (id % 2 == 0) "png" else "jpeg"
+        val w = 64 + (payload.length % 577)
+        val h = (64 + (id * 31) % 417).toInt
+        MediaRecord(id, headerFor(fmt, w, h) ++ payload, fmt,
+          Map("lang" -> lang, "source" -> source, "n_chars" -> nChars))
+      }
+  }
+
+  /** Decode one media object's features by parsing its real header bytes
+    * ([[parseDims]]); sizes/frame counts derive from the full object. */
+  def decode(r: MediaRecord): MediaFeatures = {
+    val (fmt, w, h) = parseDims(r.media)
     val nBytes = r.media.length.toLong
     MediaFeatures(
       doc_id = r.doc_id,
       n_bytes = nBytes,
       n_frames = frameCount(nBytes),
-      width = 64 + nBytes % 577,
-      height = 64 + (r.doc_id * 31) % 417,
-      format = r.format)
+      width = w.toLong,
+      height = h.toLong,
+      format = fmt)
   }
 
   /** Batch feature extraction: one decoder "session" per partition, streamed
@@ -76,7 +172,7 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { it =>
       // codec/session init would happen here, once per partition
-      it.map(decodeStub)
+      it.map(decode)
     }
   }
 

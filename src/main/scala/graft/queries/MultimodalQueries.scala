@@ -6,10 +6,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column operators (builder brief + SURVEY.md §2b): documents
-  * wrapped as opaque binary payloads with typed metadata, decoded and
-  * feature-extracted batch-at-a-time in mapPartitions. The decode itself is
-  * a deterministic stub (no codecs in this container — Multimodal.decodeStub)
-  * so the oracle can reproduce the features from octet_length(encode(text)).
+  * wrapped as binary media objects with typed metadata, decoded and
+  * feature-extracted batch-at-a-time in mapPartitions. Each object carries
+  * a REAL spec-shaped PNG or JPEG header (Multimodal.headerFor) whose
+  * dimension fields the decode stage parses back out of the bytes
+  * (Multimodal.parseDims — signature check + chunk/segment walk); only the
+  * pixel body is stand-in text (no pixel codecs in this container). The
+  * dimension VALUES are a deterministic function of payload size and doc
+  * id, so the oracle replays them from octet_length(encode(text)) while
+  * Spark must earn them through the byte parse.
   */
 object MultimodalQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -24,13 +29,17 @@ object MultimodalQueries {
       .orderBy(col("doc_id"))
   }
 
+  // +33 = Multimodal.HeaderBytes (the real PNG/JPEG container header
+  // prepended by toMedia). width/height replay arithmetically here, but
+  // the Spark side must EARN them by parsing the header bytes — a broken
+  // byte parse yields wrong dims and fails this hash compare.
   private val q63Sql =
     """SELECT doc_id,
-      | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-      | CAST(greatest(1, (octet_length(encode(text)) + 999) // 1000) AS BIGINT) AS n_frames,
+      | CAST(octet_length(encode(text)) + 33 AS BIGINT) AS n_bytes,
+      | CAST(greatest(1, (octet_length(encode(text)) + 33 + 999) // 1000) AS BIGINT) AS n_frames,
       | CAST(64 + octet_length(encode(text)) % 577 AS BIGINT) AS width,
       | CAST(64 + (doc_id * 31) % 417 AS BIGINT) AS height,
-      | 'img' AS format
+      | CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q64
@@ -50,7 +59,7 @@ object MultimodalQueries {
 
   private val q64Sql =
     """SELECT lang, COUNT(*) AS n_media,
-      | CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
+      | CAST(SUM(octet_length(encode(text)) + 33) AS BIGINT) AS total_bytes
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   // ---------------------------------------------------------------- q79
@@ -70,7 +79,7 @@ object MultimodalQueries {
   }
 
   private val q79Sql =
-    """WITH t AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS nb FROM documents),
+    """WITH t AS (SELECT doc_id, CAST(octet_length(encode(text)) + 33 AS BIGINT) AS nb FROM documents),
       |f AS (SELECT doc_id, nb, UNNEST(range(greatest(1, (nb + 999) // 1000))) AS i FROM t)
       |SELECT doc_id,
       | CAST(COUNT(*) FILTER (WHERE i % 3 = 0) AS BIGINT) AS n_sampled,

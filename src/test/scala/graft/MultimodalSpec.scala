@@ -37,4 +37,37 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.meta("resized_bytes") == "256")
     }
   }
+
+  test("header round-trip: parseDims reads back exactly what headerFor wrote") {
+    for ((fmt, w, h) <- Seq(("png", 1, 1), ("png", 640, 480), ("png", 65535, 3),
+        ("jpeg", 1, 1), ("jpeg", 640, 480), ("jpeg", 65535, 65535))) {
+      val bytes = Multimodal.headerFor(fmt, w, h) ++ Array.fill[Byte](10)('x')
+      assert(Multimodal.parseDims(bytes) == ((fmt, w, h)), s"$fmt $w x $h")
+    }
+    // header size invariant the oracle arithmetic depends on
+    assert(Multimodal.headerFor("png", 10, 10).length == Multimodal.HeaderBytes)
+    assert(Multimodal.headerFor("jpeg", 10, 10).length == Multimodal.HeaderBytes)
+  }
+
+  test("parseDims walks real container structure, not fixed offsets") {
+    // PNG: an extra chunk BEFORE IHDR must be walked over (chunk walk, not
+    // a fixed-offset peek). 'tEXt' with 3 bytes of data.
+    val png = Multimodal.headerFor("png", 123, 45)
+    val spliced = png.take(8) ++
+      Array[Byte](0, 0, 0, 3) ++ "tEXt".getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 3) ++ Array[Byte](0, 0, 0, 0) ++
+      png.drop(8)
+    assert(Multimodal.parseDims(spliced) == (("png", 123, 45)))
+    // JPEG: an extra COM segment + a fill byte before SOF0 must be skipped
+    val jpg = Multimodal.headerFor("jpeg", 77, 66)
+    val (soiApp0, sof) = jpg.splitAt(20) // SOI(2) + APP0(18)
+    val withCom = soiApp0 ++
+      Array[Byte](0xff.toByte, 0xfe.toByte, 0, 4, 'h', 'i') ++ // COM, len 4
+      Array[Byte](0xff.toByte) ++ sof.tail                      // fill byte + SOF
+    assert(Multimodal.parseDims(withCom) == (("jpeg", 77, 66)))
+    // garbage must throw, not decode to zeros
+    intercept[IllegalArgumentException](Multimodal.parseDims("not media".getBytes))
+    intercept[IllegalArgumentException](
+      Multimodal.parseDims(jpg.take(20))) // JPEG with no SOF
+  }
 }
