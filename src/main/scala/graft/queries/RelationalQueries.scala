@@ -837,6 +837,52 @@ object RelationalQueries {
       | TRUE AS orders_in_band, TRUE AS parts_in_band
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q107
+  /** TPC-H Q17/Q20-shaped decorrelation: a SCALAR AGGREGATE subquery,
+    * correlated on the OUTER side's join key, inside the WHERE — "lineitems
+    * ordering less than 1/5 of their part's average quantity" (the one
+    * classic decorrelation shape q70's COUNT/MAX projections don't cover:
+    * here the correlated aggregate gates the filter, so a naive engine
+    * re-runs an aggregation per outer row). Catalyst rewrites both
+    * correlated aggregates into ONE per-partkey aggregate joined below the
+    * filter (RewriteCorrelatedScalarSubquery merges them — the executed
+    * plan has a single lineitem re-scan + hash aggregate + join and no
+    * subquery nodes; QueryInventorySpec pins this mechanically). At 100 TB
+    * that is the difference between one shuffle and |lineitem| aggregate
+    * jobs.
+    *
+    * Exact arithmetic: `qty < 0.2 * avg(qty)` is stated as
+    * `5 * qty * count < sum` — quantities are integral, so both engines
+    * compare exact BIGINTs (no double-division boundary rounding); money
+    * sums ride as DECIMAL(15,2) cents. */
+  private val q107: Q = (s, d) => {
+    Tables.part(s, d).createOrReplaceTempView("part_cagg")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_cagg")
+    s.sql(
+      """SELECT p_brand, COUNT(*) AS n_small,
+        | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * 100 AS BIGINT)) AS BIGINT)
+        |   AS sum_price_cents
+        |FROM part_cagg JOIN lineitem_cagg ON l_partkey = p_partkey
+        |WHERE p_size <= 5
+        |  AND 5 * CAST(l_quantity AS BIGINT) *
+        |      (SELECT COUNT(*) FROM lineitem_cagg l2 WHERE l2.l_partkey = p_partkey)
+        |    < (SELECT SUM(CAST(l2.l_quantity AS BIGINT)) FROM lineitem_cagg l2
+        |       WHERE l2.l_partkey = p_partkey)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+  }
+
+  private val q107Sql =
+    """SELECT p_brand, COUNT(*) AS n_small,
+      | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * 100 AS BIGINT)) AS BIGINT)
+      |   AS sum_price_cents
+      |FROM part JOIN lineitem ON l_partkey = p_partkey
+      |WHERE p_size <= 5
+      |  AND 5 * CAST(l_quantity AS BIGINT) *
+      |      (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+      |    < (SELECT SUM(CAST(l2.l_quantity AS BIGINT)) FROM lineitem l2
+      |       WHERE l2.l_partkey = p_partkey)
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -867,6 +913,7 @@ object RelationalQueries {
     "q48_supplier_region_join" -> q48,
     "q49_sort_merge_join" -> q49,
     "q70_correlated_subqueries" -> q70,
+    "q107_correlated_agg_predicate" -> q107,
     "q71_distribution_windows" -> q71,
     "q72_collection_funcs" -> q72,
     "q73_hash_bucket_sample" -> q73,
@@ -906,6 +953,7 @@ object RelationalQueries {
     "q48_supplier_region_join" -> q48Sql,
     "q49_sort_merge_join" -> q49Sql,
     "q70_correlated_subqueries" -> q70Sql,
+    "q107_correlated_agg_predicate" -> q107Sql,
     "q71_distribution_windows" -> q71Sql,
     "q72_collection_funcs" -> q72Sql,
     "q73_hash_bucket_sample" -> q73Sql,

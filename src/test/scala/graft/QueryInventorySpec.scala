@@ -52,6 +52,28 @@ class QueryInventorySpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
 
+  test("q107's correlated aggregate predicate is decorrelated (no per-row subquery)") {
+    val fn = SparkEntry.queries("q107_correlated_agg_predicate")
+    val qe = fn(spark, dir).queryExecution
+    // Decorrelation must leave NO subquery expression in the optimized
+    // plan: the correlated aggregates become an aggregate-below-join.
+    // A surviving scalar-subquery would re-run an aggregation per outer
+    // row — the pattern this query exists to prove Catalyst removes.
+    val subqueries = qe.optimizedPlan.collect {
+      case p if p.expressions.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])) => p
+    }
+    assert(subqueries.isEmpty,
+      s"q107 kept per-row subqueries:\n${qe.optimizedPlan.treeString.take(2000)}")
+    // and the rewrite's signature: an aggregate on the inner lineitem scan
+    // feeding a join (the single re-scan + hash agg + join shape)
+    val hasAggregate = qe.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(hasAggregate.size >= 2, "expected the decorrelated per-partkey aggregate " +
+      "plus the final group-by in the optimized plan")
+  }
+
   test("no query plans a global (partition-less) window") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.optimizedPlan
