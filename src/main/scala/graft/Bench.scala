@@ -44,6 +44,16 @@ object Bench {
     }
     require(selected.keySet.map(shortKey).size == selected.size,
       "short bench keys must stay unique")
+    // Contention evidence (VERDICT r5: a loaded box inflated BENCH_r05 ~3×
+    // and cost a full re-measure to adjudicate): record the 1/5/15-min load
+    // averages before and after the run, plus each query's min→max spread
+    // across its passes. A large load or a wide spread marks the number as
+    // contention-polluted without anyone having to re-run the suite.
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split(" ").take(3).mkString(" ")
+      catch { case _: Throwable => "unavailable" }
+    val loadStart = loadavg()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
@@ -57,7 +67,8 @@ object Bench {
       val median =
         if (times.contains(-1.0)) -1.0
         else times.sorted.apply(times.size / 2)
-      name -> median
+      val spread = if (times.contains(-1.0)) 0.0 else times.max - times.min
+      (name, median, spread)
     }
     // One JSON line, headline total first, values at 3-decimal precision.
     // Query keys are compacted to their "qNN" prefix: the driver captures
@@ -67,9 +78,18 @@ object Bench {
     // the capture window; the prefix is unique across the inventory.
     def f3(v: Double): String = f"$v%.3f"
     val total = results.map(_._2).filter(_ >= 0).sum
-    val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + f3(v) }
+    val qs = results.map { case (k, v, _) => "\"" + shortKey(k) + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","passes":$passes,"queries":$qs,"sf":"$sfDir"}""")
+    // spread stays aggregated (worst query + suite total), not per-query:
+    // the driver captures only a ~3 KB stdout tail, so the line must stay
+    // small — the aggregate is enough to adjudicate contention.
+    val loadEnd = loadavg()
+    val spreadTotal = results.map(_._3).sum
+    val (worstQ, _, worstSpread) =
+      if (results.nonEmpty) results.maxBy(_._3) else ("none", 0.0, 0.0)
+    val contention = s""""load_start":"$loadStart","load_end":"$loadEnd",""" +
+      s""""spread_total":${f3(spreadTotal)},"spread_max_q":"${shortKey(worstQ)}","spread_max_s":${f3(worstSpread)}"""
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","passes":$passes,$contention,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
