@@ -843,13 +843,13 @@ object RelationalQueries {
     * ordering less than 1/5 of their part's average quantity" (the one
     * classic decorrelation shape q70's COUNT/MAX projections don't cover:
     * here the correlated aggregate gates the filter, so a naive engine
-    * re-runs an aggregation per outer row). Catalyst rewrites both
-    * correlated aggregates into ONE per-partkey aggregate joined below the
-    * filter (RewriteCorrelatedScalarSubquery merges them — the executed
-    * plan has a single lineitem re-scan + hash aggregate + join and no
-    * subquery nodes; QueryInventorySpec pins this mechanically). At 100 TB
-    * that is the difference between one shuffle and |lineitem| aggregate
-    * jobs.
+    * re-runs an aggregation per outer row). Catalyst decorrelates both
+    * aggregates into per-partkey partial+final hash aggregates joined
+    * BELOW the filter — the executed plan (PLANS.md) is two aggregated
+    * broadcast joins (COUNT and SUM subtrees) with no subquery nodes;
+    * QueryInventorySpec pins the no-subquery shape mechanically. At
+    * 100 TB that is the difference between a constant number of shuffles
+    * and |outer| aggregate jobs.
     *
     * Exact arithmetic: `qty < 0.2 * avg(qty)` is stated as
     * `5 * qty * count < sum` — quantities are integral, so both engines
