@@ -71,10 +71,30 @@ object SetSimilarityJoin {
     * n_b − p_b). Verified exactly on candidates via `sorted_overlap`. */
   def containmentJoin(sets: DataFrame, idCol: String, setCol: String,
       threshold: Double): DataFrame = {
-    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
     graft.functions.SetKernels.register(sets.sparkSession)
     val ss = sets.select(col(idCol), array_distinct(col(setCol)).as("_set"))
-    val ex = ss.select(col(idCol), explode(col("_set")).as("tok"))
+    val cand = containmentCandidates(ss, idCol, "_set", threshold)
+    val s2 = ss.select(col(idCol), sort_array(col("_set")).as("_set"))
+    cand
+      .join(s2.select(col(idCol).as("id_a"), col("_set").as("toks_a")), Seq("id_a"))
+      .join(s2.select(col(idCol).as("id_b"), col("_set").as("toks_b")), Seq("id_b"))
+      .withColumn("n_inter", expr("sorted_overlap(toks_a, toks_b)").cast("long"))
+      .withColumn("n_a", size(col("toks_a")).cast("long"))
+      .filter(col("n_inter").cast("double") >= col("n_a") * threshold - 1e-9)
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_a"))
+  }
+
+  /** The containment join's pruned candidate stage alone: all ordered
+    * (id_a, id_b) pairs surviving the prefix, length, positional, and
+    * length-bucket filters — a lossless superset of the true containment
+    * result, before the exact verify. Public for the same reason as
+    * [[candidatePairs]]: candidate volume is the deterministic work metric
+    * scaling runs report (wall-clock on a shared box is contention-noisy;
+    * candidate counts are not). `setCol` elements must be distinct. */
+  def containmentCandidates(sets: DataFrame, idCol: String, setCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    val ex = sets.select(col(idCol), explode(col(setCol)).as("tok"))
     val dfreq = ex.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val sorted = ex.join(dfreq, Seq("tok"))
       .groupBy(col(idCol))
@@ -119,20 +139,12 @@ object SetSimilarityJoin {
       .withColumn("k", explode(sequence(col("kmin"), col("kcap"))))
       .drop("kmin", "kmax", "kcap")
     val minOverlap = lit(threshold) * col("n_a").cast("double") - lit(1e-9)
-    val cand = lb.join(rb, Seq("tok", "k"))
+    lb.join(rb, Seq("tok", "k"))
       .filter(col("id_a") =!= col("id_b"))
       .filter(col("n_b").cast("double") >= minOverlap)
       .filter((lit(1) + least(col("n_a") - col("p_a"), col("n_b") - col("p_b")))
         .cast("double") >= minOverlap)
       .select(col("id_a"), col("id_b")).distinct()
-    val s2 = ss.select(col(idCol), sort_array(col("_set")).as("_set"))
-    cand
-      .join(s2.select(col(idCol).as("id_a"), col("_set").as("toks_a")), Seq("id_a"))
-      .join(s2.select(col(idCol).as("id_b"), col("_set").as("toks_b")), Seq("id_b"))
-      .withColumn("n_inter", expr("sorted_overlap(toks_a, toks_b)").cast("long"))
-      .withColumn("n_a", size(col("toks_a")).cast("long"))
-      .filter(col("n_inter").cast("double") >= col("n_a") * threshold - 1e-9)
-      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_a"))
   }
 
   /** The pruned candidate stage alone: all (id_a, id_b) pairs surviving the
