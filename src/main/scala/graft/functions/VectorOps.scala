@@ -158,6 +158,51 @@ case class L2Dist2L(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Exact dot product of two quantized (bigint) vectors — the semantic-dedup
+  * similarity kernel. Pure long arithmetic, so a threshold compare can never
+  * straddle a float rounding boundary between engines. Overflow-free for
+  * ×10⁴-quantized unit-norm components (|x·y| ≤ 10⁸, × 64 dims ≪ 2⁶³). */
+case class DotProductL(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dot_l"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $x.getLong($i) * $y.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** L2 norm of a float vector, accumulated in index order as double. */
 case class L2NormF(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
@@ -210,6 +255,7 @@ object VectorOps {
     reg.createOrReplaceTempFunction("l2norm_f", es => L2NormF(es.head), "built-in")
     reg.createOrReplaceTempFunction("l2dist2_f", es => L2Dist2F(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("l2dist2_l", es => L2Dist2L(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("dot_l", es => DotProductL(es(0), es(1)), "built-in")
   }
 
   /** Dot product of two array<float> columns (codegen'd). */

@@ -298,8 +298,12 @@ object SimilarityQueries {
         min(col("vec_id")).as("first_member"))
       .orderBy(col("cid"))
 
-  private val q98Sql: String =
-    """WITH q AS (SELECT vec_id, list_transform(embedding,
+  /** The k-means fit as a DuckDB CTE chain ending in
+    * `a2(vec_id, cid, d2)` (+ `q(vec_id, qvec)` upstream) — the exact
+    * replay of [[graft.operators.KMeansLloyd]].fit(k=8, iters=2), shared
+    * by q98 (cluster census) and q108 (semantic dedup). */
+  private val kmeansCte: String =
+    """q AS (SELECT vec_id, list_transform(embedding,
       |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)) AS qvec
       |  FROM embeddings),
       |st AS (SELECT greatest(1, (SELECT COUNT(*) FROM q) // 8) AS stride),
@@ -323,10 +327,44 @@ object SimilarityQueries {
       |        GROUP BY vec_id, cid),
       |a2 AS (SELECT vec_id, cid, d2 FROM (
       |    SELECT vec_id, cid, d2, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
-      |    FROM d2t) WHERE rk = 1)
+      |    FROM d2t) WHERE rk = 1)""".stripMargin
+
+  private val q98Sql: String =
+    s"""WITH $kmeansCte
       |SELECT cid, COUNT(*) AS n_members, CAST(SUM(d2) AS BIGINT) AS inertia,
       | MIN(vec_id) AS first_member
       |FROM a2 GROUP BY cid ORDER BY cid""".stripMargin
+
+  // ---------------------------------------------------------------- q108
+  /** Semantic dedup (SemDeDup, arXiv:2303.09540) via
+    * [[graft.operators.SemDedup]]: k-means partition (the q98 fit, k=8),
+    * within-cluster exact-integer dot similarity, keep the ε-similar pair
+    * member closer to its centroid. minDotQ = 2.5×10⁷ ≈ cosine 0.25 for
+    * the ×10⁴-quantized unit-norm embeddings. ORACLE-VERIFIED end to end:
+    * the fit replays via [[kmeansCte]] and the dominated-pair pruning is
+    * pure long arithmetic in both engines. */
+  private val q108: Q = (s, d) =>
+    graft.operators.SemDedup
+      .dedup(Tables.embeddings(s, d), "vec_id", "embedding",
+        k = 8, iters = 2, minDotQ = 25000000L)
+      .orderBy(col("vec_id"))
+
+  private val q108Sql: String =
+    s"""WITH $kmeansCte,
+      |pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |        qa.qvec AS qa, qb.qvec AS qb
+      |       FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+      |        AND (b.d2 < a.d2 OR (b.d2 = a.d2 AND b.vec_id < a.vec_id))
+      |       JOIN q qa ON qa.vec_id = a.vec_id
+      |       JOIN q qb ON qb.vec_id = b.vec_id),
+      |dp AS (SELECT id_a, id_b, SUM(x * y) AS dq
+      |       FROM (SELECT id_a, id_b, UNNEST(qa) AS x, UNNEST(qb) AS y FROM pr)
+      |       GROUP BY id_a, id_b),
+      |dr AS (SELECT DISTINCT id_a FROM dp WHERE dq >= 25000000)
+      |SELECT a2.vec_id, a2.cid, CAST(a2.d2 AS BIGINT) AS d2,
+      | CAST(CASE WHEN dr.id_a IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+      |FROM a2 LEFT JOIN dr ON dr.id_a = a2.vec_id
+      |ORDER BY a2.vec_id""".stripMargin
 
   // ---------------------------------------------------------------- q85
   /** The declarative dot-product formulation — `aggregate(zip_with(a, b,
@@ -355,7 +393,8 @@ object SimilarityQueries {
     "q43_ann_lsh_bucketed" -> q43,
     "q51_ann_ivf" -> q51,
     "q90_ann_pq" -> q90,
-    "q98_kmeans_clusters" -> q98)
+    "q98_kmeans_clusters" -> q98,
+    "q108_semdedup" -> q108)
 
   val oracle: Map[String, String] = Map(
     "q40_cosine_vs_query" -> q40Sql,
@@ -365,5 +404,6 @@ object SimilarityQueries {
     "q43_ann_lsh_bucketed" -> q43Sql,
     "q51_ann_ivf" -> q51Sql,
     "q90_ann_pq" -> q90Sql,
-    "q98_kmeans_clusters" -> q98Sql)
+    "q98_kmeans_clusters" -> q98Sql,
+    "q108_semdedup" -> q108Sql)
 }
