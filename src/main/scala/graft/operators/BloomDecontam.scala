@@ -1,0 +1,72 @@
+package graft.operators
+
+import java.util.Base64
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.functions._
+
+/** Bloom-pre-filtered benchmark decontamination — the two-stage shape for
+  * train/eval overlap at corpus scale.
+  *
+  * q93's one-stage form broadcasts the eval shingle set and equi-joins the
+  * FULL train shingle inventory against it: every train shingle crosses
+  * the exchange even though almost none match. The classic fix is a Bloom
+  * filter over the eval shingles applied map-side to the train side first:
+  * at ~9.6 bits/element (3% fpp) the filter is 20-50× smaller than the
+  * string set it summarizes, and the exchange then carries only true
+  * matches + the fpp tail. Bloom filters have NO false negatives, so the
+  * pre-filter is lossless and the exact join downstream makes the final
+  * result identical to the unfiltered pipeline — which is why q109 shares
+  * q93's DuckDB oracle verbatim (the Bloom stage must be invisible in the
+  * output).
+  *
+  * Spark-native: the filter is Spark's own `BloomFilterAggregate` /
+  * `BloomFilterMightContain` pair — the machinery InjectRuntimeFilter uses
+  * for automatic runtime row filtering — surfaced as an explicit operator
+  * (registered in the session's function registry like the graft kernels;
+  * keys are `xxhash64` longs as in the runtime-filter rule). The built
+  * filter is collected (it is eval-sized, i.e. tiny by the asymmetry this
+  * operator exists for) and embedded as a foldable `unbase64` literal so
+  * `BloomFilterMightContain`'s constant-bloom contract holds; the same
+  * localize move as [[KMeansLloyd]]'s centroids.
+  *
+  * Scale shape: one hash-agg job builds the filter (partial aggregation —
+  * per-partition Blooms OR-merged); the train side is then a map-only
+  * codegen filter BEFORE any exchange; the residual exact join inherits
+  * q93's broadcast-eval + df-filtered-shingle shape. At 100 TB the win is
+  * the exchange volume: |train shingles| → |hits| + fpp·|train shingles|.
+  */
+object BloomDecontam {
+
+  /** Register the Bloom pair under explicit names (not registered by
+    * default — Spark only instantiates them inside optimizer rules). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("bloom_filter_agg",
+      es => new BloomFilterAggregate(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("bloom_might_contain",
+      es => BloomFilterMightContain(es(0), es(1)), "built-in")
+  }
+
+  /** All (train_id, test_id, n_shared) pairs sharing ≥ `minShared`
+    * shingles, Bloom-pruned then exactly joined. `train`/`eval` carry
+    * (`shingle`, `train_id`) / (`shingle`, `test_id`); `expectedItems`
+    * sizes the filter (overestimating only wastes bits, never drops). */
+  def contaminatedPairs(train: DataFrame, eval: DataFrame,
+      expectedItems: Long, minShared: Int): DataFrame = {
+    val spark = train.sparkSession
+    register(spark)
+    val bf = eval
+      .agg(expr(s"bloom_filter_agg(xxhash64(shingle), ${expectedItems}L)").as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val b64 = Base64.getEncoder.encodeToString(bf)
+    val pruned = train.filter(
+      expr(s"bloom_might_contain(unbase64('$b64'), xxhash64(shingle))"))
+    pruned.join(broadcast(eval), Seq("shingle"))
+      .groupBy(col("train_id"), col("test_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+}

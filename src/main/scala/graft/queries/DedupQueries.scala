@@ -419,9 +419,34 @@ object DedupQueries {
       |HAVING COUNT(*) >= 3
       |ORDER BY train_id, test_id""".stripMargin
 
+  // ---------------------------------------------------------------- q109
+  /** q93's decontamination contract computed through the Bloom-pre-filter
+    * scale path ([[graft.operators.BloomDecontam]]): a Bloom filter over
+    * the eval shingles prunes the train side map-side BEFORE any exchange.
+    * No false negatives ⇒ the exact join downstream yields bit-identical
+    * output, so q109 shares q93's oracle SQL verbatim — the correctness
+    * gate itself proves the Bloom stage is lossless. */
+  private val q109: Q = (s, d) => {
+    val docs = withShingles(Tables.documents(s, d), "text")
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val informative = docs.groupBy(col("shingle"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") <= 50)
+      .select(col("shingle"))
+    val test = docs.filter(col("doc_id") % 97 === 0)
+      .join(informative, Seq("shingle"))
+      .select(col("shingle"), col("doc_id").as("test_id"))
+    val train = docs.filter(col("doc_id") % 97 =!= 0)
+      .select(col("shingle"), col("doc_id").as("train_id"))
+    graft.operators.BloomDecontam
+      .contaminatedPairs(train, test, expectedItems = 1 << 16, minShared = 3)
+      .orderBy(col("train_id"), col("test_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q86_setsim_prefix_join" -> q86,
     "q93_decontamination" -> q93,
+    "q109_bloom_decontam" -> q109,
     "q35_dedup_exact_text" -> q35,
     "q36_jaccard_consecutive" -> q36,
     "q66_minhash_lsh_verified" -> q66,
@@ -443,6 +468,7 @@ object DedupQueries {
   val oracle: Map[String, String] = Map(
     "q86_setsim_prefix_join" -> q86Sql,
     "q93_decontamination" -> q93Sql,
+    "q109_bloom_decontam" -> q93Sql,
     "q35_dedup_exact_text" -> q35Sql,
     "q36_jaccard_consecutive" -> q36Sql,
     "q66_minhash_lsh_verified" -> q66Sql,
