@@ -48,10 +48,44 @@ object ScalingProbe {
       .containmentJoin(docs, "doc_id", "sh", 0.8).count()
     val q66Pairs = SparkEntry.queries("q66_minhash_lsh_verified")(spark, sfDir).count()
 
+    // q108: within-cluster ORDERED pair volume Σ n_c·(n_c−1) — the work the
+    // cid-keyed pair join performs — plus the kept-count verdict. Same
+    // corpus-scaled k as the query (k = ⌈n/250⌉): at fixed k this counter
+    // measured 200× at 10× data, which is what forced the scaling.
+    val emb = Tables.embeddings(spark, sfDir)
+    val kScaled = math.max(1L, (emb.count() + 249L) / 250L).toInt
+    val fitted = operators.KMeansLloyd
+      .fit(emb, "vec_id", "embedding", k = kScaled, iters = 2)
+    val q108PairVol = fitted.groupBy(col("cid")).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * (col("n") - 1))).head().getLong(0)
+    val q108Kept = SparkEntry.queries("q108_semdedup")(spark, sfDir)
+      .filter(col("kept") === 1).count()
+
+    // q109: train shingle rows surviving the Bloom prune (deterministic:
+    // the filter's bit pattern is a pure function of the eval shingle SET)
+    // vs the unpruned train volume the one-stage join would shuffle.
+    val docSh = Tables.documents(spark, sfDir)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), explode(expr("word_shingles(text, 3)")).as("shingle"))
+      .distinct()
+    val trainSh = docSh.filter(col("doc_id") % 97 =!= 0)
+      .select(col("shingle"), col("doc_id").as("train_id"))
+    val evalSh = docSh.filter(col("doc_id") % 97 === 0)
+      .select(col("shingle"), col("doc_id").as("test_id"))
+    operators.BloomDecontam.register(spark)
+    val bf = evalSh.agg(expr("bloom_filter_agg(xxhash64(shingle), 65536L)").as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val b64 = java.util.Base64.getEncoder.encodeToString(bf)
+    val q109Train = trainSh.count()
+    val q109Pass = trainSh.filter(
+      expr(s"bloom_might_contain(unbase64('$b64'), xxhash64(shingle))")).count()
+
     println(s"""{"sf":"$sfDir","docs":$nDocs,"shingles":$totShingles,""" +
       s""""q86_cand":$q86Cand,"q86_pairs":$q86Pairs,""" +
       s""""q103_cand":$q103Cand,"q103_pairs":$q103Pairs,""" +
-      s""""q66_pairs":$q66Pairs}""")
+      s""""q66_pairs":$q66Pairs,""" +
+      s""""q108_pairvol":$q108PairVol,"q108_kept":$q108Kept,""" +
+      s""""q109_train":$q109Train,"q109_bloom_pass":$q109Pass}""")
     spark.stop()
   }
 }

@@ -300,15 +300,18 @@ object SimilarityQueries {
 
   /** The k-means fit as a DuckDB CTE chain ending in
     * `a2(vec_id, cid, d2)` (+ `q(vec_id, qvec)` upstream) — the exact
-    * replay of [[graft.operators.KMeansLloyd]].fit(k=8, iters=2), shared
-    * by q98 (cluster census) and q108 (semantic dedup). */
-  private val kmeansCte: String =
-    """q AS (SELECT vec_id, list_transform(embedding,
+    * replay of [[graft.operators.KMeansLloyd]].fit(iters=2) at `kSql`
+    * clusters, shared by q98 (cluster census, fixed k=8) and q108
+    * (semantic dedup, corpus-scaled k). `kSql` may be any scalar SQL
+    * expression over `q`. */
+  private def kmeansCte(kSql: String): String =
+    s"""q AS (SELECT vec_id, list_transform(embedding,
       |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)) AS qvec
       |  FROM embeddings),
-      |st AS (SELECT greatest(1, (SELECT COUNT(*) FROM q) // 8) AS stride),
+      |kk AS (SELECT $kSql AS k),
+      |st AS (SELECT greatest(1, (SELECT COUNT(*) FROM q) // (SELECT k FROM kk)) AS stride),
       |c0 AS (SELECT CAST(vec_id // st.stride AS INT) AS cid, qvec AS centroid
-      |       FROM q, st WHERE vec_id % st.stride = 0 AND vec_id // st.stride < 8),
+      |       FROM q, st WHERE vec_id % st.stride = 0 AND vec_id // st.stride < (SELECT k FROM kk)),
       |d1 AS (SELECT vec_id, cid, SUM((x - y) * (x - y)) AS d2
       |       FROM (SELECT q.vec_id, c0.cid, UNNEST(q.qvec) AS x, UNNEST(c0.centroid) AS y
       |             FROM q, c0)
@@ -330,27 +333,35 @@ object SimilarityQueries {
       |    FROM d2t) WHERE rk = 1)""".stripMargin
 
   private val q98Sql: String =
-    s"""WITH $kmeansCte
+    s"""WITH ${kmeansCte("8")}
       |SELECT cid, COUNT(*) AS n_members, CAST(SUM(d2) AS BIGINT) AS inertia,
       | MIN(vec_id) AS first_member
       |FROM a2 GROUP BY cid ORDER BY cid""".stripMargin
 
   // ---------------------------------------------------------------- q108
   /** Semantic dedup (SemDeDup, arXiv:2303.09540) via
-    * [[graft.operators.SemDedup]]: k-means partition (the q98 fit, k=8),
-    * within-cluster exact-integer dot similarity, keep the ε-similar pair
-    * member closer to its centroid. minDotQ = 2.5×10⁷ ≈ cosine 0.25 for
-    * the ×10⁴-quantized unit-norm embeddings. ORACLE-VERIFIED end to end:
-    * the fit replays via [[kmeansCte]] and the dominated-pair pruning is
-    * pure long arithmetic in both engines. */
-  private val q108: Q = (s, d) =>
+    * [[graft.operators.SemDedup]]: k-means partition, within-cluster
+    * exact-integer dot similarity, keep the ε-similar pair member closer
+    * to its centroid. minDotQ = 2.5×10⁷ ≈ cosine 0.25 for the
+    * ×10⁴-quantized unit-norm embeddings.
+    *
+    * k SCALES WITH THE CORPUS — k = ⌈n/250⌉, target cluster size 250 —
+    * because the within-cluster pair volume is Σ n_c², which at FIXED k
+    * grows quadratically with the corpus (measured by ScalingProbe:
+    * 503 k pairs at sf0.1 → 100.5 M at sf1 with k=8 — a 200× blow-up for
+    * 10× data; corpus-scaled k restores ~n·250, i.e. linear). The oracle
+    * computes the same k from the same count, so the replay stays exact at
+    * every scale factor. */
+  private val q108: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val k = math.max(1L, (emb.count() + 249L) / 250L).toInt
     graft.operators.SemDedup
-      .dedup(Tables.embeddings(s, d), "vec_id", "embedding",
-        k = 8, iters = 2, minDotQ = 25000000L)
+      .dedup(emb, "vec_id", "embedding", k = k, iters = 2, minDotQ = 25000000L)
       .orderBy(col("vec_id"))
+  }
 
   private val q108Sql: String =
-    s"""WITH $kmeansCte,
+    s"""WITH ${kmeansCte("CAST(((SELECT COUNT(*) FROM q) + 249) // 250 AS INT)")},
       |pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       |        qa.qvec AS qa, qb.qvec AS qb
       |       FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id <> b.vec_id
