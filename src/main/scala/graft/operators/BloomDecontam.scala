@@ -30,7 +30,14 @@ import org.apache.spark.sql.functions._
   * filter is collected (it is eval-sized, i.e. tiny by the asymmetry this
   * operator exists for) and embedded as a foldable `unbase64` literal so
   * `BloomFilterMightContain`'s constant-bloom contract holds; the same
-  * localize move as [[KMeansLloyd]]'s centroids.
+  * localize move as [[KMeansLloyd]]'s centroids. The literal is
+  * eval-proportional (~1.2 MB per million eval shingles at 3% fpp) — fine
+  * for realistic eval suites; should the eval side ever strain the
+  * driver, the zero-collect upgrade is the scalar-subquery form
+  * `BloomFilterMightContain` equally accepts,
+  * `bloom_might_contain((SELECT bloom_filter_agg(..) FROM eval), ..)` —
+  * exactly how InjectRuntimeFilter plans it (subquery broadcast; the
+  * filter bytes never touch the driver).
   *
   * Scale shape: one hash-agg job builds the filter (partial aggregation —
   * per-partition Blooms OR-merged); the train side is then a map-only

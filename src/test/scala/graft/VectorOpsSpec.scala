@@ -57,6 +57,24 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(row.getDouble(2) == row.getDouble(3))
   }
 
+  test("dot_l matches a BigInt reference and never overflows at kernel bounds") {
+    import spark.implicits._
+    VectorOps.register(spark)
+    val rng = new scala.util.Random(21)
+    // components at the x1e4-quantized unit-norm bound (|v| <= 10000)
+    val rows = (0 until 50).map { _ =>
+      (Array.fill(64)((rng.nextInt(20001) - 10000).toLong),
+        Array.fill(64)((rng.nextInt(20001) - 10000).toLong))
+    }
+    val got = rows.toDF("x", "y").select(expr("dot_l(x, y)")).collect().map(_.getLong(0))
+    val want = rows.map { case (x, y) =>
+      x.zip(y).map { case (a, b) => BigInt(a) * BigInt(b) }.sum
+    }
+    got.zip(want).foreach { case (g, w) =>
+      assert(w.isValidLong && g == w.toLong)
+    }
+  }
+
   test("GlobalIndex matches a single-partition row_number") {
     import spark.implicits._
     val df = Seq(30L, 10L, 50L, 20L, 40L).toDF("k")
