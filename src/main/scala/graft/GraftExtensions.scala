@@ -35,6 +35,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("l2dist2_l"),
       info("l2dist2_l", "l2dist2_l(a, b) - exact squared L2 distance of two array<bigint> vectors"),
       (es: Seq[Expression]) => L2Dist2L(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("dot_l"),
+      info("dot_l", "dot_l(a, b) - exact dot product of two array<bigint> vectors"),
+      (es: Seq[Expression]) => DotProductL(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("bloom_filter_agg"),
+      info("bloom_filter_agg",
+        "bloom_filter_agg(xxhash64(col), est) - Bloom filter over a column's hashes"),
+      ((es: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          es(0), es(1)).toAggregateExpression())))
+    ext.injectFunction((FunctionIdentifier("bloom_might_contain"),
+      info("bloom_might_contain",
+        "bloom_might_contain(bf, xxhash64(col)) - Bloom filter membership probe"),
+      (es: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1))))
     ext.injectFunction((FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "minhash_sig(shingles) - 32-slot MinHash signature"),
       (es: Seq[Expression]) => MinHashSig(es.head)))

@@ -41,4 +41,46 @@ class GraftExtensionsSpec extends AnyFunSuite {
       SparkSession.setActiveSession(base)
     }
   }
+
+  test("extensions cover every name the per-object registrars add (mechanical parity)") {
+    // Names the ad-hoc path registers: run every registrar against a FRESH
+    // session (the shared one may already carry graft names from earlier
+    // suites) and diff its registry. Any kernel added with a register()
+    // helper but forgotten in GraftExtensions fails here instead of
+    // surfacing as a missing function in a spark.sql.extensions deployment
+    // (dot_l briefly had exactly this gap).
+    val base = TestSpark.spark
+    val plain = base.newSession()
+    val reg = plain.sessionState.functionRegistry
+    val before = reg.listFunction().map(_.funcName).toSet
+    graft.functions.VectorOps.register(plain)
+    graft.functions.TextKernels.register(plain)
+    graft.functions.SetKernels.register(plain)
+    graft.functions.UnicodeKernels.register(plain)
+    graft.functions.MinHashSig.register(plain)
+    graft.functions.MinHashBands.register(plain)
+    graft.functions.MisraGries.register(plain)
+    graft.functions.RollingFingerprint.register(plain)
+    graft.functions.WeightedAvg.register(plain)
+    graft.operators.BloomDecontam.register(plain)
+    val custom = reg.listFunction().map(_.funcName).toSet -- before
+    assert(custom.nonEmpty, "vacuous: no registrar added a function")
+
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val ext = SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val extNames = ext.sessionState.functionRegistry
+        .listFunction().map(_.funcName).toSet
+      val missing = custom -- extNames
+      assert(missing.isEmpty,
+        s"registrar-only functions not in GraftExtensions: ${missing.toSeq.sorted}")
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
 }
