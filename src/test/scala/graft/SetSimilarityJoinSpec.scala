@@ -85,6 +85,22 @@ class SetSimilarityJoinSpec extends AnyFunSuite {
     assert(got.find(p => p._1 == 3L).get._3 == 1.0, "duplicates must not dilute jaccard")
   }
 
+  test("each qualifying pair appears exactly once even when candidates collide") {
+    import spark.implicits._
+    // The verify stage consumes the RAW candidate stream (one row per shared
+    // prefix token) and dedups the verified output; the other tests compare
+    // collected Sets, which would hide a duplicate-row regression. Identical
+    // large sets maximize prefix sharing (at t=0.5, |prefix| = n/2 + 1
+    // shared tokens → the same pair enters verify many times), so a missing
+    // output dedup turns up here as extra rows, not just equal sets.
+    val toks = (0 until 10).map(i => s"c$i").toArray
+    val df = Seq(1L -> toks, 2L -> toks, 3L -> toks).toDF("id", "toks")
+    val jac = SetSimilarityJoin.jaccardJoin(df, "id", "toks", 0.5).collect()
+    assert(jac.length == 3, s"expected 3 unordered pair rows, got ${jac.length}")
+    val con = SetSimilarityJoin.containmentJoin(df, "id", "toks", 0.5).collect()
+    assert(con.length == 6, s"expected 6 ordered pair rows, got ${con.length}")
+  }
+
   private def bruteContainment(sets: Seq[(Long, Set[String])], t: Double): Set[(Long, Long)] =
     (for {
       (ia, sa) <- sets; (ib, sb) <- sets if ia != ib
