@@ -103,8 +103,18 @@ object Multimodal {
         val ctype = new String(media, off + 4, 4, "US-ASCII")
         if (ctype == "IHDR") {
           require(len >= 8 && off + 16 <= media.length, "truncated IHDR")
-          return ("png", u32(off + 8).toInt, u32(off + 12).toInt)
+          val (w, h) = (u32(off + 8), u32(off + 12))
+          require(w > 0 && w <= Int.MaxValue && h > 0 && h <= Int.MaxValue,
+            s"png: IHDR dimensions out of range ($w x $h)")
+          return ("png", w.toInt, h.toInt)
         }
+        // The untrusted u32 length must be bounds-checked BEFORE advancing:
+        // len.toInt on a value >= 2^31 is zero/negative, which would walk
+        // the offset backwards and loop forever on a corrupt chunk instead
+        // of throwing (the documented contract for malformed bytes).
+        if (len > media.length.toLong - off - 12)
+          throw new IllegalArgumentException(
+            s"png: chunk '$ctype' at $off claims $len bytes past end of buffer")
         off += 8 + len.toInt + 4
       }
       throw new IllegalArgumentException("png: no IHDR chunk")

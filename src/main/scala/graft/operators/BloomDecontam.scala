@@ -59,18 +59,34 @@ object BloomDecontam {
 
   /** All (train_id, test_id, n_shared) pairs sharing ≥ `minShared`
     * shingles, Bloom-pruned then exactly joined. `train`/`eval` carry
-    * (`shingle`, `train_id`) / (`shingle`, `test_id`); `expectedItems`
-    * sizes the filter (overestimating only wastes bits, never drops). */
+    * (`shingle`, `train_id`) / (`shingle`, `test_id`); `expectedItems` is
+    * a FLOOR on the filter size — the filter is sized at
+    * max(expectedItems, actual eval row count), so a fixed call-site
+    * constant cannot silently undersize the filter when the eval suite
+    * grows (undersizing inflates fpp and erodes the map-side prune;
+    * overestimating only wastes bits, never drops). The count is one
+    * extra job over the eval side, which is tiny by this operator's
+    * asymmetry contract. */
   def contaminatedPairs(train: DataFrame, eval: DataFrame,
       expectedItems: Long, minShared: Int): DataFrame = {
     val spark = train.sparkSession
     register(spark)
-    val bf = eval
-      .agg(expr(s"bloom_filter_agg(xxhash64(shingle), ${expectedItems}L)").as("bf"))
-      .head().getAs[Array[Byte]](0)
-    val b64 = Base64.getEncoder.encodeToString(bf)
-    val pruned = train.filter(
-      expr(s"bloom_might_contain(unbase64('$b64'), xxhash64(shingle))"))
+    val evalRows = eval.count()
+    // bloom_filter_agg over zero rows evaluates to null, not an empty
+    // filter; an empty eval suite means no contamination by definition,
+    // so prune everything (keeping the output schema) instead of NPE-ing
+    // on the null literal.
+    val pruned =
+      if (evalRows == 0) train.filter(lit(false))
+      else {
+        val sized = math.max(expectedItems, evalRows)
+        val bf = eval
+          .agg(expr(s"bloom_filter_agg(xxhash64(shingle), ${sized}L)").as("bf"))
+          .head().getAs[Array[Byte]](0)
+        val b64 = Base64.getEncoder.encodeToString(bf)
+        train.filter(
+          expr(s"bloom_might_contain(unbase64('$b64'), xxhash64(shingle))"))
+      }
     pruned.join(broadcast(eval), Seq("shingle"))
       .groupBy(col("train_id"), col("test_id"))
       .agg(count(lit(1)).as("n_shared"))

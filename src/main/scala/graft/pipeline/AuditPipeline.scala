@@ -131,7 +131,7 @@ object AuditPipeline {
     * The fixed [[auditSchema]] silently DROPS unknown payload keys, but the
     * reference forwards the FULL record to Splunk (`lambda_function.py:
     * 147-148`) — extra fields a producer added yesterday must survive.
-    * `parse_json` keeps every field with its type in a `variant` column;
+    * `try_parse_json` keeps every field with its type in a `variant` column;
     * the known fields used by the pipeline (`datetime`, `random_id`, `ip`)
     * are extracted alongside for enrich/route logic, and `to_json(rec)`
     * reconstitutes the complete record (plus derived `@timestamp`) for the
@@ -139,7 +139,13 @@ object AuditPipeline {
     * parquet like any other column; the allowlist path never reads them. */
   def decodeKinesisVariant(df: DataFrame, dataCol: String): DataFrame =
     df.withColumn("_json", unbase64(col(dataCol)).cast("string"))
-      .withColumn("rec", parse_json(col("_json")))
+      // try_parse_json, not parse_json: strict parsing would fail the WHOLE
+      // micro-batch on one malformed payload before [[partitionValid]] could
+      // quarantine it (at-least-once redelivery then re-poisons every
+      // retry). A null `rec` yields null datetime/random_id below — the
+      // same all-null-row semantics from_json gives the fixed-schema path,
+      // so both decode paths share one validity/dead-letter contract.
+      .withColumn("rec", try_parse_json(col("_json")))
       .withColumn("datetime", expr("CAST(variant_get(rec, '$.datetime') AS STRING)"))
       .withColumn("random_id", expr("CAST(variant_get(rec, '$.random_id') AS STRING)"))
       // Strict Python-falsy `ip` drop (lambda_function.py:48-49): unlike the

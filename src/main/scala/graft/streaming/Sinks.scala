@@ -104,14 +104,24 @@ object Sinks {
     * has no such path — a malformed record crashes the whole batch and
     * poisons at-least-once redelivery forever (lambda_function.py:45,141);
     * this is the stricter-than-reference option SURVEY §2a documents.
-    * Parquet append keyed by batch tag; returns rows quarantined. */
+    * Parquet partitioned by batch tag with DYNAMIC partition overwrite, so
+    * a foreachBatch retry of the same epoch replaces its own partition
+    * instead of appending duplicate quarantine rows — the same
+    * replay-idempotence the ES sink gets from `_id` dedup and the Splunk
+    * sink from its deterministic chunk tag. (With an ad-hoc random tag —
+    * batchId < 0 — each call still lands in a fresh partition, i.e. plain
+    * append.) Returns rows quarantined. */
   def writeDeadLetter(dead: DataFrame, dir: String, batchTag: String,
       rawCol: String = "_raw"): Long = {
     val obs = org.apache.spark.sql.Observation()
     val observed = dead.select(col(rawCol).as("raw_payload"))
       .withColumn("dl_batch", lit(batchTag))
       .observe(obs, count(lit(1)).as("n"))
-    observed.write.mode("append").parquet(dir)
+    observed.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("dl_batch")
+      .parquet(dir)
     obs.get("n").asInstanceOf[Long]
   }
 

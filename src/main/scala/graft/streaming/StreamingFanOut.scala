@@ -91,17 +91,18 @@ object StreamingFanOut {
     import org.apache.spark.sql.functions._
     val full = AuditPipeline.decodeKinesisVariant(rawBatch, dataCol)
     full.persist()
-    // The variant decode keeps the raw payload column, so the dead-letter
-    // split reuses partitionValid directly — same validity pair, same
-    // quarantine-with-raw semantics as [[processRawBatch]].
-    val decoded = deadLetterDir match {
-      case Some(dlq) =>
-        val (valid, dead) = AuditPipeline.partitionValid(full)
-        Sinks.writeDeadLetter(dead, dlq, batchTag(batchId), rawCol = dataCol)
-        valid
-      case None => full
-    }
     try {
+      // The variant decode keeps the raw payload column, so the dead-letter
+      // split reuses partitionValid directly — same validity pair, same
+      // quarantine-with-raw semantics as [[processRawBatch]]. Inside the
+      // try: a DLQ write failure must still release the persisted batch.
+      val decoded = deadLetterDir match {
+        case Some(dlq) =>
+          val (valid, dead) = AuditPipeline.partitionValid(full)
+          Sinks.writeDeadLetter(dead, dlq, batchTag(batchId), rawCol = dataCol)
+          valid
+        case None => full
+      }
       val enriched = AuditPipeline.enrich(decoded)
       Sinks.writeEs(AuditPipeline.filterForEs(enriched), esDir,
         config.esIndexPrefix, metrics, config.esAuthMode)

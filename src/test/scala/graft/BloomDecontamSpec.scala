@@ -61,4 +61,17 @@ class BloomDecontamSpec extends AnyFunSuite {
       expr(s"bloom_might_contain(unbase64('$b64'), xxhash64(shingle))")).count()
     assert(passed < 200, s"bloom passed $passed of 2000 disjoint shingles")
   }
+
+  test("empty eval suite yields an empty result, not an NPE") {
+    import spark.implicits._
+    // bloom_filter_agg over zero rows evaluates to null; the operator must
+    // return the schema-correct empty pair set (matching the unfiltered
+    // q93 twin on the same data), not throw on the null filter bytes.
+    val train = (0L until 100L).map(i => (s"t$i", i)).toDF("shingle", "train_id")
+    val eval = Seq.empty[(String, Long)].toDF("shingle", "test_id")
+    val got = BloomDecontam.contaminatedPairs(train, eval,
+      expectedItems = 4096, minShared = 1)
+    assert(got.columns.toSeq == Seq("train_id", "test_id", "n_shared"))
+    assert(got.count() == 0)
+  }
 }

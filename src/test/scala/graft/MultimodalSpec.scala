@@ -70,4 +70,19 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Multimodal.parseDims(jpg.take(20))) // JPEG with no SOF
   }
+
+  test("corrupt png chunk length throws instead of looping forever") {
+    val png = Multimodal.headerFor("png", 4, 4)
+    // A chunk whose u32 length (0xFFFFFFF4) truncates to -12 as an Int:
+    // unchecked, the offset increment is 8 + (-12) + 4 = 0 and the walk
+    // re-reads the same chunk forever. Must throw, not hang.
+    val evil = png.take(8) ++
+      Array[Byte](0xff.toByte, 0xff.toByte, 0xff.toByte, 0xf4.toByte) ++
+      "AAAA".getBytes("US-ASCII") ++ Array.fill[Byte](8)(0)
+    intercept[IllegalArgumentException](Multimodal.parseDims(evil))
+    // IHDR width >= 2^31 must throw, not return a negative dimension
+    val negDim = png.clone()
+    negDim(16) = 0x80.toByte // width hi byte: 4 -> 0x80000004
+    intercept[IllegalArgumentException](Multimodal.parseDims(negDim))
+  }
 }

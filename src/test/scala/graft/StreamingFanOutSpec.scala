@@ -162,6 +162,21 @@ class StreamingFanOutSpec extends AnyFunSuite {
     assert(dead.columns.contains("dl_batch"))
   }
 
+  test("dead-letter write is idempotent per batch tag (foreachBatch retry semantics)") {
+    import spark.implicits._
+    // foreachBatch re-runs a whole epoch after a downstream sink failure;
+    // the DLQ write for that epoch must replace its own partition, not
+    // append the same quarantined payloads a second time.
+    val dlq = tmp("dlq_idem")
+    val dead = Seq("p1", "p2").toDF("_raw")
+    assert(Sinks.writeDeadLetter(dead, dlq, "b000001") == 2)
+    assert(Sinks.writeDeadLetter(dead, dlq, "b000001") == 2) // epoch retry
+    assert(spark.read.parquet(dlq).count() == 2, "retry must not duplicate")
+    // a different epoch lands alongside, untouched by later overwrites
+    assert(Sinks.writeDeadLetter(Seq("p3").toDF("_raw"), dlq, "b000002") == 1)
+    assert(spark.read.parquet(dlq).count() == 3)
+  }
+
   test("auth mode: secret with credentials selects basic, otherwise sigv4, recorded in sink transport metadata (lambda_function.py:61-74)") {
     import spark.implicits._
     val basic = PipelineConfig.fromSecrets(

@@ -133,4 +133,28 @@ class VariantSchemaDriftSpec extends AnyFunSuite {
     assert(pruned.columns.toSet.subsetOf(AuditPipeline.EsAllowedFields.toSet))
     assert(!pruned.columns.contains("rogue"))
   }
+
+  test("variant fan-out quarantines non-JSON payloads instead of failing the batch") {
+    import spark.implicits._
+    import graft.streaming.{PipelineConfig, SinkMetrics, Sinks, StreamingFanOut}
+    // Strict parse_json would abort the whole micro-batch on the poison
+    // payload BEFORE the dead-letter split could run — at-least-once
+    // redelivery then re-poisons every retry. try_parse_json + the
+    // validity split must park it and let the valid row flow on.
+    val esDir = java.nio.file.Files.createTempDirectory("es_vdlq").toString
+    val splunkDir = java.nio.file.Files.createTempDirectory("splunk_vdlq").toString
+    val dlq = java.nio.file.Files.createTempDirectory("dlq_v").toString
+    val metrics = SinkMetrics(spark)
+    val poison = b64("definitely not json")
+    val raw = Seq(
+      b64("""{"datetime":"2026-02-18T10:30:00","random_id":"ok-1","kind_id":1}"""),
+      poison).toDF("data")
+    StreamingFanOut.processBatchVariant(raw, "data", esDir, splunkDir,
+      PipelineConfig(), metrics, deadLetterDir = Some(dlq))
+    assert(Sinks.readEsIndex(spark, esDir).count() == 1)
+    val dead = spark.read.parquet(dlq)
+    assert(dead.count() == 1)
+    assert(dead.select("raw_payload").collect()(0).getString(0) == poison,
+      "dead letter must carry the original payload for replay")
+  }
 }
