@@ -60,18 +60,26 @@ object BloomDecontam {
   /** All (train_id, test_id, n_shared) pairs sharing ≥ `minShared`
     * shingles, Bloom-pruned then exactly joined. `train`/`eval` carry
     * (`shingle`, `train_id`) / (`shingle`, `test_id`); `expectedItems` is
-    * a FLOOR on the filter size — the filter is sized at
-    * max(expectedItems, actual eval row count), so a fixed call-site
+    * a FLOOR on the filter size — the filter is rebuilt at the actual
+    * eval row count if that count exceeds the floor, so a fixed call-site
     * constant cannot silently undersize the filter when the eval suite
     * grows (undersizing inflates fpp and erodes the map-side prune;
-    * overestimating only wastes bits, never drops). The count is one
-    * extra job over the eval side, which is tiny by this operator's
-    * asymmetry contract. */
+    * overestimating only wastes bits, never drops). The count rides the
+    * SAME aggregation job as the filter build — eval rows are tiny by
+    * this operator's asymmetry contract, but eval's LINEAGE need not be
+    * (q109's eval side embeds a corpus-wide document-frequency
+    * aggregate), so a separate count() job would re-execute it; the
+    * well-sized call stays one pass, and only a genuinely undersized
+    * floor pays a second build at the corrected size. */
   def contaminatedPairs(train: DataFrame, eval: DataFrame,
       expectedItems: Long, minShared: Int): DataFrame = {
     val spark = train.sparkSession
     register(spark)
-    val evalRows = eval.count()
+    val firstPass = eval.agg(
+      count(lit(1)).as("n"),
+      expr(s"bloom_filter_agg(xxhash64(shingle), ${expectedItems}L)").as("bf"))
+      .head()
+    val evalRows = firstPass.getLong(0)
     // bloom_filter_agg over zero rows evaluates to null, not an empty
     // filter; an empty eval suite means no contamination by definition,
     // so prune everything (keeping the output schema) instead of NPE-ing
@@ -79,10 +87,11 @@ object BloomDecontam {
     val pruned =
       if (evalRows == 0) train.filter(lit(false))
       else {
-        val sized = math.max(expectedItems, evalRows)
-        val bf = eval
-          .agg(expr(s"bloom_filter_agg(xxhash64(shingle), ${sized}L)").as("bf"))
-          .head().getAs[Array[Byte]](0)
+        val bf =
+          if (evalRows <= expectedItems) firstPass.getAs[Array[Byte]](1)
+          else eval
+            .agg(expr(s"bloom_filter_agg(xxhash64(shingle), ${evalRows}L)").as("bf"))
+            .head().getAs[Array[Byte]](0)
         val b64 = Base64.getEncoder.encodeToString(bf)
         train.filter(
           expr(s"bloom_might_contain(unbase64('$b64'), xxhash64(shingle))"))
