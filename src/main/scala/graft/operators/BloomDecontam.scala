@@ -60,26 +60,40 @@ object BloomDecontam {
   /** All (train_id, test_id, n_shared) pairs sharing ≥ `minShared`
     * shingles, Bloom-pruned then exactly joined. `train`/`eval` carry
     * (`shingle`, `train_id`) / (`shingle`, `test_id`); `expectedItems` is
-    * a FLOOR on the filter size — the filter is rebuilt at the actual
-    * eval row count if that count exceeds the floor, so a fixed call-site
-    * constant cannot silently undersize the filter when the eval suite
-    * grows (undersizing inflates fpp and erodes the map-side prune;
-    * overestimating only wastes bits, never drops). The count rides the
-    * SAME aggregation job as the filter build — eval rows are tiny by
-    * this operator's asymmetry contract, but eval's LINEAGE need not be
-    * (q109's eval side embeds a corpus-wide document-frequency
-    * aggregate), so a separate count() job would re-execute it; the
-    * well-sized call stays one pass, and only a genuinely undersized
-    * floor pays a second build at the corrected size. */
+    * a FLOOR on the filter size — if the eval suite's estimated DISTINCT
+    * shingle count (a bloom filter is sized by distinct inserts, not
+    * rows) exceeds the floor, the filter is rebuilt at the corrected
+    * size, so a fixed call-site constant cannot silently undersize it as
+    * the eval suite grows (undersizing inflates fpp and erodes the
+    * map-side prune; overestimating only wastes bits, never drops). Both
+    * counts ride the SAME aggregation job as the filter build — eval
+    * rows are tiny by this operator's asymmetry contract, but eval's
+    * LINEAGE need not be (q109's eval side embeds a corpus-wide
+    * document-frequency aggregate), so a separate counting job would
+    * re-execute it; the well-sized call stays one pass, and only a
+    * genuinely undersized floor pays a second build.
+    *
+    * Sizing ceiling: Spark's `BloomFilterAggregate` silently clamps the
+    * item estimate at `spark.sql.optimizer.runtime.bloomFilter.maxNumItems`
+    * (default 4M) and the bit budget at `...maxNumBits` — beyond that the
+    * rebuild cannot help and fpp degrades with eval growth; raise those
+    * confs for larger eval suites (the clamp is made explicit below so
+    * the capped request is visible, not silent). */
   def contaminatedPairs(train: DataFrame, eval: DataFrame,
       expectedItems: Long, minShared: Int): DataFrame = {
     val spark = train.sparkSession
     register(spark)
     val firstPass = eval.agg(
       count(lit(1)).as("n"),
+      // 5% default rsd; the 1.2x margin below absorbs it, so a borderline
+      // under-estimate cannot skip a genuinely needed rebuild
+      approx_count_distinct(expr("xxhash64(shingle)")).as("ndv"),
       expr(s"bloom_filter_agg(xxhash64(shingle), ${expectedItems}L)").as("bf"))
       .head()
     val evalRows = firstPass.getLong(0)
+    val distinctEst = math.ceil(firstPass.getLong(1) * 1.2).toLong
+    val maxItems = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
     // bloom_filter_agg over zero rows evaluates to null, not an empty
     // filter; an empty eval suite means no contamination by definition,
     // so prune everything (keeping the output schema) instead of NPE-ing
@@ -88,9 +102,10 @@ object BloomDecontam {
       if (evalRows == 0) train.filter(lit(false))
       else {
         val bf =
-          if (evalRows <= expectedItems) firstPass.getAs[Array[Byte]](1)
+          if (distinctEst <= expectedItems) firstPass.getAs[Array[Byte]](2)
           else eval
-            .agg(expr(s"bloom_filter_agg(xxhash64(shingle), ${evalRows}L)").as("bf"))
+            .agg(expr("bloom_filter_agg(xxhash64(shingle), " +
+              s"${math.min(distinctEst, maxItems)}L)").as("bf"))
             .head().getAs[Array[Byte]](0)
         val b64 = Base64.getEncoder.encodeToString(bf)
         train.filter(

@@ -131,21 +131,28 @@ object AuditPipeline {
     * The fixed [[auditSchema]] silently DROPS unknown payload keys, but the
     * reference forwards the FULL record to Splunk (`lambda_function.py:
     * 147-148`) — extra fields a producer added yesterday must survive.
-    * `try_parse_json` keeps every field with its type in a `variant` column;
+    * `parse_json` keeps every field with its type in a `variant` column;
     * the known fields used by the pipeline (`datetime`, `random_id`, `ip`)
     * are extracted alongside for enrich/route logic, and `to_json(rec)`
     * reconstitutes the complete record (plus derived `@timestamp`) for the
     * full-record sink. Binary-pushdown note: variant columns shred into
     * parquet like any other column; the allowlist path never reads them. */
-  def decodeKinesisVariant(df: DataFrame, dataCol: String): DataFrame =
+  def decodeKinesisVariant(df: DataFrame, dataCol: String,
+      strict: Boolean = true): DataFrame =
     df.withColumn("_json", unbase64(col(dataCol)).cast("string"))
-      // try_parse_json, not parse_json: strict parsing would fail the WHOLE
-      // micro-batch on one malformed payload before [[partitionValid]] could
-      // quarantine it (at-least-once redelivery then re-poisons every
-      // retry). A null `rec` yields null datetime/random_id below — the
-      // same all-null-row semantics from_json gives the fixed-schema path,
-      // so both decode paths share one validity/dead-letter contract.
-      .withColumn("rec", try_parse_json(col("_json")))
+      // strict (default) = parse_json: one malformed payload fails the
+      // WHOLE micro-batch loudly — the reference's own posture
+      // (lambda_function.py:45,141) and the right default when nobody is
+      // quarantining (a lenient parse here would silently VANISH poison
+      // records through the downstream null filters — undetected loss).
+      // strict=false = try_parse_json: a null `rec` yields null
+      // datetime/random_id below — the same all-null-row semantics
+      // from_json gives the fixed-schema path, so [[partitionValid]] can
+      // quarantine instead of letting at-least-once redelivery re-poison
+      // every retry. Callers flip this ONLY when a dead-letter sink
+      // actually consumes the invalid split.
+      .withColumn("rec",
+        if (strict) parse_json(col("_json")) else try_parse_json(col("_json")))
       .withColumn("datetime", expr("CAST(variant_get(rec, '$.datetime') AS STRING)"))
       .withColumn("random_id", expr("CAST(variant_get(rec, '$.random_id') AS STRING)"))
       // Strict Python-falsy `ip` drop (lambda_function.py:48-49): unlike the

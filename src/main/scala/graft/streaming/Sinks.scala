@@ -110,9 +110,22 @@ object Sinks {
     * replay-idempotence the ES sink gets from `_id` dedup and the Splunk
     * sink from its deterministic chunk tag. (With an ad-hoc random tag —
     * batchId < 0 — each call still lands in a fresh partition, i.e. plain
-    * append.) Returns rows quarantined. */
+    * append.)
+    *
+    * A batch with nothing to quarantine SKIPS the write entirely (a
+    * zero-row dynamic-partition write would emit no files anyway, and a
+    * clean epoch must never touch — let alone overwrite — existing
+    * quarantine partitions). Consequences of the layout: the DLQ
+    * directory exists only once something was actually quarantined
+    * (readers should existence-check or read with an explicit schema),
+    * and because epoch tags key overwrites, a DLQ directory belongs to
+    * ONE streaming query's checkpoint lineage — pointing a second query
+    * (or a checkpoint-reset restart) at the same directory would reuse
+    * epoch ids and replace retained, un-replayed payloads.
+    * Returns rows quarantined. */
   def writeDeadLetter(dead: DataFrame, dir: String, batchTag: String,
       rawCol: String = "_raw"): Long = {
+    if (dead.isEmpty) return 0L
     val obs = org.apache.spark.sql.Observation()
     val observed = dead.select(col(rawCol).as("raw_payload"))
       .withColumn("dl_batch", lit(batchTag))

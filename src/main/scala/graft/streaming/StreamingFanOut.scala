@@ -89,7 +89,11 @@ object StreamingFanOut {
       config: PipelineConfig, metrics: SinkMetrics,
       batchId: Long = -1L, deadLetterDir: Option[String] = None): Unit = {
     import org.apache.spark.sql.functions._
-    val full = AuditPipeline.decodeKinesisVariant(rawBatch, dataCol)
+    // Lenient decode ONLY when a DLQ consumes the invalid split; with no
+    // dead-letter sink the strict default keeps the reference's loud
+    // whole-batch failure instead of silently vanishing poison payloads.
+    val full = AuditPipeline.decodeKinesisVariant(rawBatch, dataCol,
+      strict = deadLetterDir.isEmpty)
     full.persist()
     try {
       // The variant decode keeps the raw payload column, so the dead-letter

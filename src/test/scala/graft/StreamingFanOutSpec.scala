@@ -175,6 +175,11 @@ class StreamingFanOutSpec extends AnyFunSuite {
     // a different epoch lands alongside, untouched by later overwrites
     assert(Sinks.writeDeadLetter(Seq("p3").toDF("_raw"), dlq, "b000002") == 1)
     assert(spark.read.parquet(dlq).count() == 3)
+    // a clean epoch never touches the directory — in particular it must
+    // not overwrite an existing partition if its tag collides (b000001
+    // here), because the DLQ retains payloads until replay
+    assert(Sinks.writeDeadLetter(Seq.empty[String].toDF("_raw"), dlq, "b000001") == 0)
+    assert(spark.read.parquet(dlq).count() == 3, "empty epoch must not destroy retained rows")
   }
 
   test("auth mode: secret with credentials selects basic, otherwise sigv4, recorded in sink transport metadata (lambda_function.py:61-74)") {

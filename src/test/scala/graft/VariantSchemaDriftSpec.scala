@@ -157,4 +157,20 @@ class VariantSchemaDriftSpec extends AnyFunSuite {
     assert(dead.select("raw_payload").collect()(0).getString(0) == poison,
       "dead letter must carry the original payload for replay")
   }
+
+  test("without a DLQ the variant path fails loudly on poison, never silently drops") {
+    import spark.implicits._
+    import graft.streaming.{PipelineConfig, SinkMetrics, StreamingFanOut}
+    // The reference's posture (lambda_function.py:45,141): a malformed
+    // record fails the batch. With no dead-letter sink configured, a
+    // lenient parse would silently vanish the record through the
+    // downstream null filters — undetected loss. Strict is the default.
+    val esDir = java.nio.file.Files.createTempDirectory("es_strict").toString
+    val splunkDir = java.nio.file.Files.createTempDirectory("splunk_strict").toString
+    val raw = Seq(b64("definitely not json")).toDF("data")
+    intercept[Exception] {
+      StreamingFanOut.processBatchVariant(raw, "data", esDir, splunkDir,
+        PipelineConfig(), SinkMetrics(spark))
+    }
+  }
 }
