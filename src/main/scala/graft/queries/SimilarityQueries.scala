@@ -396,7 +396,52 @@ object SimilarityQueries {
       .orderBy(col("vec_id"))
   }
 
+  // ---------------------------------------------------------------- q111
+  /** Metadata-filtered ANN: top-k cosine neighbors restricted to the query's
+    * own class (`label`). The predicate is applied as a JOIN KEY, not a
+    * post-filter: `corpus ⋈ broadcast(queries) ON label` plans as a
+    * BroadcastHashJoin that only ever scores same-class pairs — the
+    * pre-filter shape. A post-filter formulation (score all, then drop
+    * non-matching) does C× the dot products for C classes and, worse, a
+    * top-k-then-filter variant silently starves below k results; at 100 TB
+    * with selective predicates (language, license, source) pre-filter is the
+    * only correct-and-affordable shape. Per-query top-k stays a bounded
+    * window over the (tiny) filtered candidate set. */
+  private val q111: Q = (s, d) => {
+    VectorOps.register(s)
+    val e = Tables.embeddings(s, d)
+    val qs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    e.join(broadcast(qs),
+        col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("label"),
+        round(expr("dot_f(embedding, q_emb)"), Scale).as("sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("label"), col("sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val q111Sql =
+    """WITH qs AS (SELECT vec_id AS q_id, label AS q_label, embedding AS qe
+      |  FROM embeddings WHERE vec_id < 5),
+      | u AS (SELECT q.q_id, e.vec_id, e.label, UNNEST(e.embedding) AS x,
+      |        UNNEST(q.qe) AS y
+      |       FROM embeddings e JOIN qs q ON e.label = q.q_label
+      |       WHERE e.vec_id <> q.q_id),
+      | sims AS (SELECT q_id, vec_id, MIN(label) AS label,
+      |   round(SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 4) AS sim
+      |          FROM u GROUP BY q_id, vec_id),
+      | r AS (SELECT q_id, vec_id, label, sim,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+      |       FROM sims)
+      |SELECT q_id, rank, vec_id, label, sim FROM r WHERE rank <= 10
+      |ORDER BY q_id, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q111_ann_filtered" -> q111,
     "q40_cosine_vs_query" -> q40,
     "q85_cosine_hof" -> q85,
     "q41_ann_bruteforce_topk" -> q41,
@@ -408,6 +453,7 @@ object SimilarityQueries {
     "q108_semdedup" -> q108)
 
   val oracle: Map[String, String] = Map(
+    "q111_ann_filtered" -> q111Sql,
     "q40_cosine_vs_query" -> q40Sql,
     "q85_cosine_hof" -> q40Sql,
     "q41_ann_bruteforce_topk" -> q41Sql,

@@ -451,7 +451,65 @@ object TextQueries {
       |SELECT c.w, c.freq, t.n_total FROM c, t
       |WHERE c.freq * 30 > t.n_total ORDER BY w""".stripMargin
 
+  // ---------------------------------------------------------------- q110
+  /** BM25-style retrieval top-k, integer-exact: an inverted-index probe for
+    * a broadcast query-term set (ref has no search surface; this is the
+    * text-retrieval operator a training-data pipeline uses for targeted
+    * corpus audits). The tf-saturation term tf·(k1+1)/(tf+k1(1−b+b·dl/avgdl))
+    * with k1=6/5, b=3/4 clears denominators to
+    * 22·tf·A·10⁶ div (10·tf·A + 3·A + 9000·dl) where A = S·1000 div N is
+    * fixed-point avgdl — exact Long arithmetic, so the ranking has no float
+    * log that could differ in the last ulp between engines (q68 precedent:
+    * idf enters as the log-free proxy N·10⁴ div df, monotone in df).
+    * Scale shape: the term filter hits the exploded token stream map-side,
+    * so only postings for the 3 query terms ever shuffle; corpus constants
+    * ride a broadcast; top-k is TakeOrderedAndProject, no global sort.
+    * Long-overflow bound: term_score < 2.3e6 · N·10⁴/df — safe while
+    * N/df ≤ 4e8, i.e. any term present in ≥1 doc per 400M (hapax terms at
+    * larger N would need DECIMAL, documented here rather than hidden). */
+  private val q110: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val consts = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(tok.agg(count(lit(1)).as("s_tok")))
+      .select(col("n_docs"), expr("s_tok * 1000 div n_docs").as("a"))
+    val tf = tok.filter(col("w").isin("spark", "window", "merge"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    tf.join(dl, Seq("doc_id"))
+      .join(broadcast(df), Seq("w"))
+      .crossJoin(broadcast(consts))
+      .select(col("doc_id"),
+        expr("(22 * tf * a * 1000000 div (10 * tf * a + 3 * a + 9000 * dl))" +
+          " * (n_docs * 10000 div df)").as("term_score"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("term_score")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(15)
+  }
+
+  private val q110Sql =
+    """WITH t AS (SELECT doc_id, w FROM
+      |  (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE w <> ''),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY doc_id),
+      |c AS (SELECT n_docs, (s_tok * 1000) // n_docs AS a FROM
+      |  (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+      |          (SELECT COUNT(*) FROM t) AS s_tok)),
+      |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM t
+      |  WHERE w IN ('spark', 'window', 'merge') GROUP BY doc_id, w),
+      |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+      |sc AS (SELECT tf.doc_id,
+      |  ((22 * tf.tf * c.a * 1000000) // (10 * tf.tf * c.a + 3 * c.a + 9000 * dl.dl))
+      |    * ((c.n_docs * 10000) // df.df) AS term_score
+      | FROM tf JOIN dl ON dl.doc_id = tf.doc_id JOIN df ON df.w = tf.w, c)
+      |SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(term_score) AS BIGINT) AS score
+      |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q110_bm25_retrieval" -> q110,
     "q99_zipf_vocab" -> q99,
     "q105_heavy_hitters" -> q105,
     "q84_corpus_cleaning" -> q84,
@@ -468,6 +526,7 @@ object TextQueries {
     "q69_levenshtein_neardup" -> q69)
 
   val oracle: Map[String, String] = Map(
+    "q110_bm25_retrieval" -> q110Sql,
     "q99_zipf_vocab" -> q99Sql,
     "q105_heavy_hitters" -> q105Sql,
     "q84_corpus_cleaning" -> q84Sql,
