@@ -301,7 +301,66 @@ object CorpusQueries {
       |FROM b LEFT JOIN kept k ON k.source = b.source, t
       |ORDER BY b.source""".stripMargin
 
+  // ---------------------------------------------------------------- q112
+  /** Exact span dedup, CONSTRUCTIVE: where q100 only reports which documents
+    * share substring windows, this operator rebuilds the cleaned corpus —
+    * the "remove all but one occurrence" step of Lee et al.'s substring
+    * dedup, segment-aligned for Spark. Documents are cut into 3-word spans
+    * (the span length is the aggressiveness knob; production text uses
+    * longer spans); each distinct span keeps only its globally-first
+    * occurrence, ordered by the single Long key doc_id·10⁶+pos (exact while
+    * docs stay under 10⁶ spans and doc_id under 9.2·10¹²; one MIN per span —
+    * no per-span window sort). Surviving spans are reassembled in position
+    * order into the cleaned text, fingerprinted with md5 so the oracle
+    * checks the exact reconstructed bytes, not just counts.
+    * Scale shape: spans shuffle once on the span string for the MIN, once
+    * on doc_id for the rebuild; both hash aggregates with map-side partials.
+    * The rebuild's collect_list is bounded by document length, never by
+    * corpus size. */
+  private val q112: Q = (s, d) => {
+    val segs = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, cast(ceil(size(t) / 3.0) as int) - 1), " +
+          "i -> array_join(slice(t, i * 3 + 1, 3), ' '))")).as(Seq("pos", "seg")))
+      .withColumn("key", col("doc_id") * 1000000L + col("pos"))
+    val firsts = segs.groupBy(col("seg")).agg(min(col("key")).as("keep_key"))
+      .withColumnRenamed("seg", "first_seg")
+    val kept = segs.join(firsts,
+        col("seg") === col("first_seg") && col("key") === col("keep_key"))
+      .select(col("doc_id"), col("pos"), col("seg"))
+    val nSeg = segs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_seg"))
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        expr("array_join(transform(array_sort(collect_list(struct(pos, seg))), " +
+          "x -> x.seg), ' ')").as("clean"))
+    nSeg.join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_seg"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        length(coalesce(col("clean"), lit(""))).cast("long").as("clean_len"),
+        md5(coalesce(col("clean"), lit("")).cast("binary")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q112Sql =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |segs AS (SELECT doc_id, i - 1 AS pos,
+      |    array_to_string(list_slice(t, (i-1)*3+1, (i-1)*3+3), ' ') AS seg,
+      |    doc_id * 1000000 + i - 1 AS key
+      |  FROM toks, UNNEST(generate_series(1, CAST(ceil(len(t) / 3.0) AS INT))) AS v(i)),
+      |f AS (SELECT seg, MIN(key) AS keep_key FROM segs GROUP BY seg),
+      |kept AS (SELECT s.doc_id, s.pos, s.seg FROM segs s
+      |  JOIN f ON f.seg = s.seg AND f.keep_key = s.key),
+      |n AS (SELECT doc_id, COUNT(*) AS n_seg FROM segs GROUP BY doc_id),
+      |r AS (SELECT doc_id, COUNT(*) AS n_kept,
+      |    string_agg(seg, ' ' ORDER BY pos) AS clean FROM kept GROUP BY doc_id)
+      |SELECT n.doc_id, n.n_seg, COALESCE(r.n_kept, 0) AS n_kept,
+      | CAST(length(COALESCE(r.clean, '')) AS BIGINT) AS clean_len,
+      | md5(COALESCE(r.clean, '')) AS clean_md5
+      |FROM n LEFT JOIN r ON r.doc_id = n.doc_id ORDER BY n.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q112_span_dedup_rebuild" -> q112,
     "q102_stratified_sample" -> q102,
     "q106_mixture_rebalance" -> q106,
     "q94_unicode_normalize" -> q94,
@@ -311,6 +370,7 @@ object CorpusQueries {
     "q100_substring_windows" -> q100)
 
   val oracle: Map[String, String] = Map(
+    "q112_span_dedup_rebuild" -> q112Sql,
     "q102_stratified_sample" -> q102Sql,
     "q106_mixture_rebalance" -> q106Sql,
     "q94_unicode_normalize" -> q94Sql,
