@@ -80,12 +80,43 @@ object ScalingProbe {
     val q109Pass = trainSh.filter(
       expr(s"bloom_might_contain(unbase64('$b64'), xxhash64(shingle))")).count()
 
+    // q110: postings volume — the only rows that shuffle for the scoring
+    // join are tokens matching the 3 query terms (exact map-side filter).
+    val q110Postings = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").isin("spark", "window", "merge")).count()
+
+    // q111: scored pair volume Σ_q |{v : label(v)=label(q), v≠q}| — the
+    // pre-filter join scores exactly these; a post-filter shape would score
+    // n_queries·corpus instead (that ratio is the operator's win).
+    val q111Pairs = {
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"))
+      emb.join(broadcast(qs),
+        col("label") === col("q_label") && col("vec_id") =!= col("q_id")).count()
+    }
+
+    // q112: span volume in vs out — kept/spans is the corpus-level dedup
+    // rate; both counts are exact functions of the text.
+    val q112Res = SparkEntry.queries("q112_span_dedup_rebuild")(spark, sfDir)
+      .agg(sum(col("n_seg")).as("s"), sum(col("n_kept")).as("k")).head()
+    val (q112Spans, q112Kept) = (q112Res.getLong(0), q112Res.getLong(1))
+
+    // q113: exploded pair volume Σ_shingle C(|sources|,2) = Σ n_inter —
+    // bounded by shingles·C(n_sources,2), never shingles² (the quadratic
+    // self-join exists only as the oracle witness).
+    val q113PairVol = SparkEntry.queries("q113_source_overlap_matrix")(spark, sfDir)
+      .agg(sum(col("n_inter"))).head().getLong(0)
+
     println(s"""{"sf":"$sfDir","docs":$nDocs,"shingles":$totShingles,""" +
       s""""q86_cand":$q86Cand,"q86_pairs":$q86Pairs,""" +
       s""""q103_cand":$q103Cand,"q103_pairs":$q103Pairs,""" +
       s""""q66_pairs":$q66Pairs,""" +
       s""""q108_pairvol":$q108PairVol,"q108_kept":$q108Kept,""" +
-      s""""q109_train":$q109Train,"q109_bloom_pass":$q109Pass}""")
+      s""""q109_train":$q109Train,"q109_bloom_pass":$q109Pass,""" +
+      s""""q110_postings":$q110Postings,"q111_pairs":$q111Pairs,""" +
+      s""""q112_spans":$q112Spans,"q112_kept":$q112Kept,""" +
+      s""""q113_pairvol":$q113PairVol}""")
     spark.stop()
   }
 }

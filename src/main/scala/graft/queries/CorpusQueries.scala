@@ -359,7 +359,58 @@ object CorpusQueries {
       | md5(COALESCE(r.clean, '')) AS clean_md5
       |FROM n LEFT JOIN r ON r.doc_id = n.doc_id ORDER BY n.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q113
+  /** Cross-source overlap matrix: pairwise Jaccard between each source's
+    * distinct 3-shingle set — the corpus-composition audit run before
+    * mixing sources into a training set (near-identical sources waste
+    * mixture weight; an unexpectedly high overlap often means one crawl
+    * ingested another). Scale shape: NO pairwise self-join — each shingle
+    * carries its (≤ n_sources, here 5) source set out of one hash
+    * aggregate, and ordered pairs explode from that bounded array, so work
+    * is O(shingles·pairs-per-shingle), never O(shingles²). The quadratic
+    * self-join formulation exists only as the DuckDB oracle witness.
+    * Jaccard is exact integer ppm (q68 precedent). Zero-overlap pairs are
+    * absent from the output (inner semantics, matching the oracle). */
+  private val q113: Q = (s, d) => {
+    graft.functions.TextKernels.register(s)
+    val sh = Tables.documents(s, d)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("source"), explode(expr("word_shingles(text, 3)")).as("shingle"))
+      .distinct()
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = sh.groupBy(col("shingle"))
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) >= 2)
+      .select(explode(expr("flatten(transform(srcs, (x, i) -> " +
+        "transform(slice(srcs, i + 2, size(srcs)), y -> struct(x AS sa, y AS sb))))"))
+        .as("p"))
+      .select(col("p.sa").as("sa"), col("p.sb").as("sb"))
+      .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("sa"), col("n").as("n_a"))), Seq("sa"))
+      .join(broadcast(sizes.select(col("source").as("sb"), col("n").as("n_b"))), Seq("sb"))
+      .select(col("sa"), col("sb"), col("n_inter"), col("n_a"), col("n_b"),
+        expr("n_inter * 1000000 div (n_a + n_b - n_inter)").as("jaccard_ppm"))
+      .orderBy(col("sa"), col("sb"))
+  }
+
+  private val q113Sql =
+    """WITH sh AS (SELECT DISTINCT source, shingle FROM (
+      |  SELECT source, UNNEST(list_distinct(list_transform(range(1, len(w) - 1),
+      |    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS shingle
+      |  FROM (SELECT source, string_split(text, ' ') AS w FROM documents)
+      |  WHERE len(w) >= 3)),
+      |sz AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+      |inter AS (SELECT a.source AS sa, b.source AS sb, COUNT(*) AS n_inter
+      |  FROM sh a JOIN sh b ON b.shingle = a.shingle AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT i.sa, i.sb, i.n_inter, za.n AS n_a, zb.n AS n_b,
+      | (i.n_inter * 1000000) // (za.n + zb.n - i.n_inter) AS jaccard_ppm
+      |FROM inter i JOIN sz za ON za.source = i.sa JOIN sz zb ON zb.source = i.sb
+      |ORDER BY sa, sb""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q113_source_overlap_matrix" -> q113,
     "q112_span_dedup_rebuild" -> q112,
     "q102_stratified_sample" -> q102,
     "q106_mixture_rebalance" -> q106,
@@ -370,6 +421,7 @@ object CorpusQueries {
     "q100_substring_windows" -> q100)
 
   val oracle: Map[String, String] = Map(
+    "q113_source_overlap_matrix" -> q113Sql,
     "q112_span_dedup_rebuild" -> q112Sql,
     "q102_stratified_sample" -> q102Sql,
     "q106_mixture_rebalance" -> q106Sql,

@@ -464,6 +464,10 @@ object TextQueries {
     * Scale shape: the term filter hits the exploded token stream map-side,
     * so only postings for the 3 query terms ever shuffle; corpus constants
     * ride a broadcast; top-k is TakeOrderedAndProject, no global sort.
+    * The corpus statistics (dl, avgdl, df) are recomputed per run here for
+    * oracle replayability; a production deployment materializes them once
+    * per corpus snapshot and amortizes them across every probe, so the
+    * extra tokenizing passes are not part of the steady-state cost.
     * Long-overflow bound: term_score < 2.3e6 · N·10⁴/df — safe while
     * N/df ≤ 4e8, i.e. any term present in ≥1 doc per 400M (hapax terms at
     * larger N would need DECIMAL, documented here rather than hidden). */
