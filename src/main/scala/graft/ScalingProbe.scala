@@ -98,15 +98,19 @@ object ScalingProbe {
 
     // q112: span volume in vs out — kept/spans is the corpus-level dedup
     // rate; both counts are exact functions of the text.
+    // coalesce: SUM over zero rows is NULL — a degenerate corpus (no
+    // documents, or no overlapping pair below) must print 0, not NPE away
+    // the whole probe line.
     val q112Res = SparkEntry.queries("q112_span_dedup_rebuild")(spark, sfDir)
-      .agg(sum(col("n_seg")).as("s"), sum(col("n_kept")).as("k")).head()
+      .agg(coalesce(sum(col("n_seg")), lit(0L)).as("s"),
+        coalesce(sum(col("n_kept")), lit(0L)).as("k")).head()
     val (q112Spans, q112Kept) = (q112Res.getLong(0), q112Res.getLong(1))
 
     // q113: exploded pair volume Σ_shingle C(|sources|,2) = Σ n_inter —
     // bounded by shingles·C(n_sources,2), never shingles² (the quadratic
     // self-join exists only as the oracle witness).
     val q113PairVol = SparkEntry.queries("q113_source_overlap_matrix")(spark, sfDir)
-      .agg(sum(col("n_inter"))).head().getLong(0)
+      .agg(coalesce(sum(col("n_inter")), lit(0L))).head().getLong(0)
 
     println(s"""{"sf":"$sfDir","docs":$nDocs,"shingles":$totShingles,""" +
       s""""q86_cand":$q86Cand,"q86_pairs":$q86Pairs,""" +

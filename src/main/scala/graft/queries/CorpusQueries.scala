@@ -326,19 +326,23 @@ object CorpusQueries {
       .withColumn("key", col("doc_id") * 1000000L + col("pos"))
     val firsts = segs.groupBy(col("seg")).agg(min(col("key")).as("keep_key"))
       .withColumnRenamed("seg", "first_seg")
-    val kept = segs.join(firsts,
-        col("seg") === col("first_seg") && col("key") === col("keep_key"))
-      .select(col("doc_id"), col("pos"), col("seg"))
-    val nSeg = segs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_seg"))
-    val rebuilt = kept.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_kept"),
-        expr("array_join(transform(array_sort(collect_list(struct(pos, seg))), " +
-          "x -> x.seg), ' ')").as("clean"))
-    nSeg.join(rebuilt, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_seg"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        length(coalesce(col("clean"), lit(""))).cast("long").as("clean_len"),
-        md5(coalesce(col("clean"), lit("")).cast("binary")).as("clean_md5"))
+    // Every span has exactly one firsts row, so the join is 1:1; the keep
+    // flag rides into ONE per-doc aggregate that counts all spans, counts
+    // kept spans, and rebuilds the cleaned text together (collect_list
+    // drops the CASE's NULLs, so only kept spans are collected) — no
+    // separate n_seg aggregate and no final join.
+    segs.join(firsts, col("seg") === col("first_seg"))
+      .select(col("doc_id"), col("pos"), col("seg"),
+        (col("key") === col("keep_key")).as("keep"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_seg"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        expr("array_join(transform(array_sort(collect_list(" +
+          "CASE WHEN keep THEN struct(pos, seg) END)), x -> x.seg), ' ')")
+          .as("clean"))
+      .select(col("doc_id"), col("n_seg"), col("n_kept"),
+        length(col("clean")).cast("long").as("clean_len"),
+        md5(col("clean").cast("binary")).as("clean_md5"))
       .orderBy(col("doc_id"))
   }
 
@@ -365,9 +369,10 @@ object CorpusQueries {
     * mixing sources into a training set (near-identical sources waste
     * mixture weight; an unexpectedly high overlap often means one crawl
     * ingested another). Scale shape: NO pairwise self-join — each shingle
-    * carries its (≤ n_sources, here 5) source set out of one hash
-    * aggregate, and ordered pairs explode from that bounded array, so work
-    * is O(shingles·pairs-per-shingle), never O(shingles²). The quadratic
+    * carries its (≤ n_sources, here 20 ⇒ output C(20,2) = 190 pairs)
+    * source set out of one hash aggregate, and ordered pairs explode from
+    * that bounded array, so work is O(shingles·pairs-per-shingle), never
+    * O(shingles²). The quadratic
     * self-join formulation exists only as the DuckDB oracle witness.
     * Jaccard is exact integer ppm (q68 precedent). Zero-overlap pairs are
     * absent from the output (inner semantics, matching the oracle). */

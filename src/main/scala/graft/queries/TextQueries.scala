@@ -468,9 +468,15 @@ object TextQueries {
     * oracle replayability; a production deployment materializes them once
     * per corpus snapshot and amortizes them across every probe, so the
     * extra tokenizing passes are not part of the steady-state cost.
-    * Long-overflow bound: term_score < 2.3e6 · N·10⁴/df — safe while
-    * N/df ≤ 4e8, i.e. any term present in ≥1 doc per 400M (hapax terms at
-    * larger N would need DECIMAL, documented here rather than hidden). */
+    * Long-overflow bounds (documented here rather than hidden; Spark
+    * wraps silently on Long overflow where DuckDB raises, so exceeding
+    * either bound breaks the cross-engine exactness contract):
+    * (1) the tfn numerator 22·tf·A·10⁶ needs tf·A ≤ 4.2e11, i.e.
+    * tf ≤ 7.6e6 at this corpus's A ≈ 55,000 — no real document repeats
+    * one term 7.6M times, but a degenerate input could;
+    * (2) term_score < 2.3e6 · N·10⁴/df needs N/df ≤ 4e8, i.e. any term
+    * present in ≥1 doc per 400M. Corpora beyond either bound need the
+    * same arithmetic in DECIMAL. */
   private val q110: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
