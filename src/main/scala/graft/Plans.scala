@@ -42,7 +42,8 @@ object Plans {
     "q110_bm25_retrieval" -> "BM25 probe: query-term filter hits the token stream map-side; only 3 terms' postings shuffle; TakeOrderedAndProject top-k",
     "q111_ann_filtered" -> "filtered ANN: label predicate is the BroadcastHashJoin KEY (pre-filter), only same-class pairs scored",
     "q112_span_dedup_rebuild" -> "constructive span dedup: one MIN per span (no per-span window), rebuild bounded by doc length",
-    "q113_source_overlap_matrix" -> "source overlap: per-shingle source set from ONE hash agg, ordered pairs from a <=n_sources array — no self-join")
+    "q113_source_overlap_matrix" -> "source overlap: per-shingle source set from ONE hash agg, ordered pairs from a <=n_sources array — no self-join",
+    "q114_source_centroid_matrix" -> "centroid matrix: one (source,pos) hash agg over the corpus, pairwise dot_l only on n_sources tiny centroid rows")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

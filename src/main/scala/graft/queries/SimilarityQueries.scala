@@ -440,7 +440,72 @@ object SimilarityQueries {
       |SELECT q_id, rank, vec_id, label, sim FROM r WHERE rank <= 10
       |ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q114
+  /** Per-source embedding centroid similarity matrix — the embedding-space
+    * counterpart of q113's lexical overlap audit: two sources whose
+    * centroids sit at cosine ≈ 1 carry near-identical content in embedding
+    * space even when their vocabularies differ (paraphrase mirrors,
+    * translations), which lexical shingle overlap cannot see.
+    * Exactness: vectors are ×10⁴-quantized to longs (the [[KMeansLloyd]]
+    * contract), per-source centroids are truncating integer means
+    * (`sum div count` — the engine-portable q98 idiom), and the pairwise
+    * scores are exact integer `dot_l` products; only the final cosine is a
+    * double, rounded to 4 decimals (q41 precedent). Scale shape: one
+    * (source, pos)-keyed hash aggregate over the corpus, then an
+    * n_sources² cross of TINY centroid rows (20 here) — the corpus is
+    * never pair-joined. */
+  private val q114: Q = (s, d) => {
+    VectorOps.register(s)
+    val src = Tables.documents(s, d)
+      .select(col("doc_id").as("vec_id"), col("source"))
+    val q = Tables.embeddings(s, d).join(src, Seq("vec_id"))
+      .select(col("source"), expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT))")
+        .as("qvec"))
+    val sizes = q.groupBy(col("source")).agg(count(lit(1)).as("n_vecs"))
+    val cent = q.select(col("source"), posexplode(col("qvec")).as(Seq("pos", "v")))
+      .groupBy(col("source"), col("pos"))
+      .agg(expr("sum(v) div count(1)").as("m"))
+      .groupBy(col("source"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+        .as("centroid"))
+      .join(sizes, Seq("source"))
+      .select(col("source"), col("centroid"), col("n_vecs"),
+        expr("dot_l(centroid, centroid)").as("norm2"))
+    val a = cent.select(col("source").as("sa"), col("centroid").as("ca"),
+      col("n_vecs").as("n_a"), col("norm2").as("na2"))
+    val b = cent.select(col("source").as("sb"), col("centroid").as("cb"),
+      col("n_vecs").as("n_b"), col("norm2").as("nb2"))
+    a.crossJoin(broadcast(b)).filter(col("sa") < col("sb"))
+      .select(col("sa"), col("sb"), col("n_a"), col("n_b"),
+        expr("dot_l(ca, cb)").as("dot_q"),
+        round(expr("dot_l(ca, cb) / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)))"),
+          4).as("cos4"))
+      .orderBy(col("sa"), col("sb"))
+  }
+
+  private val q114Sql =
+    """WITH q AS (SELECT d.source, list_transform(e.embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)) AS qvec
+      |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+      |sz AS (SELECT source, COUNT(*) AS n_vecs FROM q GROUP BY source),
+      |u AS (SELECT source, generate_subscripts(qvec, 1) AS pos, UNNEST(qvec) AS v FROM q),
+      |cm AS (SELECT source, pos, SUM(v) // COUNT(*) AS m FROM u GROUP BY source, pos),
+      |cent AS (SELECT source, list(CAST(m AS BIGINT) ORDER BY pos) AS centroid
+      |         FROM cm GROUP BY source),
+      |cn AS (SELECT c.source, c.centroid, sz.n_vecs,
+      |    (SELECT SUM(x * x) FROM UNNEST(c.centroid) AS t(x)) AS norm2
+      |  FROM cent c JOIN sz ON sz.source = c.source),
+      |pr AS (SELECT a.source AS sa, b.source AS sb, a.n_vecs AS n_a, b.n_vecs AS n_b,
+      |    (SELECT SUM(x * y) FROM (SELECT UNNEST(a.centroid) AS x, UNNEST(b.centroid) AS y)) AS dot_q,
+      |    a.norm2 AS na2, b.norm2 AS nb2
+      |  FROM cn a JOIN cn b ON a.source < b.source)
+      |SELECT sa, sb, n_a, n_b, CAST(dot_q AS BIGINT) AS dot_q,
+      | round(CAST(dot_q AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))), 4) AS cos4
+      |FROM pr ORDER BY sa, sb""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q114_source_centroid_matrix" -> q114,
     "q111_ann_filtered" -> q111,
     "q40_cosine_vs_query" -> q40,
     "q85_cosine_hof" -> q85,
@@ -453,6 +518,7 @@ object SimilarityQueries {
     "q108_semdedup" -> q108)
 
   val oracle: Map[String, String] = Map(
+    "q114_source_centroid_matrix" -> q114Sql,
     "q111_ann_filtered" -> q111Sql,
     "q40_cosine_vs_query" -> q40Sql,
     "q85_cosine_hof" -> q40Sql,
