@@ -36,7 +36,10 @@ object ScalingProbe {
       .select(col("doc_id"),
         array_distinct(expr("word_shingles(text, 3)")).as("sh"))
     val nDocs = docs.count()
-    val totShingles = docs.agg(sum(size(col("sh")))).head().getLong(0)
+    // coalesce: SUM over zero rows is NULL (same degenerate-corpus guard
+    // as the q112/q113 counters below).
+    val totShingles = docs.agg(coalesce(sum(size(col("sh"))), lit(0L)))
+      .head().getLong(0)
 
     val q86Cand = operators.SetSimilarityJoin
       .candidatePairs(docs, "doc_id", "sh", 0.5).count()
@@ -57,7 +60,7 @@ object ScalingProbe {
     val fitted = operators.KMeansLloyd
       .fit(emb, "vec_id", "embedding", k = kScaled, iters = 2)
     val q108PairVol = fitted.groupBy(col("cid")).agg(count(lit(1)).as("n"))
-      .agg(sum(col("n") * (col("n") - 1))).head().getLong(0)
+      .agg(coalesce(sum(col("n") * (col("n") - 1)), lit(0L))).head().getLong(0)
     val q108Kept = SparkEntry.queries("q108_semdedup")(spark, sfDir)
       .filter(col("kept") === 1).count()
 

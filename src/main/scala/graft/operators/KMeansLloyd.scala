@@ -24,6 +24,47 @@ import org.apache.spark.sql.functions._
   */
 object KMeansLloyd {
 
+  /** The ×10⁴ quantization contract: `array<float>` → `array<bigint>` via
+    * `floor(x·10000 + 0.5)` on the double widening. This exact expression is
+    * the cross-engine exactness boundary shared by k-means (q98), SemDedup
+    * (q108) and the source-centroid matrix (q114) — any change here must be
+    * mirrored in every oracle that replays it. ([[PqAnn]] replays the same
+    * `sum div count` mean contract but at ×10⁶ `round()` on subvectors —
+    * see PqAnn.Q.) */
+  def quantize(vecCol: String): org.apache.spark.sql.Column = expr(
+    s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT))")
+
+  /** Element-wise truncating integer mean (`sum div count`, toward zero in
+    * both Spark and DuckDB) of a quantized-vector column per key group —
+    * the engine-portable centroid kernel of the Lloyd update, shared with
+    * q114's per-source centroids. Output: keyCols ++ (centroid,
+    * n_members). `n_members` = max per-position row count, which equals the
+    * group's vector count whenever vectors are non-empty (ragged arrays
+    * would under-count shorter tails per position — the mean at position p
+    * averages only vectors long enough to have one, same as the oracle's
+    * per-pos GROUP BY). */
+  def intMeanCentroids(df: DataFrame, keyCols: Seq[String],
+      qvecCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    df.select(keys :+ posexplode(col(qvecCol)).as(Seq("pos", "v")): _*)
+      .groupBy(keys :+ col("pos"): _*)
+      .agg(expr("sum(v) div count(1)").as("m"), count(lit(1)).as("cnt"))
+      .groupBy(keys: _*)
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+        .as("centroid"), max(col("cnt")).as("n_members"))
+  }
+
+  /** Collect a TINY frame (k·dim longs) and rebuild it as a local relation:
+    * a lazy centroid frame would embed every prior round's
+    * crossJoin+aggregate in its lineage, and the caller's action would
+    * recompute the whole history once per action (the disease PqAnn's
+    * encode had; fixed the same way). */
+  def localize(df: DataFrame): DataFrame = {
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(df.collect(): _*)
+    df.sparkSession.createDataFrame(rows, df.schema)
+  }
+
   /** Quantized assignment after `iters` Lloyd rounds: returns
     * (idCol, qvec, cid, d2) — d2 the exact squared distance to the final
     * centroid. Clusters that lose all members simply vanish (no
@@ -32,21 +73,9 @@ object KMeansLloyd {
       k: Int, iters: Int): DataFrame = {
     require(k >= 1 && iters >= 1)
     graft.functions.VectorOps.register(vectors.sparkSession)
-    val q = vectors.select(col(idCol), expr(
-      s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT))")
-      .as("qvec"))
+    val q = vectors.select(col(idCol), quantize(vecCol).as("qvec"))
     val n = q.count()
     val stride = math.max(1L, n / k)
-    // Each round's centroid table is COLLECTED (k·dim longs — tiny) and
-    // rebuilt as a local relation: a lazy centroid frame would embed every
-    // prior round's crossJoin+aggregate in its lineage, and the caller's
-    // action would recompute the whole Lloyd history once per round (the
-    // same disease PqAnn's encode had; fixed the same way).
-    def localize(df: DataFrame): DataFrame = {
-      val rows: java.util.List[org.apache.spark.sql.Row] =
-        java.util.Arrays.asList(df.collect(): _*)
-      vectors.sparkSession.createDataFrame(rows, df.schema)
-    }
     val seed = q
       .filter((col(idCol) % stride === 0) && (col(idCol) / stride < k))
       .select((col(idCol) / stride).cast("int").as("cid"), col("qvec").as("centroid"))
@@ -67,13 +96,8 @@ object KMeansLloyd {
         .select(col(idCol), col("qvec"),
           col("best.cid").as("cid"), col("best.d2").as("d2"))
       if (i < iters) {
-        cents = localize(assigned
-          .select(col("cid"), posexplode(col("qvec")).as(Seq("pos", "v")))
-          .groupBy(col("cid"), col("pos"))
-          .agg(expr("sum(v) div count(1)").as("m"))
-          .groupBy(col("cid"))
-          .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
-            .as("centroid")))
+        cents = localize(intMeanCentroids(assigned, Seq("cid"), "qvec")
+          .select(col("cid"), col("centroid")))
       }
     }
     assigned

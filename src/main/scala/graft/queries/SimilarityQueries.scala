@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.VectorOps
+import graft.operators.KMeansLloyd
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -450,37 +451,33 @@ object SimilarityQueries {
     * contract), per-source centroids are truncating integer means
     * (`sum div count` — the engine-portable q98 idiom), and the pairwise
     * scores are exact integer `dot_l` products; only the final cosine is a
-    * double, rounded to 4 decimals (q41 precedent). Scale shape: one
-    * (source, pos)-keyed hash aggregate over the corpus, then an
-    * n_sources² cross of TINY centroid rows (20 here) — the corpus is
-    * never pair-joined. */
+    * double, rounded to 4 decimals (q41 precedent). Scale shape: ONE
+    * (source, pos)-keyed hash aggregate over the corpus — the group's
+    * vector count rides the same aggregate (`max` of the per-position
+    * counts, exact because embeddings are fixed-dim non-empty), so there is
+    * no second corpus scan — then the 20-row centroid table is COLLECTED
+    * into a local relation before the n_sources² self-cross; the corpus
+    * pipeline is never pair-joined and never re-executed per side. */
   private val q114: Q = (s, d) => {
     VectorOps.register(s)
     val src = Tables.documents(s, d)
       .select(col("doc_id").as("vec_id"), col("source"))
     val q = Tables.embeddings(s, d).join(src, Seq("vec_id"))
-      .select(col("source"), expr(
-        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT))")
-        .as("qvec"))
-    val sizes = q.groupBy(col("source")).agg(count(lit(1)).as("n_vecs"))
-    val cent = q.select(col("source"), posexplode(col("qvec")).as(Seq("pos", "v")))
-      .groupBy(col("source"), col("pos"))
-      .agg(expr("sum(v) div count(1)").as("m"))
-      .groupBy(col("source"))
-      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
-        .as("centroid"))
-      .join(sizes, Seq("source"))
-      .select(col("source"), col("centroid"), col("n_vecs"),
-        expr("dot_l(centroid, centroid)").as("norm2"))
+      .select(col("source"), KMeansLloyd.quantize("embedding").as("qvec"))
+    val cent = KMeansLloyd.localize(
+      KMeansLloyd.intMeanCentroids(q, Seq("source"), "qvec")
+        .select(col("source"), col("centroid"),
+          col("n_members").as("n_vecs"),
+          expr("dot_l(centroid, centroid)").as("norm2")))
     val a = cent.select(col("source").as("sa"), col("centroid").as("ca"),
       col("n_vecs").as("n_a"), col("norm2").as("na2"))
     val b = cent.select(col("source").as("sb"), col("centroid").as("cb"),
       col("n_vecs").as("n_b"), col("norm2").as("nb2"))
     a.crossJoin(broadcast(b)).filter(col("sa") < col("sb"))
-      .select(col("sa"), col("sb"), col("n_a"), col("n_b"),
-        expr("dot_l(ca, cb)").as("dot_q"),
-        round(expr("dot_l(ca, cb) / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)))"),
-          4).as("cos4"))
+      .withColumn("dot_q", expr("dot_l(ca, cb)"))
+      .withColumn("cos4", round(col("dot_q") /
+        (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))), 4))
+      .select(col("sa"), col("sb"), col("n_a"), col("n_b"), col("dot_q"), col("cos4"))
       .orderBy(col("sa"), col("sb"))
   }
 
