@@ -43,7 +43,10 @@ object Plans {
     "q111_ann_filtered" -> "filtered ANN: label predicate is the BroadcastHashJoin KEY (pre-filter), only same-class pairs scored",
     "q112_span_dedup_rebuild" -> "constructive span dedup: one MIN per span (no per-span window), rebuild bounded by doc length",
     "q113_source_overlap_matrix" -> "source overlap: per-shingle source set from ONE hash agg, ordered pairs from a <=n_sources array — no self-join",
-    "q114_source_centroid_matrix" -> "centroid matrix: one (source,pos) hash agg over the corpus, pairwise dot_l only on n_sources tiny centroid rows")
+    "q114_source_centroid_matrix" -> "centroid matrix: one (source,pos) hash agg over the corpus, pairwise dot_l only on n_sources tiny centroid rows",
+    "q115_canonical_dedup" -> "canonical dedup: keep-best is ONE struct-min hash agg on the cluster label, never a per-cluster window",
+    "q116_token_budget_select" -> "budget select: per-source running-sum window (q92 precedent), census output <= n_sources rows",
+    "q117_shingle_novelty" -> "novelty: per-shingle min re-aggregated by owner — no shingle join-back, doc-keyed join only")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

@@ -414,7 +414,96 @@ object CorpusQueries {
       |FROM inter i JOIN sz za ON za.source = i.sa JOIN sz zb ON zb.source = i.sb
       |ORDER BY sa, sb""".stripMargin
 
+  // ---------------------------------------------------------------- q116
+  /** Token-budget data selection — curation under a hard budget: per
+    * source, take documents in DESCENDING quality order (q33's exact-ppm
+    * score, ties by doc_id) until the cumulative token count would exceed
+    * the budget. Because every document has ≥1 token the running sum is
+    * strictly increasing, so `cum_tokens <= budget` IS the greedy prefix
+    * (no post-overflow backfill). A source whose best document alone
+    * overflows the budget selects nothing and drops out of the census —
+    * same on both engines.
+    *
+    * Scale shape: one per-source running-sum window (the q92
+    * sequence-packing precedent — partitions are per-source and the window
+    * is the operator's semantics; sub-partition by a hash prefix if a
+    * single source outgrows an executor) followed by a tiny per-source
+    * census. Output is ≤ n_sources rows at any scale factor. */
+  private val q116Budget = 800L
+  private val q116: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val qual = TextQueries.withQualityPpm(Tables.documents(s, d))
+      .select(col("doc_id"), col("source"), col("tokens"), col("quality_ppm"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality_ppm").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    qual.withColumn("cum_tokens", sum(col("tokens")).over(w))
+      .filter(col("cum_tokens") <= q116Budget)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_selected"),
+        sum(col("tokens")).as("tok_selected"),
+        min(col("quality_ppm")).as("cutoff_quality_ppm"))
+      .orderBy(col("source"))
+  }
+
+  private val q116Sql =
+    s"""WITH ${TextQueries.qualityPpmCte},
+       |c AS (SELECT source, tokens, quality_ppm,
+       |  SUM(tokens) OVER (PARTITION BY source
+       |    ORDER BY quality_ppm DESC, doc_id
+       |    ROWS UNBOUNDED PRECEDING) AS cum_tokens FROM qual)
+       |SELECT source, COUNT(*) AS n_selected,
+       | SUM(tokens) AS tok_selected,
+       | MIN(quality_ppm) AS cutoff_quality_ppm
+       |FROM c WHERE cum_tokens <= $q116Budget
+       |GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q117
+  /** Shingle novelty scoring: for each document, the fraction of its
+    * distinct 3-shingles that FIRST appear in it (global first = lowest
+    * doc_id owning the shingle) — the marginal-contribution signal used for
+    * dedup-aware sampling and curriculum ordering.
+    *
+    * Scale shape — NO shingle join-back: the per-shingle `min(doc_id)` hash
+    * aggregate is immediately re-aggregated by that min (`n_novel(doc) =
+    * #shingles whose first owner is doc`), so the only join is doc-keyed
+    * against the per-doc shingle census. Two map-side-combinable hash aggs
+    * + one tiny-key join; the exploded shingle stream is shuffled once. */
+  private val q117: Q = (s, d) => {
+    graft.functions.TextKernels.register(s)
+    val docs = Tables.documents(s, d)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), array_distinct(expr("word_shingles(text, 3)")).as("sh"))
+    val perDoc = docs.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"))
+    val novel = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .groupBy(col("shingle")).agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(col("first_doc")).agg(count(lit(1)).as("n_novel"))
+    perDoc.join(novel, col("doc_id") === col("first_doc"), "left")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        expr("coalesce(n_novel, 0L) * 1000000 div n_sh").as("novelty_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q117Sql =
+    """WITH sh AS (
+      | SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+      |   i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS sh
+      | FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      | WHERE len(w) >= 3),
+      |f AS (SELECT s, MIN(doc_id) AS first_doc
+      |      FROM (SELECT doc_id, UNNEST(sh) AS s FROM sh) GROUP BY s),
+      |nv AS (SELECT first_doc, COUNT(*) AS n_novel FROM f GROUP BY first_doc),
+      |pd AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh FROM sh)
+      |SELECT pd.doc_id, pd.n_sh,
+      | COALESCE(nv.n_novel, 0) AS n_novel,
+      | COALESCE(nv.n_novel, 0) * 1000000 // pd.n_sh AS novelty_ppm
+      |FROM pd LEFT JOIN nv ON nv.first_doc = pd.doc_id
+      |ORDER BY pd.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q116_token_budget_select" -> q116,
+    "q117_shingle_novelty" -> q117,
     "q113_source_overlap_matrix" -> q113,
     "q112_span_dedup_rebuild" -> q112,
     "q102_stratified_sample" -> q102,
@@ -426,6 +515,8 @@ object CorpusQueries {
     "q100_substring_windows" -> q100)
 
   val oracle: Map[String, String] = Map(
+    "q116_token_budget_select" -> q116Sql,
+    "q117_shingle_novelty" -> q117Sql,
     "q113_source_overlap_matrix" -> q113Sql,
     "q112_span_dedup_rebuild" -> q112Sql,
     "q102_stratified_sample" -> q102Sql,

@@ -278,6 +278,53 @@ object DedupQueries {
        |SELECT cluster, COUNT(*) AS n_docs FROM lab
        |GROUP BY cluster ORDER BY cluster""".stripMargin
 
+  // ---------------------------------------------------------------- q115
+  /** Canonical-selection dedup collapse — what production near-dup dedup
+    * actually ships: within each q101 cluster keep the HIGHEST-QUALITY
+    * member (q33's exact-ppm score; ties broken by lowest doc_id), not an
+    * arbitrary representative. Dropping the worst duplicates is the whole
+    * point of scoring before deduping (the reference pipeline's
+    * prune-then-route ordering, writ large).
+    *
+    * Scale shape: the keep-best choice is ONE hash aggregate on the
+    * cluster label — `min(struct(-quality, id))` gives argmax-with-tiebreak
+    * as a map-side-combinable agg, never a global or per-cluster window
+    * over the corpus. Quality is a map-only projection joined on doc_id.
+    * ORACLE: q101's recursive-CTE closure + the shared quality CTE, keeper
+    * picked by a deterministic ROW_NUMBER total order. */
+  private val q115: Q = (s, d) => {
+    val pairs = lshVerifiedPairs(s, d).select(col("id_a"), col("id_b"))
+    val nodes = Tables.documents(s, d).select(col("doc_id"))
+    val labels = graft.operators.ConnectedComponents.run(nodes, pairs)
+    val qual = TextQueries.withQualityPpm(Tables.documents(s, d))
+      .select(col("doc_id"), col("quality_ppm"))
+    labels.join(qual, col("node") === col("doc_id"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(struct((-col("quality_ppm")).as("nq"), col("doc_id").as("id"))).as("best"))
+      .select(col("label").as("cluster"), col("n_docs"),
+        col("best.id").as("keep_id"), (-col("best.nq")).as("keep_quality_ppm"))
+      .orderBy(col("cluster"))
+  }
+
+  private val q115Sql =
+    s"""WITH RECURSIVE $lshPairsCte,
+       |e AS (SELECT id_a AS u, id_b AS v FROM p
+       |      UNION ALL SELECT id_b AS u, id_a AS v FROM p),
+       |reach AS (SELECT doc_id AS node, doc_id AS r FROM documents
+       |          UNION
+       |          SELECT e.u AS node, reach.r FROM e JOIN reach ON reach.node = e.v),
+       |lab AS (SELECT node, MIN(r) AS cluster FROM reach GROUP BY node),
+       |${TextQueries.qualityPpmCte},
+       |j AS (SELECT lab.cluster, q.doc_id, q.quality_ppm
+       |      FROM lab JOIN qual q ON q.doc_id = lab.node),
+       |r2 AS (SELECT cluster, doc_id, quality_ppm,
+       |   ROW_NUMBER() OVER (PARTITION BY cluster
+       |     ORDER BY quality_ppm DESC, doc_id) AS rn,
+       |   COUNT(*) OVER (PARTITION BY cluster) AS n_docs FROM j)
+       |SELECT cluster, n_docs, doc_id AS keep_id, quality_ppm AS keep_quality_ppm
+       |FROM r2 WHERE rn = 1 ORDER BY cluster""".stripMargin
+
   // ---------------------------------------------------------------- q38 (no oracle: SimHash)
   /** 64-bit SimHash over distinct words + Hamming distance to doc_id+1.
     * Near-dups have small Hamming distance; the per-doc signature is a pure
@@ -452,7 +499,8 @@ object DedupQueries {
     "q66_minhash_lsh_verified" -> q66,
     "q67_simhash_portable" -> q67,
     "q101_dedup_clusters" -> q101,
-    "q103_containment_join" -> q103)
+    "q103_containment_join" -> q103,
+    "q115_canonical_dedup" -> q115)
 
   /** Bench-only fast twins of the oracle-verified q66/q67: same LSH /
     * SimHash formulations with xxhash64 in place of portable md5-60bit
@@ -474,5 +522,6 @@ object DedupQueries {
     "q66_minhash_lsh_verified" -> q66Sql,
     "q101_dedup_clusters" -> q101Sql,
     "q103_containment_join" -> q103Sql,
+    "q115_canonical_dedup" -> q115Sql,
     "q67_simhash_portable" -> q67Sql)
 }

@@ -83,19 +83,41 @@ object TextQueries {
       |FROM t GROUP BY lang ORDER BY lang""".stripMargin
 
   // ---------------------------------------------------------------- q33
-  /** Quality score in exact parts-per-million integer arithmetic: the
-    * double formulation rounds differently per engine when a component
-    * lands on a .5e-6 boundary (seen at sf0.1), so every ratio here is
-    * integer `div` — bit-identical on any engine at any scale.
-    * quality = 0.4·stop_ratio + 0.6·min(avg_tok_len/10, 1), in ppm. */
-  private val q33: Q = (s, d) =>
-    Tables.documents(s, d)
+  /** Adds (tokens, avg_len_ppm, stop_ppm, quality_ppm) to a documents
+    * frame — the q33 quality score in exact parts-per-million integer
+    * arithmetic: the double formulation rounds differently per engine when
+    * a component lands on a .5e-6 boundary (seen at sf0.1), so every ratio
+    * is integer `div` — bit-identical on any engine at any scale.
+    * quality = 0.4·stop_ratio + 0.6·min(avg_tok_len/10, 1), in ppm.
+    * SHARED kernel: q33 reports it; q115 (canonical dedup collapse) and
+    * q116 (token-budget selection) rank by it — one Scala site, with
+    * [[qualityPpmCte]] the DuckDB replay to keep in lockstep. */
+  def withQualityPpm(doc: DataFrame): DataFrame =
+    doc
       .withColumn("tokens", size(split(col("text"), " ")).cast("long"))
       .withColumn("avg_len_ppm",
         expr("(length(text) - (tokens - 1)) * 1000000L div tokens"))
       .withColumn("stop_ppm", expr(s"${occStr(" the ")} * 1000000L div tokens"))
       .withColumn("quality_ppm",
         expr("(4 * stop_ppm + 6 * least(avg_len_ppm div 10, 1000000L)) div 10"))
+
+  /** DuckDB CTE `qual(doc_id, source, tokens, quality_ppm)` replaying
+    * [[withQualityPpm]] on `documents` — compose as
+    * `WITH $qualityPpmCte, ...`. */
+  val qualityPpmCte: String =
+    """qual AS (
+      | SELECT doc_id, source, tokens,
+      |  (4 * (occ_the * 1000000 // tokens) +
+      |   6 * least(((n_chars - (tokens - 1)) * 1000000 // tokens) // 10, 1000000)) // 10
+      |    AS quality_ppm
+      | FROM (SELECT doc_id, source,
+      |   CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+      |   CAST(length(text) AS BIGINT) AS n_chars,
+      |   CAST((length(text) - length(replace(text, ' the ', ''))) // 5 AS BIGINT) AS occ_the
+      |  FROM documents))""".stripMargin
+
+  private val q33: Q = (s, d) =>
+    withQualityPpm(Tables.documents(s, d))
       .select(col("doc_id"), col("tokens"), col("avg_len_ppm"),
         col("stop_ppm"), col("quality_ppm"))
       .orderBy(col("doc_id"))
