@@ -99,4 +99,43 @@ class CorpusQueriesSpec extends AnyFunSuite {
         Tables.documents(spark, dir).filter(length(col("text")) < 50).count())
     } finally out.unpersist()
   }
+
+  test("q116 equals a sequential driver-side greedy replay per source") {
+    val out = CorpusQueries.queries("q116_token_budget_select")(spark, dir)
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_selected"), r.getAs[Long]("tok_selected"),
+          r.getAs[Long]("cutoff_quality_ppm"))))
+      .toMap
+    // independent replay: plain Scala fold over (quality desc, doc_id)
+    val docs = graft.queries.TextQueries.withQualityPpm(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("source"), col("tokens"), col("quality_ppm"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val expected = docs.groupBy(_._2).flatMap { case (src, ds) =>
+      val ordered = ds.sortBy(d => (-d._4, d._1))
+      var cum = 0L
+      val sel = ordered.takeWhile { d => cum += d._3; cum <= 800L }
+      if (sel.isEmpty) None
+      else Some(src -> ((sel.length.toLong, sel.map(_._3).sum, sel.map(_._4).min)))
+    }
+    assert(out == expected)
+  }
+
+  test("q117 novelty counts conserve the global distinct-shingle total") {
+    graft.functions.TextKernels.register(spark)
+    val out = CorpusQueries.queries("q117_shingle_novelty")(spark, dir).cache()
+    try {
+      val totalDistinct = Tables.documents(spark, dir)
+        .filter(size(split(col("text"), " ")) >= 3)
+        .select(explode(expr("array_distinct(word_shingles(text, 3))")).as("s"))
+        .select(col("s")).distinct().count()
+      // every shingle has exactly one first owner
+      assert(out.agg(sum(col("n_novel"))).head().getLong(0) == totalDistinct)
+      // bounds, and the earliest doc introduces everything it has
+      assert(out.filter(col("n_novel") > col("n_sh")).count() == 0)
+      val first = out.orderBy(col("doc_id")).head()
+      assert(first.getAs[Long]("novelty_ppm") == 1000000L)
+    } finally out.unpersist()
+  }
 }

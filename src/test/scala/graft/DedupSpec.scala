@@ -65,4 +65,31 @@ class DedupSpec extends AnyFunSuite {
     assert(sigs(0) == sigs(1), "same shingle set => same signature")
     assert(sigs(0).length == 32)
   }
+
+  test("q115 canonical dedup: partitions the corpus, agrees with q101, keeps a real member's quality") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val out = DedupQueries.queries("q115_canonical_dedup")(spark, dir)
+    val rows = out.collect()
+    val nDocs = graft.Tables.documents(spark, dir).count()
+    // clusters partition the corpus
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    // keep_ids are distinct, and the keeper cannot precede the cluster's
+    // min-id label
+    assert(rows.map(_.getAs[Long]("keep_id")).distinct.length == rows.length)
+    assert(rows.forall(r => r.getAs[Long]("keep_id") >= r.getAs[Long]("cluster")))
+    // census agrees with q101 (independent registration, same closure)
+    val q101 = DedupQueries.queries("q101_dedup_clusters")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("cluster"), r.getAs[Long]("n_docs"))).toMap
+    assert(rows.map(r => (r.getAs[Long]("cluster"), r.getAs[Long]("n_docs"))).toMap == q101)
+    // keep_quality_ppm is the keeper's ACTUAL q33 quality, and beats (or
+    // ties) the quality of the min-id representative q101 would keep
+    val qual = graft.queries.TextQueries.queries("q33_quality_score")(spark, dir)
+      .select(col("doc_id"), col("quality_ppm")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("keep_quality_ppm") == qual(r.getAs[Long]("keep_id")))
+      assert(r.getAs[Long]("keep_quality_ppm") >= qual(r.getAs[Long]("cluster")))
+    }
+  }
 }
