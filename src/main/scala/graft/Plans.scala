@@ -46,7 +46,9 @@ object Plans {
     "q114_source_centroid_matrix" -> "centroid matrix: one (source,pos) hash agg over the corpus, pairwise dot_l only on n_sources tiny centroid rows",
     "q115_canonical_dedup" -> "canonical dedup: keep-best is ONE struct-min hash agg on the cluster label, never a per-cluster window",
     "q116_token_budget_select" -> "budget select: per-source running-sum window (q92 precedent), census output <= n_sources rows",
-    "q117_shingle_novelty" -> "novelty: per-shingle min re-aggregated by owner — no shingle join-back, doc-keyed join only")
+    "q117_shingle_novelty" -> "novelty: per-shingle min re-aggregated by owner — no shingle join-back, doc-keyed join only",
+    "q118_token_accounting" -> "token accounting: one regexp pass + bounded aggregate fold per row, no explode, no shuffle before the ordering",
+    "q119_countmin_sketch" -> "CMS: cell grid built from the shared word-count agg (constant d*w size), probes join the broadcast grid")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

@@ -540,7 +540,131 @@ object TextQueries {
       |SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(term_score) AS BIGINT) AS score
       |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
 
+  // ---------------------------------------------------------------- q118
+  /** Token accounting under three tokenizer models — the cost estimate every
+    * training-data budget is denominated in: (1) whitespace tokens (the q39
+    * baseline), (2) GPT-2-style pretokens (leftmost-first alternation of
+    * ` ?letters | ?digits | ?other`, the pre-BPE segmentation every byte-pair
+    * tokenizer family shares — note RE2 (DuckDB) forbids lookahead, so the
+    * pattern deliberately omits GPT-2's `\s+(?!\S)` trailing-space branch,
+    * identical on this corpus's single-spaced text), and (3) a subword
+    * estimate of ceil(len/4) BPE pieces per pretoken (the ~4-chars-per-token
+    * rule of thumb, exact integer form) — the leading space rides its
+    * pretoken, as in the byte-level BPE alphabet. chars_per_bpe_ppm is the
+    * compression proxy curation dashboards track (templated text compresses
+    * deeper than natural text).
+    *
+    * Scale shape: pure per-row expressions — one regexp pass + a bounded
+    * `aggregate` fold per document, no explode, no shuffle before the
+    * ordering. The pretokenizer branches match disjoint character classes,
+    * so Java-regex (leftmost-first) and RE2 (leftmost-first over these
+    * branches) segment identically — cross-engine determinism is structural,
+    * not luck. */
+  private val q118: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("toks",
+        expr("regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+', 0)"))
+      .withColumn("n_bpe_est",
+        expr("aggregate(toks, CAST(0 AS BIGINT), (acc, t) -> acc + ((length(t) + 3) div 4))"))
+      .select(
+        col("doc_id"),
+        size(filter(split(col("text"), " "), t => t =!= "")).cast("long").as("n_ws"),
+        size(col("toks")).cast("long").as("n_pretok"),
+        col("n_bpe_est"),
+        expr("CASE WHEN n_bpe_est = 0 THEN 0L " +
+          "ELSE n_chars * 1000000 div n_bpe_est END").as("chars_per_bpe_ppm"))
+      .orderBy(col("doc_id"))
+
+  private val q118Sql =
+    """WITH t AS (SELECT doc_id, n_chars,
+      |  len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_ws,
+      |  regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+') AS toks
+      | FROM documents),
+      |b AS (SELECT doc_id, n_chars, n_ws, len(toks) AS n_pretok,
+      |  COALESCE(list_sum(list_transform(toks, x -> (length(x) + 3) // 4)), 0) AS n_bpe_est
+      | FROM t)
+      |SELECT doc_id, CAST(n_ws AS BIGINT) AS n_ws,
+      | CAST(n_pretok AS BIGINT) AS n_pretok,
+      | CAST(n_bpe_est AS BIGINT) AS n_bpe_est,
+      | CAST(CASE WHEN n_bpe_est = 0 THEN 0
+      |      ELSE n_chars * 1000000 // n_bpe_est END AS BIGINT) AS chars_per_bpe_ppm
+      |FROM b ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q119
+  /** Count-Min Sketch point-frequency estimates — the third sketch in the
+    * family (HLL q44 = cardinality, Misra-Gries q105 = heavy hitters, CMS =
+    * arbitrary point queries): d=4 hash rows × w=16 counters, est(x) =
+    * min over rows of cell[r][h_r(x)], guaranteeing est ≥ exact always and
+    * est ≤ exact + 2n/w with probability 1 − 2⁻⁴ (Cormode & Muthukrishnan's
+    * bound with the classic constants). w = 16 is deliberately undersized
+    * for the 31-word synthetic vocabulary so the error term is VISIBLE in
+    * the output — some probes overcount, the absent probe word shows pure
+    * collision mass, and a broken min (e.g. a max or avg) cannot hide
+    * behind a collision-free grid; production sizing is w = ⌈e/ε⌉ for
+    * target error εn.
+    *
+    * Scale shape: the build aggregates the vocabulary, not the token
+    * stream — `wc` is the same map-side-combinable word count every text
+    * query shares, and the d×w cell grid (1,024 Longs total, CONSTANT in
+    * corpus size) is a second tiny hash agg over it; summing per-word counts
+    * into cells is exactly the partition-local-array-then-merge CMS build
+    * because cell addition commutes. Probes join the broadcast cell grid —
+    * no shuffle grows with the corpus anywhere past `wc`. Hashes are the
+    * portable md5→60-bit idiom (q91 precedent) so DuckDB replays every cell
+    * value exactly. */
+  private val q119: Q = (s, d) => {
+    // md5 → 60-bit int → mod 256; the column is always named `w` here.
+    def cmBucket(r: Int) =
+      expr(s"CAST(conv(substring(md5(concat('cm$r:', w)), 1, 15), 16, 10) AS BIGINT) % 16")
+    val rows = 0 until 4
+    val words = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val wc = words.groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val cells = wc
+      .select(explode(array(rows.map(r =>
+        struct(lit(r).as("r"), cmBucket(r).as("c"))): _*)).as("rc"), col("n"))
+      .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
+      .agg(sum(col("n")).as("cnt"))
+    val probeWords = Seq("data", "merge", "quasar", "spark", "the", "window")
+    val probe = s.createDataFrame(probeWords.map(Tuple1(_))).toDF("w")
+    val est = probe
+      .select(col("w"), explode(array(rows.map(r =>
+        struct(lit(r).as("r"), cmBucket(r).as("c"))): _*)).as("rc"))
+      .select(col("w"), col("rc.r").as("r"), col("rc.c").as("c"))
+      .join(broadcast(cells), Seq("r", "c"), "left")
+      .groupBy(col("w"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
+    est.join(wc.filter(col("w").isin(probeWords: _*)), Seq("w"), "left")
+      .select(col("w"), col("cm_est"),
+        coalesce(col("n"), lit(0L)).as("exact"),
+        (col("cm_est") - coalesce(col("n"), lit(0L))).as("overcount"))
+      .orderBy(col("w"))
+  }
+
+  private val q119Sql =
+    """WITH ww AS (SELECT w FROM (SELECT UNNEST(string_split(text, ' ')) AS w
+      |  FROM documents) WHERE w <> ''),
+      |wc AS (SELECT w, COUNT(*) AS n FROM ww GROUP BY w),
+      |r AS (SELECT UNNEST(range(4)) AS r),
+      |cells AS (SELECT r.r,
+      |    CAST(('0x' || substr(md5('cm' || r.r || ':' || wc.w), 1, 15)) AS BIGINT) % 16 AS c,
+      |    SUM(wc.n) AS cnt
+      |  FROM wc, r GROUP BY 1, 2),
+      |probe AS (SELECT UNNEST(['data', 'merge', 'quasar', 'spark', 'the', 'window']) AS w),
+      |pr AS (SELECT p.w, r.r,
+      |    CAST(('0x' || substr(md5('cm' || r.r || ':' || p.w), 1, 15)) AS BIGINT) % 16 AS c
+      |  FROM probe p, r),
+      |est AS (SELECT pr.w, MIN(COALESCE(cells.cnt, 0)) AS cm_est
+      |  FROM pr LEFT JOIN cells ON cells.r = pr.r AND cells.c = pr.c GROUP BY pr.w)
+      |SELECT est.w, CAST(est.cm_est AS BIGINT) AS cm_est,
+      | CAST(COALESCE(wc.n, 0) AS BIGINT) AS exact,
+      | CAST(est.cm_est - COALESCE(wc.n, 0) AS BIGINT) AS overcount
+      |FROM est LEFT JOIN wc ON wc.w = est.w ORDER BY est.w""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q118_token_accounting" -> q118,
+    "q119_countmin_sketch" -> q119,
     "q110_bm25_retrieval" -> q110,
     "q99_zipf_vocab" -> q99,
     "q105_heavy_hitters" -> q105,
@@ -558,6 +682,8 @@ object TextQueries {
     "q69_levenshtein_neardup" -> q69)
 
   val oracle: Map[String, String] = Map(
+    "q118_token_accounting" -> q118Sql,
+    "q119_countmin_sketch" -> q119Sql,
     "q110_bm25_retrieval" -> q110Sql,
     "q99_zipf_vocab" -> q99Sql,
     "q105_heavy_hitters" -> q105Sql,

@@ -138,4 +138,48 @@ class CorpusQueriesSpec extends AnyFunSuite {
       assert(first.getAs[Long]("novelty_ppm") == 1000000L)
     } finally out.unpersist()
   }
+
+  test("q118 equals a plain-Scala tokenizer replay") {
+    val out = graft.queries.TextQueries.queries("q118_token_accounting")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val pat = java.util.regex.Pattern.compile(" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("n_chars")).collect()
+    assert(docs.length == out.size)
+    docs.foreach { r =>
+      val (id, text, nChars) = (r.getLong(0), r.getString(1), r.getLong(2))
+      val nWs = text.split(" ").count(_.nonEmpty).toLong
+      val m = pat.matcher(text)
+      var nPre = 0L; var nBpe = 0L
+      while (m.find()) { nPre += 1; nBpe += (m.group().length + 3) / 4 }
+      val ratio = if (nBpe == 0) 0L else nChars * 1000000L / nBpe
+      assert(out(id) == ((nWs, nPre, nBpe, ratio)), s"doc $id")
+    }
+  }
+
+  test("q119 CMS is one-sided and equals a plain-Scala sketch replay") {
+    def bucket(row: Int, w: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"cm$row:$w".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      (java.lang.Long.parseLong(hex, 16) % 16).toInt
+    }
+    val exact = scala.collection.mutable.Map.empty[String, Long]
+    Tables.documents(spark, dir).select(col("text")).collect().foreach { r =>
+      r.getString(0).split(" ").filter(_.nonEmpty)
+        .foreach(w => exact(w) = exact.getOrElse(w, 0L) + 1L)
+    }
+    val grid = Array.fill(4, 16)(0L)
+    exact.foreach { case (w, n) => (0 until 4).foreach(r => grid(r)(bucket(r, w)) += n) }
+    val out = graft.queries.TextQueries.queries("q119_countmin_sketch")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._1).toSeq ==
+      Seq("data", "merge", "quasar", "spark", "the", "window"))
+    out.foreach { case (w, est, ex, over) =>
+      assert(ex == exact.getOrElse(w, 0L), s"exact count for $w")
+      assert(est == (0 until 4).map(r => grid(r)(bucket(r, w))).min, s"sketch est for $w")
+      assert(est >= ex && over == est - ex, s"one-sided error for $w")
+    }
+  }
 }
