@@ -603,42 +603,53 @@ object TextQueries {
     * behind a collision-free grid; production sizing is w = ⌈e/ε⌉ for
     * target error εn.
     *
-    * Scale shape: the build aggregates the vocabulary, not the token
-    * stream — `wc` is the same map-side-combinable word count every text
-    * query shares, and the d×w cell grid (1,024 Longs total, CONSTANT in
-    * corpus size) is a second tiny hash agg over it; summing per-word counts
-    * into cells is exactly the partition-local-array-then-merge CMS build
-    * because cell addition commutes. Probes join the broadcast cell grid —
-    * no shuffle grows with the corpus anywhere past `wc`. Hashes are the
-    * portable md5→60-bit idiom (q91 precedent) so DuckDB replays every cell
-    * value exactly. */
+    * Scale shape — ONE pass over the token stream: `wc` is the same
+    * map-side-combinable word count every text query shares, and the d×w
+    * cell grid (64 Longs, CONSTANT in corpus size) is a tiny hash agg over
+    * it; summing per-word counts into cells is exactly the
+    * partition-local-array-then-merge CMS build because cell addition
+    * commutes. The exact-count WITNESS column does not re-scan the corpus:
+    * probe words emit one extra entry on virtual row −1 keyed by probe
+    * index — a perfect-hash row (a CMS row with w = ∞ over the probe set),
+    * so exact counts ride the same explode + cell aggregate as the grid.
+    * Probes join the broadcast grid; no shuffle grows with the corpus
+    * anywhere past `wc`. Hashes are the portable md5→60-bit idiom (q91
+    * precedent) so DuckDB replays every cell value exactly. */
   private val q119: Q = (s, d) => {
-    // md5 → 60-bit int → mod 256; the column is always named `w` here.
+    // md5 → 60-bit int → mod 16; the column is always named `w` here.
     def cmBucket(r: Int) =
       expr(s"CAST(conv(substring(md5(concat('cm$r:', w)), 1, 15), 16, 10) AS BIGINT) % 16")
     val rows = 0 until 4
+    val probeWords = Seq("data", "merge", "quasar", "spark", "the", "window")
+    // grid entries for rows 0..3, plus the witness entry (−1, probe index)
+    // for probe words only; array_position is 0 when absent, 1-based else.
+    def entries = {
+      val grid = array(rows.map(r =>
+        struct(lit(r).as("r"), cmBucket(r).as("c"))): _*)
+      val pos = array_position(typedLit(probeWords), col("w"))
+      concat(grid,
+        when(pos > 0, array(struct(lit(-1).as("r"), (pos - 1).cast("long").as("c"))))
+          .otherwise(expr("CAST(array() AS ARRAY<STRUCT<r: INT, c: BIGINT>>)")))
+    }
     val words = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
     val wc = words.groupBy(col("w")).agg(count(lit(1)).as("n"))
     val cells = wc
-      .select(explode(array(rows.map(r =>
-        struct(lit(r).as("r"), cmBucket(r).as("c"))): _*)).as("rc"), col("n"))
+      .select(explode(entries).as("rc"), col("n"))
       .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
       .agg(sum(col("n")).as("cnt"))
-    val probeWords = Seq("data", "merge", "quasar", "spark", "the", "window")
     val probe = s.createDataFrame(probeWords.map(Tuple1(_))).toDF("w")
-    val est = probe
-      .select(col("w"), explode(array(rows.map(r =>
-        struct(lit(r).as("r"), cmBucket(r).as("c"))): _*)).as("rc"))
+    probe
+      .select(col("w"), explode(entries).as("rc"))
       .select(col("w"), col("rc.r").as("r"), col("rc.c").as("c"))
       .join(broadcast(cells), Seq("r", "c"), "left")
       .groupBy(col("w"))
-      .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
-    est.join(wc.filter(col("w").isin(probeWords: _*)), Seq("w"), "left")
-      .select(col("w"), col("cm_est"),
-        coalesce(col("n"), lit(0L)).as("exact"),
-        (col("cm_est") - coalesce(col("n"), lit(0L))).as("overcount"))
+      .agg(
+        min(when(col("r") >= 0, coalesce(col("cnt"), lit(0L)))).as("cm_est"),
+        coalesce(max(when(col("r") === -1, col("cnt"))), lit(0L)).as("exact"))
+      .select(col("w"), col("cm_est"), col("exact"),
+        (col("cm_est") - col("exact")).as("overcount"))
       .orderBy(col("w"))
   }
 
@@ -647,20 +658,28 @@ object TextQueries {
       |  FROM documents) WHERE w <> ''),
       |wc AS (SELECT w, COUNT(*) AS n FROM ww GROUP BY w),
       |r AS (SELECT UNNEST(range(4)) AS r),
-      |cells AS (SELECT r.r,
-      |    CAST(('0x' || substr(md5('cm' || r.r || ':' || wc.w), 1, 15)) AS BIGINT) % 16 AS c,
-      |    SUM(wc.n) AS cnt
-      |  FROM wc, r GROUP BY 1, 2),
       |probe AS (SELECT UNNEST(['data', 'merge', 'quasar', 'spark', 'the', 'window']) AS w),
-      |pr AS (SELECT p.w, r.r,
+      |cells AS (SELECT r, c, SUM(n) AS cnt FROM (
+      |    SELECT r.r AS r,
+      |      CAST(('0x' || substr(md5('cm' || r.r || ':' || wc.w), 1, 15)) AS BIGINT) % 16 AS c,
+      |      wc.n FROM wc, r
+      |    UNION ALL
+      |    SELECT -1 AS r, CAST(list_position(['data', 'merge', 'quasar', 'spark', 'the', 'window'], wc.w) - 1 AS BIGINT) AS c, wc.n
+      |    FROM wc WHERE COALESCE(list_position(['data', 'merge', 'quasar', 'spark', 'the', 'window'], wc.w), 0) > 0
+      |  ) GROUP BY r, c),
+      |pr AS (SELECT p.w, r.r AS r,
       |    CAST(('0x' || substr(md5('cm' || r.r || ':' || p.w), 1, 15)) AS BIGINT) % 16 AS c
-      |  FROM probe p, r),
-      |est AS (SELECT pr.w, MIN(COALESCE(cells.cnt, 0)) AS cm_est
+      |  FROM probe p, r
+      |  UNION ALL
+      |  SELECT p.w, -1 AS r, CAST(list_position(['data', 'merge', 'quasar', 'spark', 'the', 'window'], p.w) - 1 AS BIGINT) AS c
+      |  FROM probe p),
+      |est AS (SELECT pr.w,
+      |    MIN(CASE WHEN pr.r >= 0 THEN COALESCE(cells.cnt, 0) END) AS cm_est,
+      |    COALESCE(MAX(CASE WHEN pr.r = -1 THEN cells.cnt END), 0) AS exact
       |  FROM pr LEFT JOIN cells ON cells.r = pr.r AND cells.c = pr.c GROUP BY pr.w)
-      |SELECT est.w, CAST(est.cm_est AS BIGINT) AS cm_est,
-      | CAST(COALESCE(wc.n, 0) AS BIGINT) AS exact,
-      | CAST(est.cm_est - COALESCE(wc.n, 0) AS BIGINT) AS overcount
-      |FROM est LEFT JOIN wc ON wc.w = est.w ORDER BY est.w""".stripMargin
+      |SELECT w, CAST(cm_est AS BIGINT) AS cm_est, CAST(exact AS BIGINT) AS exact,
+      | CAST(cm_est - exact AS BIGINT) AS overcount
+      |FROM est ORDER BY w""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "q118_token_accounting" -> q118,
