@@ -48,7 +48,9 @@ object Plans {
     "q116_token_budget_select" -> "budget select: per-source running-sum window (q92 precedent), census output <= n_sources rows",
     "q117_shingle_novelty" -> "novelty: per-shingle min re-aggregated by owner — no shingle join-back, doc-keyed join only",
     "q118_token_accounting" -> "token accounting: one regexp pass + bounded aggregate fold per row, no explode, no shuffle before the ordering",
-    "q119_countmin_sketch" -> "CMS: ONE token pass — exact witness rides the grid build as a virtual perfect-hash row; constant-size grid broadcast to probes")
+    "q119_countmin_sketch" -> "CMS: ONE token pass — exact witness rides the grid build as a virtual perfect-hash row; constant-size grid broadcast to probes",
+    "q120_token_chunking" -> "chunking: map-only split + bounded sequence explode + slice/hash; chunks travel as md5, no shuffle before ordering",
+    "q121_bigram_lm_surprisal" -> "bigram LM: two map-combinable count aggs build the model; scoring joins the bigram stream on the bigram key (AQE broadcasts small models)")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

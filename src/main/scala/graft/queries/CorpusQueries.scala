@@ -501,7 +501,46 @@ object CorpusQueries {
       |FROM pd LEFT JOIN nv ON nv.first_doc = pd.doc_id
       |ORDER BY pd.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q120
+  /** Overlapping token-window chunking — the retrieval/pretraining chunker
+    * that SPLITS documents (vs q92's whole-document packing, which never
+    * does): windows of 64 tokens at stride 48 (16-token overlap so no
+    * sentence straddles a hard boundary unseen), last window truncated, a
+    * short document yielding exactly one chunk. Chunk count is the closed
+    * form 1 + ceil((n − W)/S) for n > W — exact integer `div` on both
+    * engines — so chunk ids are deterministic, resumable, and need no
+    * window function. Chunks travel as md5 fingerprints, not repeated
+    * text (the q100 discipline: never ship O(overlap × corpus) bytes
+    * through a shuffle).
+    *
+    * Scale shape: map-only — split, a bounded `sequence` explode (output
+    * rows ≈ n/S per doc, linear in corpus bytes), slice + hash per chunk;
+    * no shuffle before the presentation ordering. */
+  private val q120: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("k", explode(expr(
+        "sequence(0L, CASE WHEN n <= 64 THEN 0L ELSE (n - 17) div 48 END)")))
+      .select(col("doc_id"), col("k").as("chunk_id"),
+        (col("k") * 48).as("start_tok"),
+        least(lit(64L), col("n") - col("k") * 48).as("chunk_tokens"),
+        md5(array_join(expr("slice(toks, k * 48 + 1, 64)"), " ")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  private val q120Sql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+      |c AS (SELECT doc_id, toks, n,
+      |  UNNEST(range(CASE WHEN n <= 64 THEN 1 ELSE (n - 17) // 48 + 1 END)) AS k
+      | FROM t)
+      |SELECT doc_id, k AS chunk_id, k * 48 AS start_tok,
+      | least(64, n - k * 48) AS chunk_tokens,
+      | md5(array_to_string(list_slice(toks, k * 48 + 1, k * 48 + 64), ' ')) AS chunk_md5
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q120_token_chunking" -> q120,
     "q116_token_budget_select" -> q116,
     "q117_shingle_novelty" -> q117,
     "q113_source_overlap_matrix" -> q113,
@@ -515,6 +554,7 @@ object CorpusQueries {
     "q100_substring_windows" -> q100)
 
   val oracle: Map[String, String] = Map(
+    "q120_token_chunking" -> q120Sql,
     "q116_token_budget_select" -> q116Sql,
     "q117_shingle_novelty" -> q117Sql,
     "q113_source_overlap_matrix" -> q113Sql,

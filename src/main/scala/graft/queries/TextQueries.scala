@@ -681,7 +681,79 @@ object TextQueries {
       | CAST(cm_est - exact AS BIGINT) AS overcount
       |FROM est ORDER BY w""".stripMargin
 
+  // ---------------------------------------------------------------- q121
+  /** Bigram language-model surprisal scoring — the perplexity-proxy quality
+    * filter (CCNet-style: rank documents by how "expected" their text is
+    * under a corpus LM; templated/boilerplate text scores low surprisal,
+    * garbled text high). The model is add-one-smoothed bigram MLE over the
+    * corpus itself: surprisal(a b) = ln((C(a) + V) / (C(a b) + 1)) ≥ 0,
+    * averaged per document.
+    *
+    * Exactness (the q99 discipline): each bigram's surprisal is a double
+    * ln of a ratio of EXACT integers — identical input bits in both
+    * engines — rounded to 6 decimals and summed as DECIMAL, so the per-doc
+    * sum is shuffle-order-invariant across 1000 executors; the final
+    * average divides the exact decimal sum by the exact count in one
+    * fixed-order double op.
+    *
+    * Scale shape: two map-side-combinable hash aggs build the model
+    * (unigram and bigram counts); the scoring pass joins the exploded
+    * bigram stream against the model keyed ON THE BIGRAM — a plain hash
+    * join that AQE broadcasts when the model is small. At 100 TB a
+    * production run prunes the model to top-K bigrams with unigram
+    * backoff (same plan shape, smaller build side) — noted rather than
+    * simulated, since the synthetic vocabulary is 31 words. */
+  private val q121: Q = (s, d) => {
+    graft.functions.TextKernels.register(s)
+    val docs = Tables.documents(s, d)
+      .filter(size(split(col("text"), " ")) >= 2)
+    val bg = docs.select(col("doc_id"),
+        explode(expr("word_ngrams(text, 2)")).as("bigram"))
+      .withColumn("head", substring_index(col("bigram"), " ", 1))
+    val bgCounts = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c_bg"))
+    val uniCounts = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("head"))
+      .filter(col("head") =!= "")
+      .groupBy(col("head")).agg(count(lit(1)).as("c_uni"))
+    val vocab = uniCounts.agg(count(lit(1)).as("v"))
+    bg.join(bgCounts, Seq("bigram"))
+      .join(uniCounts, Seq("head"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        round(log((col("c_uni") + col("v")).cast("double") /
+          (col("c_bg") + lit(1)).cast("double")), 6)
+          .cast("decimal(12,6)").as("surp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("surp")).as("sum_surprisal"))
+      .select(col("doc_id"), col("n_bigrams"),
+        col("sum_surprisal").cast("decimal(18,6)").as("sum_surprisal"),
+        round(col("sum_surprisal").cast("double") / col("n_bigrams"), 6)
+          .as("avg_surprisal"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q121Sql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |bg AS (SELECT doc_id,
+      |  UNNEST(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+      | FROM w WHERE len(ws) >= 2),
+      |bgc AS (SELECT bigram, COUNT(*) AS c_bg FROM bg GROUP BY bigram),
+      |uni AS (SELECT u AS head, COUNT(*) AS c_uni FROM
+      |  (SELECT UNNEST(ws) AS u FROM w) WHERE u <> '' GROUP BY u),
+      |v AS (SELECT COUNT(*) AS v FROM uni),
+      |sc AS (SELECT bg.doc_id,
+      |  CAST(round(ln(CAST(uni.c_uni + v.v AS DOUBLE) / CAST(bgc.c_bg + 1 AS DOUBLE)), 6)
+      |       AS DECIMAL(12,6)) AS surp
+      | FROM bg
+      | JOIN bgc ON bgc.bigram = bg.bigram
+      | JOIN uni ON uni.head = string_split(bg.bigram, ' ')[1], v)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      | CAST(SUM(surp) AS DECIMAL(18,6)) AS sum_surprisal,
+      | round(CAST(SUM(surp) AS DOUBLE) / COUNT(*), 6) AS avg_surprisal
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q121_bigram_lm_surprisal" -> q121,
     "q118_token_accounting" -> q118,
     "q119_countmin_sketch" -> q119,
     "q110_bm25_retrieval" -> q110,
@@ -701,6 +773,7 @@ object TextQueries {
     "q69_levenshtein_neardup" -> q69)
 
   val oracle: Map[String, String] = Map(
+    "q121_bigram_lm_surprisal" -> q121Sql,
     "q118_token_accounting" -> q118Sql,
     "q119_countmin_sketch" -> q119Sql,
     "q110_bm25_retrieval" -> q110Sql,

@@ -158,6 +158,60 @@ class CorpusQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q120 chunks equal a plain-Scala chunker replay") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val out = graft.queries.CorpusQueries.queries("q120_token_chunking")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text")).collect()
+    var nChunks = 0
+    docs.foreach { r =>
+      val (id, toks) = (r.getLong(0), r.getString(1).split(" ", -1))
+      val n = toks.length
+      val k = if (n <= 64) 1 else (n - 17) / 48 + 1
+      (0 until k).foreach { i =>
+        val chunk = toks.slice(i * 48, math.min(i * 48 + 64, n))
+        assert(out((id, i.toLong)) ==
+          ((i * 48L, chunk.length.toLong, md5hex(chunk.mkString(" ")))), s"doc $id chunk $i")
+        nChunks += 1
+      }
+    }
+    assert(out.size == nChunks, "no extra chunks beyond the closed-form count")
+  }
+
+  test("q121 surprisal equals a plain-Scala bigram-LM replay") {
+    val out = graft.queries.TextQueries.queries("q121_bigram_lm_surprisal")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDecimal(2), r.getDouble(3)))).toMap
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+    val uni = scala.collection.mutable.Map.empty[String, Long]
+    val bgc = scala.collection.mutable.Map.empty[(String, String), Long]
+    docs.foreach { case (_, ws) =>
+      ws.foreach(w => uni(w) = uni.getOrElse(w, 0L) + 1)
+      ws.sliding(2).filter(_.length == 2)
+        .foreach(p => bgc((p(0), p(1))) = bgc.getOrElse((p(0), p(1)), 0L) + 1)
+    }
+    val v = uni.size.toLong
+    docs.filter(_._2.length >= 2).foreach { case (id, ws) =>
+      val surps = ws.sliding(2).filter(_.length == 2).map { p =>
+        val raw = math.log((uni(p(0)) + v).toDouble / (bgc((p(0), p(1))) + 1).toDouble)
+        BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }.toSeq
+      val sum = surps.sum.setScale(6)
+      val avg = BigDecimal(sum.toDouble / surps.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (nBg, gotSum, gotAvg) = out(id)
+      assert(nBg == surps.length.toLong, s"doc $id bigram count")
+      assert(BigDecimal(gotSum) == sum, s"doc $id surprisal sum")
+      assert(gotAvg == avg, s"doc $id surprisal avg")
+      assert(surps.forall(_ >= 0), s"doc $id add-one surprisal is non-negative")
+    }
+    assert(out.size == docs.count(_._2.length >= 2))
+  }
+
   test("q119 CMS is one-sided and equals a plain-Scala sketch replay") {
     def bucket(row: Int, w: String): Int = {
       val hex = java.security.MessageDigest.getInstance("MD5")
