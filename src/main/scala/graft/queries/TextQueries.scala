@@ -689,12 +689,16 @@ object TextQueries {
     * corpus itself: surprisal(a b) = ln((C(a) + V) / (C(a b) + 1)) ≥ 0,
     * averaged per document.
     *
-    * Exactness (the q99 discipline): each bigram's surprisal is a double
-    * ln of a ratio of EXACT integers — identical input bits in both
-    * engines — rounded to 6 decimals and summed as DECIMAL, so the per-doc
-    * sum is shuffle-order-invariant across 1000 executors; the final
-    * average divides the exact decimal sum by the exact count in one
-    * fixed-order double op.
+    * Exactness (the q99 discipline, hardened): each bigram's surprisal is
+    * a double ln of a ratio of EXACT integers — identical input bits in
+    * both engines — rounded to 6 decimals and summed as DECIMAL, so the
+    * per-doc sum is shuffle-order-invariant across 1000 executors. The
+    * AVERAGE is integer micro-nats via exact `div` (sum·10⁶ is integral by
+    * construction): a rounded-double average diverged at sf0.1 — doc
+    * 1705's quotient 327.752592/96 = 3.4140895 sits exactly on a .5e-6
+    * boundary, where java.math.BigDecimal HALF_UP on the binary expansion
+    * rounds DOWN (…89499…) while DuckDB rounds up — so no rounded doubles
+    * appear anywhere after the per-term ln.
     *
     * Scale shape: two map-side-combinable hash aggs build the model
     * (unigram and bigram counts); the scoring pass joins the exploded
@@ -727,8 +731,8 @@ object TextQueries {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("surp")).as("sum_surprisal"))
       .select(col("doc_id"), col("n_bigrams"),
         col("sum_surprisal").cast("decimal(18,6)").as("sum_surprisal"),
-        round(col("sum_surprisal").cast("double") / col("n_bigrams"), 6)
-          .as("avg_surprisal"))
+        expr("CAST(sum_surprisal * 1000000 AS BIGINT) div n_bigrams")
+          .as("avg_surprisal_micro"))
       .orderBy(col("doc_id"))
   }
 
@@ -749,7 +753,7 @@ object TextQueries {
       | JOIN uni ON uni.head = string_split(bg.bigram, ' ')[1], v)
       |SELECT doc_id, COUNT(*) AS n_bigrams,
       | CAST(SUM(surp) AS DECIMAL(18,6)) AS sum_surprisal,
-      | round(CAST(SUM(surp) AS DOUBLE) / COUNT(*), 6) AS avg_surprisal
+      | CAST(SUM(surp) * 1000000 AS BIGINT) // COUNT(*) AS avg_surprisal_micro
       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, Q] = Map(

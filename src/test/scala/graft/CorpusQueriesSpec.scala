@@ -184,7 +184,7 @@ class CorpusQueriesSpec extends AnyFunSuite {
   test("q121 surprisal equals a plain-Scala bigram-LM replay") {
     val out = graft.queries.TextQueries.queries("q121_bigram_lm_surprisal")(spark, dir)
       .collect().map(r => r.getLong(0) ->
-        ((r.getLong(1), r.getDecimal(2), r.getDouble(3)))).toMap
+        ((r.getLong(1), r.getDecimal(2), r.getLong(3)))).toMap
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
     val uni = scala.collection.mutable.Map.empty[String, Long]
@@ -201,12 +201,11 @@ class CorpusQueriesSpec extends AnyFunSuite {
         BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP)
       }.toSeq
       val sum = surps.sum.setScale(6)
-      val avg = BigDecimal(sum.toDouble / surps.length)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val avgMicro = (sum * 1000000).toLongExact / surps.length
       val (nBg, gotSum, gotAvg) = out(id)
       assert(nBg == surps.length.toLong, s"doc $id bigram count")
       assert(BigDecimal(gotSum) == sum, s"doc $id surprisal sum")
-      assert(gotAvg == avg, s"doc $id surprisal avg")
+      assert(gotAvg == avgMicro, s"doc $id surprisal avg micro-nats")
       assert(surps.forall(_ >= 0), s"doc $id add-one surprisal is non-negative")
     }
     assert(out.size == docs.count(_._2.length >= 2))
