@@ -689,24 +689,35 @@ object TextQueries {
     * corpus itself: surprisal(a b) = ln((C(a) + V) / (C(a b) + 1)) ≥ 0,
     * averaged per document.
     *
-    * Exactness (the q99 discipline, hardened): each bigram's surprisal is
-    * a double ln of a ratio of EXACT integers — identical input bits in
-    * both engines — rounded to 6 decimals and summed as DECIMAL, so the
-    * per-doc sum is shuffle-order-invariant across 1000 executors. The
-    * AVERAGE is integer micro-nats via exact `div` (sum·10⁶ is integral by
-    * construction): a rounded-double average diverged at sf0.1 — doc
-    * 1705's quotient 327.752592/96 = 3.4140895 sits exactly on a .5e-6
-    * boundary, where java.math.BigDecimal HALF_UP on the binary expansion
-    * rounds DOWN (…89499…) while DuckDB rounds up — so no rounded doubles
-    * appear anywhere after the per-term ln.
+    * Exactness: per-term surprisal is FLOOR(ln(ratio)·10⁶) as a Long —
+    * integer micro-nats from the first step. The ratio's operands are
+    * exact integers, so both engines feed ln the identical double, and
+    * floor of a double is exact (unlike round-half-up, whose
+    * decimal-string-vs-binary ambiguity diverged twice while building
+    * this query: doc 1705's average 327.752592/96 = 3.4140895 rounded
+    * DOWN on the JVM and UP in DuckDB, and the review showed the same
+    * mechanism threatens every per-term round). All sums and the average
+    * are then plain Long arithmetic — shuffle-order-invariant and
+    * engine-exact. Residual risk, shared with q99's rounded logs and
+    * documented rather than hidden: if the two engines' libm ln differ in
+    * the last ulp AND that ulp crosses an integer boundary of ln·10⁶
+    * (probability ~1e-9 per distinct count pair), floor diverges; the
+    * fully-exact alternative is a fixed-point integer log2 kernel, not
+    * warranted while the differential stays green at every SF.
     *
-    * Scale shape: two map-side-combinable hash aggs build the model
-    * (unigram and bigram counts); the scoring pass joins the exploded
-    * bigram stream against the model keyed ON THE BIGRAM — a plain hash
-    * join that AQE broadcasts when the model is small. At 100 TB a
-    * production run prunes the model to top-K bigrams with unigram
-    * backoff (same plan shape, smaller build side) — noted rather than
-    * simulated, since the synthetic vocabulary is 31 words. */
+    * Scale shape: the LM model is corpus-bounded (vocab + bigram-vocab
+    * rows), built by two map-side-combinable hash aggs and materialized
+    * eagerly (localCheckpoint — the ConnectedComponents discipline: no
+    * CacheManager substitution into later plans, blocks freed with the
+    * frame), so the vocabulary size V is a plan literal rather than a
+    * fourth corpus pass. Scoring joins the exploded bigram stream against
+    * the model keyed ON THE BIGRAM — a hash join AQE broadcasts when the
+    * model is small; the unigram side is explicitly broadcast. Three
+    * corpus passes total (bigram counts, unigram counts, scoring); at
+    * 100 TB a production run materializes the model once per corpus
+    * snapshot and prunes it to top-K bigrams with unigram backoff (same
+    * plan shape, smaller build side) — noted rather than simulated, since
+    * the synthetic vocabulary is 31 words. */
   private val q121: Q = (s, d) => {
     graft.functions.TextKernels.register(s)
     val docs = Tables.documents(s, d)
@@ -719,20 +730,18 @@ object TextQueries {
       .select(explode(split(col("text"), " ")).as("head"))
       .filter(col("head") =!= "")
       .groupBy(col("head")).agg(count(lit(1)).as("c_uni"))
-    val vocab = uniCounts.agg(count(lit(1)).as("v"))
+      .localCheckpoint(true)
+    val v = uniCounts.count()
     bg.join(bgCounts, Seq("bigram"))
-      .join(uniCounts, Seq("head"))
-      .crossJoin(broadcast(vocab))
+      .join(broadcast(uniCounts), Seq("head"))
       .select(col("doc_id"),
-        round(log((col("c_uni") + col("v")).cast("double") /
-          (col("c_bg") + lit(1)).cast("double")), 6)
-          .cast("decimal(12,6)").as("surp"))
+        expr(s"CAST(floor(ln(CAST(c_uni + ${v}L AS DOUBLE) / CAST(c_bg + 1 AS DOUBLE))" +
+          " * 1000000) AS BIGINT)").as("surp_micro"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("surp")).as("sum_surprisal"))
-      .select(col("doc_id"), col("n_bigrams"),
-        col("sum_surprisal").cast("decimal(18,6)").as("sum_surprisal"),
-        expr("CAST(sum_surprisal * 1000000 AS BIGINT) div n_bigrams")
-          .as("avg_surprisal_micro"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("surp_micro")).as("sum_surprisal_micro"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_surprisal_micro"),
+        expr("sum_surprisal_micro div n_bigrams").as("avg_surprisal_micro"))
       .orderBy(col("doc_id"))
   }
 
@@ -746,14 +755,14 @@ object TextQueries {
       |  (SELECT UNNEST(ws) AS u FROM w) WHERE u <> '' GROUP BY u),
       |v AS (SELECT COUNT(*) AS v FROM uni),
       |sc AS (SELECT bg.doc_id,
-      |  CAST(round(ln(CAST(uni.c_uni + v.v AS DOUBLE) / CAST(bgc.c_bg + 1 AS DOUBLE)), 6)
-      |       AS DECIMAL(12,6)) AS surp
+      |  CAST(floor(ln(CAST(uni.c_uni + v.v AS DOUBLE) / CAST(bgc.c_bg + 1 AS DOUBLE))
+      |       * 1000000) AS BIGINT) AS surp_micro
       | FROM bg
       | JOIN bgc ON bgc.bigram = bg.bigram
       | JOIN uni ON uni.head = string_split(bg.bigram, ' ')[1], v)
       |SELECT doc_id, COUNT(*) AS n_bigrams,
-      | CAST(SUM(surp) AS DECIMAL(18,6)) AS sum_surprisal,
-      | CAST(SUM(surp) * 1000000 AS BIGINT) // COUNT(*) AS avg_surprisal_micro
+      | CAST(SUM(surp_micro) AS BIGINT) AS sum_surprisal_micro,
+      | CAST(SUM(surp_micro) AS BIGINT) // COUNT(*) AS avg_surprisal_micro
       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, Q] = Map(
