@@ -115,6 +115,17 @@ object ScalingProbe {
     val q113PairVol = SparkEntry.queries("q113_source_overlap_matrix")(spark, sfDir)
       .agg(coalesce(sum(col("n_inter")), lit(0L))).head().getLong(0)
 
+    // q120: emitted chunk volume (the explode's output rows ≈ Σ n_i/stride
+    // — linear in corpus tokens; a broken closed-form chunk count would
+    // bend this away from 1.0× per data×).
+    val q120Chunks = SparkEntry.queries("q120_token_chunking")(spark, sfDir).count()
+
+    // q121: scored-bigram volume — the rows the model join shuffles; equal
+    // to Σ (tokens_i − 1) over scoreable docs, so exactly linear on any
+    // growth mode. The model side is vocab-bounded and does not appear.
+    val q121Scored = SparkEntry.queries("q121_bigram_lm_surprisal")(spark, sfDir)
+      .agg(coalesce(sum(col("n_bigrams")), lit(0L))).head().getLong(0)
+
     println(s"""{"sf":"$sfDir","docs":$nDocs,"shingles":$totShingles,""" +
       s""""q86_cand":$q86Cand,"q86_pairs":$q86Pairs,""" +
       s""""q103_cand":$q103Cand,"q103_pairs":$q103Pairs,""" +
@@ -123,7 +134,8 @@ object ScalingProbe {
       s""""q109_train":$q109Train,"q109_bloom_pass":$q109Pass,""" +
       s""""q110_postings":$q110Postings,"q111_pairs":$q111Pairs,""" +
       s""""q112_spans":$q112Spans,"q112_kept":$q112Kept,""" +
-      s""""q113_pairvol":$q113PairVol}""")
+      s""""q113_pairvol":$q113PairVol,""" +
+      s""""q120_chunks":$q120Chunks,"q121_scored":$q121Scored}""")
     spark.stop()
   }
 }
