@@ -105,4 +105,22 @@ class PropertiesSpec extends AnyFunSuite {
         java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
     }
   }
+
+  test("q120 closed-form chunk count tiles any document exactly") {
+    // K = 1 for n <= W, else 1 + ceil((n - W) / S) — the q120 formula with
+    // W = 64, S = 48, here checked against a direct tiling for arbitrary n:
+    // starts advance by S, every token is covered, the last chunk is the
+    // only one that may be short, and one more chunk would start past n.
+    val (w, st) = (64, 48)
+    samples(Gen.chooseNum(1, 5000)).foreach { n =>
+      val k = if (n <= w) 1L else (n - 17).toLong / st + 1
+      val starts = (0L until k).map(_ * st)
+      assert(starts.head == 0 && starts.last < n, s"n=$n: start range")
+      assert(starts.last + w >= n, s"n=$n: tail uncovered")
+      if (k > 1) assert(starts(k.toInt - 2) + w < n,
+        s"n=$n: penultimate chunk already covers the doc — K overcounts")
+      val lens = starts.map(s0 => math.min(w.toLong, n - s0))
+      assert(lens.init.forall(_ == w) && lens.last >= 1, s"n=$n: chunk lengths")
+    }
+  }
 }
