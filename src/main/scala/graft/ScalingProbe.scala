@@ -120,8 +120,9 @@ object ScalingProbe {
     // bend this away from 1.0× per data×).
     val q120Chunks = SparkEntry.queries("q120_token_chunking")(spark, sfDir).count()
 
-    // q121: scored-bigram volume — the rows the model join shuffles; equal
-    // to Σ (tokens_i − 1) over scoreable docs, so exactly linear on any
+    // q121: scored-bigram volume — the rows the model join shuffles; on a
+    // single-spaced corpus this is Σ (tokens_i − 1) over scoreable docs
+    // (empty-head bigrams drop via the model join), exactly linear on any
     // growth mode. The model side is vocab-bounded and does not appear.
     val q121Scored = SparkEntry.queries("q121_bigram_lm_surprisal")(spark, sfDir)
       .agg(coalesce(sum(col("n_bigrams")), lit(0L))).head().getLong(0)

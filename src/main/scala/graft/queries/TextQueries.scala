@@ -710,7 +710,11 @@ object TextQueries {
     * eagerly (localCheckpoint — the ConnectedComponents discipline: no
     * CacheManager substitution into later plans, blocks freed with the
     * frame), so the vocabulary size V is a plan literal rather than a
-    * fourth corpus pass. Scoring joins the exploded bigram stream against
+    * fourth corpus pass. Constructing this query therefore RUNS the model
+    * build (two small jobs) — the q51/q90/q98/q108 precedent, where
+    * fit/seed collection also executes at construction; plan-only
+    * consumers (Plans, inventory specs) pay one unigram agg at their
+    * tiny SF. Scoring joins the exploded bigram stream against
     * the model keyed ON THE BIGRAM — a hash join AQE broadcasts when the
     * model is small; the unigram side is explicitly broadcast. Three
     * corpus passes total (bigram counts, unigram counts, scoring); at

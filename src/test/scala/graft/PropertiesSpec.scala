@@ -108,11 +108,16 @@ class PropertiesSpec extends AnyFunSuite {
 
   test("q120 closed-form chunk count tiles any document exactly") {
     // K = 1 for n <= W, else 1 + ceil((n - W) / S) — the q120 formula with
-    // W = 64, S = 48, here checked against a direct tiling for arbitrary n:
-    // starts advance by S, every token is covered, the last chunk is the
-    // only one that may be short, and one more chunk would start past n.
+    // W = 64, S = 48, here checked against a direct tiling: starts advance
+    // by S, every token is covered, only the last chunk may be short, and
+    // the penultimate chunk never already covers the document (so K never
+    // overcounts; a start can lie inside the doc yet still be redundant,
+    // e.g. n = 160, so "next start past n" is NOT the invariant).
+    // chooseNum rarely hits interior boundaries, so the branch-switch and
+    // exact-tiling lengths around W and W+S are pinned explicitly.
     val (w, st) = (64, 48)
-    samples(Gen.chooseNum(1, 5000)).foreach { n =>
+    val boundary = Seq(1, 63, 64, 65, 66, 111, 112, 113, 114, 160)
+    (boundary ++ samples(Gen.chooseNum(1, 5000))).foreach { n =>
       val k = if (n <= w) 1L else (n - 17).toLong / st + 1
       val starts = (0L until k).map(_ * st)
       assert(starts.head == 0 && starts.last < n, s"n=$n: start range")
