@@ -50,7 +50,8 @@ object Plans {
     "q118_token_accounting" -> "token accounting: one regexp pass + bounded aggregate fold per row, no explode, no shuffle before the ordering",
     "q119_countmin_sketch" -> "CMS: ONE token pass — exact witness rides the grid build as a virtual perfect-hash row; constant-size grid broadcast to probes",
     "q120_token_chunking" -> "chunking: map-only split + bounded sequence explode + slice/hash; chunks travel as md5, no shuffle before ordering",
-    "q121_bigram_lm_surprisal" -> "bigram LM: two map-combinable count aggs build the model; scoring joins the bigram stream on the bigram key (AQE broadcasts small models)")
+    "q121_bigram_lm_surprisal" -> "bigram LM: two map-combinable count aggs build the model; scoring joins the bigram stream on the bigram key (AQE broadcasts small models)",
+    "q122_incremental_dedup" -> "incremental dedup: band join RESTRICTED to old x new (no old x old work); verify on mixed candidates only; verdict = two left joins on the new-doc key")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

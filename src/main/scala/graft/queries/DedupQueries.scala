@@ -490,7 +490,110 @@ object DedupQueries {
       .orderBy(col("train_id"), col("test_id"))
   }
 
+  // ---------------------------------------------------------------- q122
+  /** Incremental (delta) dedup — the continuous-crawl shape: an incoming
+    * batch (here doc_id ≡ 0 mod 10, a deterministic 10% "new snapshot") is
+    * deduplicated AGAINST THE EXISTING CORPUS, never against itself — new
+    * docs that only duplicate each other both survive, exactly as a
+    * production delta-dedup keeps intra-batch copies for the NEXT global
+    * pass. Two layers with exact-layer precedence: verbatim (md5 text
+    * fingerprint semi-matched to the old side) and near (the q66 portable
+    * MinHash-LSH scheme, hash-for-hash, but with the candidate band join
+    * RESTRICTED to old×new — the asymmetry is the operator: candidate
+    * volume is |old ∩ new bands|, not the global pair count, and no
+    * old×old work is ever done).
+    *
+    * Scale shape: at 100 TB the old side's signatures and band index are
+    * computed once per snapshot and stored; an incoming batch hashes only
+    * its own documents and probes the index — the shape here, with both
+    * sides derived from one table for oracle replayability. Verify runs
+    * on old×new candidates only (sorted_overlap merge scan); the final
+    * per-new-doc verdict is two left joins against aggregates keyed on
+    * the new doc id. Every new doc emits exactly one verdict row —
+    * including sub-3-word docs that never enter the shingle pipeline. */
+  private val q122: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .withColumn("is_new", (col("doc_id") % 10 === 0).cast("boolean"))
+    // exact layer: lowest old doc sharing the text fingerprint
+    val fp = docs.select(col("doc_id"), col("is_new"), md5(col("text")).as("fp"))
+    val exact = fp.filter(col("is_new"))
+      .join(fp.filter(!col("is_new")).select(col("fp"), col("doc_id").as("old_id")),
+        Seq("fp"))
+      .groupBy(col("doc_id")).agg(min(col("old_id")).as("exact_id"))
+    // near layer: q66's signature/band scheme, candidates old×new only
+    val sh = withShingles(docs, "text")
+      .select(col("doc_id"), col("is_new"), array_distinct(col("sh")).as("sh"))
+    val ex = sh.select(col("doc_id"), col("is_new"), explode(col("sh")).as("s"))
+    def h(j: Int): Column =
+      graft.functions.PortableHash.md5Bucket60(concat(lit(s"$j:"), col("s")))
+    val mins = (0 to 7).map(j => min(h(j)).as(s"m$j"))
+    val sig = ex.groupBy(col("doc_id"), col("is_new")).agg(mins.head, mins.tail: _*)
+    def bh(b: Int): Column =
+      graft.functions.PortableHash.md5Bucket60(concat(
+        col(s"m${2 * b}").cast("string"), lit(","),
+        col(s"m${2 * b + 1}").cast("string")))
+    val bands = sig
+      .select(col("doc_id"), col("is_new"),
+        posexplode(array(bh(0), bh(1), bh(2), bh(3))))
+      .withColumnRenamed("pos", "band_id").withColumnRenamed("col", "band_hash")
+    val cand = bands.filter(!col("is_new"))
+      .select(col("band_id"), col("band_hash"), col("doc_id").as("old_id"))
+      .join(bands.filter(col("is_new"))
+        .select(col("band_id"), col("band_hash"), col("doc_id").as("new_id")),
+        Seq("band_id", "band_hash"))
+      .select(col("old_id"), col("new_id")).distinct()
+    graft.functions.SetKernels.register(s)
+    val sorted = sh.select(col("doc_id"), sort_array(col("sh")).as("sh"))
+    val near = cand
+      .join(sorted.select(col("doc_id").as("old_id"), col("sh").as("sh_a")), Seq("old_id"))
+      .join(sorted.select(col("doc_id").as("new_id"), col("sh").as("sh_b")), Seq("new_id"))
+      .withColumn("n_inter", expr("sorted_overlap(sh_a, sh_b)").cast("long"))
+      .withColumn("n_union",
+        (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")).cast("long"))
+      .filter(col("n_inter").cast("double") / col("n_union") >= 0.5)
+      .groupBy(col("new_id"))
+      .agg(count(lit(1)).as("n_near"), min(col("old_id")).as("near_id"))
+    docs.filter(col("is_new")).select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_id").isNotNull, lit("dup_exact"))
+          .when(col("near_id").isNotNull, lit("dup_near"))
+          .otherwise(lit("kept")).as("status"),
+        coalesce(col("exact_id"), col("near_id"), lit(-1L)).as("match_id"),
+        coalesce(col("n_near"), lit(0L)).as("n_near_partners"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB replay: the q66 pair CTE gives ALL verified J>=0.5 pairs; the
+    * incremental restriction is the one-side-new filter — provably the
+    * same set the old×new band join finds, since band collision is
+    * symmetric and verify is identical. */
+  private val q122Sql =
+    s"""WITH $lshPairsCte,
+       |np AS (SELECT CASE WHEN id_a % 10 = 0 THEN id_b ELSE id_a END AS old_id,
+       |              CASE WHEN id_a % 10 = 0 THEN id_a ELSE id_b END AS new_id,
+       |              n_inter, n_union
+       |       FROM p WHERE (id_a % 10 = 0) <> (id_b % 10 = 0)),
+       |near AS (SELECT new_id, COUNT(*) AS n_near, MIN(old_id) AS near_id
+       |         FROM np GROUP BY new_id),
+       |fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+       |exact AS (SELECT n.doc_id, MIN(o.doc_id) AS exact_id
+       |          FROM fp n JOIN fp o ON o.fp = n.fp AND o.doc_id % 10 <> 0
+       |          WHERE n.doc_id % 10 = 0 GROUP BY n.doc_id)
+       |SELECT d.doc_id,
+       | CASE WHEN e.exact_id IS NOT NULL THEN 'dup_exact'
+       |      WHEN nr.near_id IS NOT NULL THEN 'dup_near'
+       |      ELSE 'kept' END AS status,
+       | COALESCE(e.exact_id, nr.near_id, -1) AS match_id,
+       | COALESCE(nr.n_near, 0) AS n_near_partners
+       |FROM documents d
+       |LEFT JOIN exact e ON e.doc_id = d.doc_id
+       |LEFT JOIN near nr ON nr.new_id = d.doc_id
+       |WHERE d.doc_id % 10 = 0 ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q122_incremental_dedup" -> q122,
     "q86_setsim_prefix_join" -> q86,
     "q93_decontamination" -> q93,
     "q109_bloom_decontam" -> q109,
@@ -514,6 +617,7 @@ object DedupQueries {
     "q38_simhash_hamming" -> q38)
 
   val oracle: Map[String, String] = Map(
+    "q122_incremental_dedup" -> q122Sql,
     "q86_setsim_prefix_join" -> q86Sql,
     "q93_decontamination" -> q93Sql,
     "q109_bloom_decontam" -> q93Sql,

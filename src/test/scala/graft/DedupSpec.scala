@@ -92,4 +92,48 @@ class DedupSpec extends AnyFunSuite {
       assert(r.getAs[Long]("keep_quality_ppm") >= qual(r.getAs[Long]("cluster")))
     }
   }
+
+  test("q122 incremental dedup equals a replay from q66's verified pair set") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val out = DedupQueries.queries("q122_incremental_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // near layer replayed from the ORACLE-VERIFIED global q66 pair set
+    // (different code path: global symmetric join vs q122's old×new join):
+    // mixed pairs only — intra-batch (new×new) pairs must NOT mark a doc.
+    val pairs = DedupQueries.queries("q66_minhash_lsh_verified")(spark, dir)
+      .select(col("id_a"), col("id_b")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val mixed = pairs.flatMap { case (a, b) =>
+      (a % 10 == 0, b % 10 == 0) match {
+        case (true, false) => Some(b -> a)   // (old, new) keyed by new
+        case (false, true) => Some(a -> b)
+        case _             => None
+      }
+    }.groupBy(_._2).map { case (nid, ps) => nid -> ps.map(_._1) }
+    // exact layer replayed driver-side from md5(text)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> md5hex(r.getString(1)))
+    val oldByFp = docs.filter(_._1 % 10 != 0).groupBy(_._2)
+      .map { case (fp, ds) => fp -> ds.map(_._1).min }
+    val newDocs = docs.filter(_._1 % 10 == 0)
+    assert(out.size == newDocs.length)
+    newDocs.foreach { case (id, fp) =>
+      val exactId = oldByFp.get(fp)
+      val near = mixed.get(id)
+      val expected = (exactId, near) match {
+        case (Some(e), n)    => ("dup_exact", e, n.map(_.size.toLong).getOrElse(0L))
+        case (None, Some(n)) => ("dup_near", n.min, n.size.toLong)
+        case (None, None)    => ("kept", -1L, 0L)
+      }
+      assert(out(id) == expected, s"doc $id")
+    }
+    // the batch must contain both survivors and at least one duplicate
+    // verdict, or the scenario tests nothing
+    assert(out.values.exists(_._1 == "kept") && out.values.exists(_._1 != "kept"))
+  }
 }
