@@ -7,10 +7,13 @@ import org.apache.spark.sql.functions._
   *
   * All loads are plain parquet scans so Catalyst can push filters and prune
   * columns into the scan. The only special case is `events`: its `ts` column
-  * is parquet TIMESTAMP(NANOS), which Spark's vectorized reader rejects.
-  * We read it as a raw nanosecond Long (`spark.sql.legacy.parquet.nanosAsLong`)
-  * and truncate to microseconds — the same truncation DuckDB applies when it
-  * loads the file, so event-time semantics match the oracle bit-for-bit.
+  * has shipped as either parquet TIMESTAMP(NANOS) (older data generations —
+  * Spark's vectorized reader rejects it, so we read the raw nanosecond Long
+  * via `spark.sql.legacy.parquet.nanosAsLong` and truncate to microseconds,
+  * the same truncation DuckDB applies) or TIMESTAMP(MICROS) without timezone
+  * (newer generations — value-preserving cast to TimestampType, since every
+  * session here pins `spark.sql.session.timeZone=UTC`). Both normalize to the
+  * same microsecond TimestampType column, bit-for-bit equal to the oracle's.
   */
 object Tables {
 
@@ -30,7 +33,13 @@ object Tables {
   /** `events` with `ts` normalized to a microsecond TimestampType column. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val df = table(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
 }
