@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multi-table random-hyperplane LSH near-duplicate join over embedding
+  * columns — the embedding-space sibling of the MinHash-LSH text scheme
+  * (DedupQueries q66) and the candidate engine behind semantic dedup
+  * (SemDeDup-style: suppress a document when an earlier one sits within
+  * cosine τ of it).
+  *
+  * Why multi-table: a single hyperplane table (HyperplaneLsh, q43) collides
+  * a pair with probability (1 − θ/π)^planes, which for τ-grade similarity
+  * is far below 1 — fine for top-k search (a query only needs *some* good
+  * neighbors) but wrong for dedup, where each missed pair is a duplicate
+  * kept forever. `tables` independent tables of `planesPerTable` planes
+  * drive the miss rate to (1 − (1 − θ/π)^p)^L — the same band/row recall
+  * trade MinHash-LSH makes, tuned by two small integers.
+  *
+  * Scale shape (100 TB posture):
+  *  - candidate generation explodes each vector to `tables` (table, bucket)
+  *    keys — a map-only widening by L, not by corpus size — and self-joins
+  *    on the compound key, so candidate volume is Σ_buckets n_b² per table,
+  *    held constant by sizing planesPerTable ≈ log2(N / targetBucketSize);
+  *  - cross-table repeats are dropped by a `distinct` on the slim (id_a,
+  *    id_b) pair list BEFORE the verify join, so each pair is scored once;
+  *  - verify joins the slim pair list back to the embeddings by id (shuffle
+  *    carries two ids per candidate, never L copies of the vector) and
+  *    scores with the codegen `dot_f` kernel;
+  *  - nothing touches the driver: no collect, no global sort.
+  */
+object CosineLshJoin {
+
+  /** All pairs (id_a < id_b) that collide in ≥1 of `tables` LSH tables AND
+    * verify at cosine ≥ `tau` (dot on L2-normalized vectors, rounded to
+    * `simScale` decimals before the threshold so an engine replaying the
+    * same planes ranks identically). Output: (id_a, id_b, sim). */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      tables: Int, planesPerTable: Int, dim: Int, tau: Double,
+      seed: Long = 12345L, simScale: Int = 4): DataFrame = {
+    require(tables >= 1 && planesPerTable >= 1,
+      s"need >=1 table of >=1 planes, got $tables x $planesPerTable")
+    graft.functions.VectorOps.register(df.sparkSession)
+    val fam = HyperplaneLsh.planes(tables * planesPerTable, dim, seed)
+    // table t hashes with the contiguous plane slice [t*p, (t+1)*p) — the
+    // oracle replays the same family with bit j = global_index % p.
+    val bucketCols = (0 until tables).map { t =>
+      HyperplaneLsh.bucketCol(vecCol,
+        fam.slice(t * planesPerTable, (t + 1) * planesPerTable))
+    }
+    val keyed = df.select(col(idCol),
+      posexplode(array(bucketCols: _*)).as(Seq("t", "bucket")))
+    val cand = keyed.select(col("t"), col("bucket"), col(idCol).as("id_a"))
+      .join(keyed.select(col("t"), col("bucket"), col(idCol).as("id_b")),
+        Seq("t", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val slim = df.select(col(idCol), col(vecCol))
+    cand
+      .join(slim.select(col(idCol).as("id_a"), col(vecCol).as("va")), Seq("id_a"))
+      .join(slim.select(col(idCol).as("id_b"), col(vecCol).as("vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(expr("dot_f(va, vb)"), simScale).as("sim"))
+      .filter(col("sim") >= tau)
+  }
+}

@@ -592,7 +592,80 @@ object DedupQueries {
        |LEFT JOIN near nr ON nr.new_id = d.doc_id
        |WHERE d.doc_id % 10 = 0 ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q123
+  /** Embedding-cosine near-dup dedup via multi-table LSH: a vector is a
+    * duplicate when an EARLIER vector (smaller vec_id — the "canonical
+    * copy" stand-in for crawl order) sits within cosine τ=0.35 of it.
+    * Candidates come from [[graft.operators.CosineLshJoin]] — 8 independent
+    * hyperplane tables × 3 planes, the band/row recall trade of the
+    * MinHash-LSH text scheme transplanted to embedding space — and every
+    * candidate is verified with the exact codegen dot before the verdict.
+    * The complementary candidate engine to q108's SemDedup (k-means cluster
+    * partition): LSH needs no trained partition and its recall is a closed
+    * form in (L, p), while k-means concentrates near neighbors into one
+    * cluster at the price of a fit. Output is a per-vector census: max
+    * verified similarity to any earlier near neighbor (NULL ⇒ kept), the
+    * earliest such neighbor, and the keep flag — the same keep-earliest
+    * shape as q122's incremental verdicts.
+    *
+    * ORACLE-VERIFIED like q43/q51: the 24-plane family is a deterministic
+    * seeded constant, so [[q123Sql]] embeds the plane literals and DuckDB
+    * replays sign bits → per-table buckets → candidate pairs → exact
+    * verify → census, hash-for-hash. Approximation means "only pairs that
+    * collide in ≥1 table are scored", not "nondeterministic"; the recall
+    * knob (L tables × p planes) is replayed exactly by the oracle. */
+  private val q123: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val pairs = graft.operators.CosineLshJoin.nearDupPairs(
+      e, "vec_id", "embedding",
+      tables = 8, planesPerTable = 3, dim = 64, tau = 0.35)
+    val sup = pairs.groupBy(col("id_b"))
+      .agg(max(col("sim")).as("max_sim"), min(col("id_a")).as("match_id"))
+    e.select(col("vec_id"), col("label"))
+      .join(sup.withColumnRenamed("id_b", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"), col("max_sim"),
+        coalesce(col("match_id"), lit(-1L)).as("match_id"),
+        col("max_sim").isNull.cast("long").as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** DuckDB replay of the full multi-table LSH pipeline with the 24 plane
+    * constants baked in as literals (global plane g belongs to table g/3,
+    * bit g%3 — the same contiguous slicing CosineLshJoin uses). */
+  private def q123Sql: String = {
+    val fam = graft.operators.HyperplaneLsh.planes(numPlanes = 24, dim = 64, seed = 12345L)
+    val vals = fam.zipWithIndex.map { case (p, g) =>
+      p.map(x => s"CAST($x AS FLOAT)").mkString(s"($g, [", ",", "])")
+    }.mkString(",")
+    s"""WITH pl AS (SELECT * FROM (VALUES $vals) AS t(g, p)),
+       |u AS (SELECT e.vec_id, pl.g, UNNEST(e.embedding) AS x, UNNEST(pl.p) AS y
+       |      FROM embeddings e, pl),
+       |dt AS (SELECT vec_id, g, SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dp
+       |       FROM u GROUP BY vec_id, g),
+       |bk AS (SELECT vec_id, g // 3 AS tbl,
+       |         SUM(CASE WHEN dp > 0 THEN (1 << (g % 3)) ELSE 0 END) AS bucket
+       |       FROM dt GROUP BY vec_id, g // 3),
+       |cp AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |       FROM bk a JOIN bk b
+       |         ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |cu AS (SELECT c.id_a, c.id_b, UNNEST(ea.embedding) AS x, UNNEST(eb.embedding) AS y
+       |       FROM cp c JOIN embeddings ea ON ea.vec_id = c.id_a
+       |            JOIN embeddings eb ON eb.vec_id = c.id_b),
+       |sims AS (SELECT id_a, id_b,
+       |            round(SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 4) AS sim
+       |         FROM cu GROUP BY id_a, id_b),
+       |vp AS (SELECT * FROM sims WHERE sim >= 0.35),
+       |sup AS (SELECT id_b, MAX(sim) AS max_sim, MIN(id_a) AS match_id
+       |        FROM vp GROUP BY id_b)
+       |SELECT e.vec_id, e.label, s.max_sim,
+       | COALESCE(s.match_id, -1) AS match_id,
+       | CAST(CASE WHEN s.max_sim IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM embeddings e LEFT JOIN sup s ON s.id_b = e.vec_id
+       |ORDER BY e.vec_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q123_embedding_neardup" -> q123,
     "q122_incremental_dedup" -> q122,
     "q86_setsim_prefix_join" -> q86,
     "q93_decontamination" -> q93,
@@ -617,6 +690,7 @@ object DedupQueries {
     "q38_simhash_hamming" -> q38)
 
   val oracle: Map[String, String] = Map(
+    "q123_embedding_neardup" -> q123Sql,
     "q122_incremental_dedup" -> q122Sql,
     "q86_setsim_prefix_join" -> q86Sql,
     "q93_decontamination" -> q93Sql,
