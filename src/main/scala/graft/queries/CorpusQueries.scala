@@ -539,7 +539,87 @@ object CorpusQueries {
       | md5(array_to_string(list_slice(toks, k * 48 + 1, k * 48 + 64), ' ')) AS chunk_md5
       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
 
+  // ---------------------------------------------------------------- q124
+  /** DSIR-style data selection via hashed n-gram importance weights
+    * (Xie et al., "Data Selection for Language Models via Importance
+    * Resampling", arXiv:2302.03169): score each document by how much more
+    * likely its features are under a TARGET domain model than under the
+    * RAW corpus model, and select documents whose log-ratio is ≥ 0. The
+    * target here is the English partition (`lang = 'en'`) standing in for
+    * a small high-quality reference corpus; features are word bigrams
+    * hashed into 256 buckets (DSIR's dimensionality-reduction trick — the
+    * model is a fixed-size vector regardless of vocabulary), both models
+    * add-one smoothed over the bucket space.
+    *
+    * Exactness: q121's floor-micro-nat discipline. The per-feature term
+    * ln(p_tgt/p_raw) is computed as ONE ln of an integer-ratio —
+    * (c_tgt+1)·(T_raw+B) / (c_raw+1)·(T_tgt+B) — whose operands are exact
+    * Long products (< 2⁵³, so the doubles fed to ln are identical in both
+    * engines; at 100 TB counts the products would need the int128 or
+    * log-sum form — noted, not simulated), then FLOOR(·10⁶) to integer
+    * micro-nats; all downstream sums are Long. Sign of the summed
+    * micro-nat weight decides selection — engine-exact, no float compare.
+    *
+    * Scale shape: the model is TWO map-side-combinable hash aggs over the
+    * hashed-bucket stream (256-row result regardless of corpus size),
+    * materialized eagerly (localCheckpoint — totals become plan literals,
+    * the q121 precedent) and BROADCAST to the scoring join; the corpus
+    * streams through explode → hash → join → per-doc sum, shuffling only
+    * (doc_id) partial sums. Three corpus passes, none pair-joined. */
+  private val q124: Q = (s, d) => {
+    graft.functions.TextKernels.register(s)
+    val B = 256
+    val docs = Tables.documents(s, d).filter(size(split(col("text"), " ")) >= 2)
+    val feats = docs.select(col("doc_id"), col("lang"),
+        explode(expr("word_ngrams(text, 2)")).as("bigram"))
+      .withColumn("bucket", pmod(md5Bucket60(col("bigram")), lit(B.toLong)))
+    val raw = feats.groupBy(col("bucket")).agg(count(lit(1)).as("c_raw"))
+    val tgt = feats.filter(col("lang") === "en")
+      .groupBy(col("bucket")).agg(count(lit(1)).as("c_tgt"))
+    val model = raw.join(tgt, Seq("bucket"), "left")
+      .select(col("bucket"), col("c_raw"),
+        coalesce(col("c_tgt"), lit(0L)).as("c_tgt"))
+      .localCheckpoint(true)
+    val tots = model.agg(sum(col("c_tgt")), sum(col("c_raw"))).head()
+    val (tTgt, tRaw) = (tots.getLong(0), tots.getLong(1))
+    feats
+      .join(broadcast(model), Seq("bucket"))
+      .select(col("doc_id"),
+        expr(s"CAST(floor(ln(CAST((c_tgt + 1) * ${tRaw + B}L AS DOUBLE) / " +
+          s"CAST((c_raw + 1) * ${tTgt + B}L AS DOUBLE)) * 1000000) AS BIGINT)")
+          .as("lw"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("lw")).as("lw_sum_micro"))
+      .select(col("doc_id"), col("n_feats"), col("lw_sum_micro"),
+        (col("lw_sum_micro") >= 0L).cast("long").as("selected"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB replay: same hashed buckets (60-bit md5 % 256 — non-negative,
+    * so `%` == pmod), same smoothed integer-ratio ln, same floor. */
+  private val q124Sql =
+    """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+      |bg AS (SELECT doc_id, lang,
+      |  UNNEST(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+      | FROM w WHERE len(ws) >= 2),
+      |f AS (SELECT doc_id, lang,
+      |  CAST(('0x' || substr(md5(bigram), 1, 15)) AS BIGINT) % 256 AS bucket FROM bg),
+      |raw AS (SELECT bucket, COUNT(*) AS c_raw FROM f GROUP BY bucket),
+      |tgt AS (SELECT bucket, COUNT(*) AS c_tgt FROM f WHERE lang = 'en' GROUP BY bucket),
+      |m AS (SELECT r.bucket, r.c_raw, COALESCE(t.c_tgt, 0) AS c_tgt
+      |      FROM raw r LEFT JOIN tgt t ON t.bucket = r.bucket),
+      |tot AS (SELECT CAST(SUM(c_tgt) AS BIGINT) AS t_tgt,
+      |               CAST(SUM(c_raw) AS BIGINT) AS t_raw FROM m),
+      |sc AS (SELECT f.doc_id,
+      |  CAST(floor(ln(CAST((m.c_tgt + 1) * (tot.t_raw + 256) AS DOUBLE)
+      |           / CAST((m.c_raw + 1) * (tot.t_tgt + 256) AS DOUBLE)) * 1000000) AS BIGINT) AS lw
+      | FROM f JOIN m ON m.bucket = f.bucket, tot)
+      |SELECT doc_id, COUNT(*) AS n_feats, CAST(SUM(lw) AS BIGINT) AS lw_sum_micro,
+      | CAST(CASE WHEN SUM(lw) >= 0 THEN 1 ELSE 0 END AS BIGINT) AS selected
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q124_dsir_importance" -> q124,
     "q120_token_chunking" -> q120,
     "q116_token_budget_select" -> q116,
     "q117_shingle_novelty" -> q117,
@@ -554,6 +634,7 @@ object CorpusQueries {
     "q100_substring_windows" -> q100)
 
   val oracle: Map[String, String] = Map(
+    "q124_dsir_importance" -> q124Sql,
     "q120_token_chunking" -> q120Sql,
     "q116_token_budget_select" -> q116Sql,
     "q117_shingle_novelty" -> q117Sql,
