@@ -51,7 +51,9 @@ object Plans {
     "q119_countmin_sketch" -> "CMS: ONE token pass — exact witness rides the grid build as a virtual perfect-hash row; constant-size grid broadcast to probes",
     "q120_token_chunking" -> "chunking: map-only split + bounded sequence explode + slice/hash; chunks travel as md5, no shuffle before ordering",
     "q121_bigram_lm_surprisal" -> "bigram LM: two map-combinable count aggs build the model; scoring joins the bigram stream on the bigram key (AQE broadcasts small models)",
-    "q122_incremental_dedup" -> "incremental dedup: band join RESTRICTED to old x new (no old x old work); verify on mixed candidates only; verdict = two left joins on the new-doc key")
+    "q122_incremental_dedup" -> "incremental dedup: band join RESTRICTED to old x new (no old x old work); verify on mixed candidates only; verdict = two left joins on the new-doc key",
+    "q123_embedding_neardup" -> "embedding near-dup: L=8 map-only bucket keys per vector, self-join on (table, bucket), distinct slim pair list BEFORE the dot_f verify joins",
+    "q124_dsir_importance" -> "DSIR: 256-row hashed-bigram model from two map-combinable aggs, broadcast to the scoring join; corpus shuffles only per-doc partial sums")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")
