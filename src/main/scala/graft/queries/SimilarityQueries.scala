@@ -501,7 +501,63 @@ object SimilarityQueries {
       | round(CAST(dot_q AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))), 4) AS cos4
       |FROM pr ORDER BY sa, sb""".stripMargin
 
+  // ---------------------------------------------------------------- q125
+  /** Mutual-nearest-neighbor pair mining — the bitext-mining shape
+    * (CCMatrix/LASER-style parallel-corpus alignment, arXiv:1911.04944):
+    * treat label 0 as the source side and label 1 as the target side; a
+    * pair (a, b) is emitted iff b is a's top-1 cosine neighbor on the
+    * target side AND a is b's top-1 on the source side. Mutuality is the
+    * classic high-precision filter for aligning two corpora without any
+    * threshold tuning.
+    *
+    * Scale design: scoring is the q41 correctness-witness shape (broadcast
+    * the smaller side, codegen dot_f, per-query bounded window — top-1 per
+    * a_id and per b_id, never a global sort); at corpus scale both sides
+    * pre-bucket with CosineLshJoin's multi-table family and the two top-1
+    * windows run per bucket with a cross-table min — same plan shape,
+    * bounded keys. Sims round to 4 decimals with id tie-breaks (q41
+    * precedent) so both engines pick identical argmaxes. */
+  private val q125: Q = (s, d) => {
+    VectorOps.register(s)
+    val e = Tables.embeddings(s, d)
+    val a = e.filter(col("label") === 0)
+      .select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+    val b = e.filter(col("label") === 1)
+      .select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+    val scored = a.crossJoin(broadcast(b))
+      .select(col("a_id"), col("b_id"),
+        round(expr("dot_f(ea, eb)"), Scale).as("sim"))
+    val wa = Window.partitionBy(col("a_id")).orderBy(col("sim").desc, col("b_id"))
+    val wb = Window.partitionBy(col("b_id")).orderBy(col("sim").desc, col("a_id"))
+    val fwd = scored.withColumn("r", row_number().over(wa))
+      .filter(col("r") === 1).drop("r")
+    val bwd = scored.withColumn("r", row_number().over(wb))
+      .filter(col("r") === 1).select(col("a_id"), col("b_id"))
+    fwd.join(bwd, Seq("a_id", "b_id"))
+      .select(col("a_id"), col("b_id"), col("sim"))
+      .orderBy(col("a_id"))
+  }
+
+  private val q125Sql =
+    """WITH a AS (SELECT vec_id AS a_id, embedding AS ea FROM embeddings WHERE label = 0),
+      |b AS (SELECT vec_id AS b_id, embedding AS eb FROM embeddings WHERE label = 1),
+      |u AS (SELECT a_id, b_id, UNNEST(ea) AS x, UNNEST(eb) AS y FROM a, b),
+      |sims AS (SELECT a_id, b_id, round(SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 4) AS sim
+      |         FROM u GROUP BY a_id, b_id),
+      |fwd AS (SELECT a_id, b_id, sim FROM (
+      |   SELECT a_id, b_id, sim,
+      |     ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS r FROM sims)
+      |  WHERE r = 1),
+      |bwd AS (SELECT a_id, b_id FROM (
+      |   SELECT a_id, b_id,
+      |     ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY sim DESC, a_id) AS r FROM sims)
+      |  WHERE r = 1)
+      |SELECT f.a_id, f.b_id, f.sim
+      |FROM fwd f JOIN bwd w ON w.a_id = f.a_id AND w.b_id = f.b_id
+      |ORDER BY f.a_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q125_mutual_nn_pairs" -> q125,
     "q114_source_centroid_matrix" -> q114,
     "q111_ann_filtered" -> q111,
     "q40_cosine_vs_query" -> q40,
@@ -515,6 +571,7 @@ object SimilarityQueries {
     "q108_semdedup" -> q108)
 
   val oracle: Map[String, String] = Map(
+    "q125_mutual_nn_pairs" -> q125Sql,
     "q114_source_centroid_matrix" -> q114Sql,
     "q111_ann_filtered" -> q111Sql,
     "q40_cosine_vs_query" -> q40Sql,
