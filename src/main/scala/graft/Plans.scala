@@ -53,7 +53,8 @@ object Plans {
     "q121_bigram_lm_surprisal" -> "bigram LM: two map-combinable count aggs build the model; scoring joins the bigram stream on the bigram key (AQE broadcasts small models)",
     "q122_incremental_dedup" -> "incremental dedup: band join RESTRICTED to old x new (no old x old work); verify on mixed candidates only; verdict = two left joins on the new-doc key",
     "q123_embedding_neardup" -> "embedding near-dup: L=8 map-only bucket keys per vector, self-join on (table, bucket), distinct slim pair list BEFORE the dot_f verify joins",
-    "q124_dsir_importance" -> "DSIR: 256-row hashed-bigram model from two map-combinable aggs, broadcast to the scoring join; corpus shuffles only per-doc partial sums")
+    "q124_dsir_importance" -> "DSIR: 256-row hashed-bigram model from two map-combinable aggs, broadcast to the scoring join; corpus shuffles only per-doc partial sums",
+    "q126_pagerank" -> "PageRank: per-round join(ranks, edges) on the node key + one hash agg on dst - 2 bounded-key shuffles per iteration, edges localCheckpointed once")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

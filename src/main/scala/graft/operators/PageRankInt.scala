@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Integer-exact PageRank over a directed multigraph — the third member of
+  * the iterative family (ConnectedComponents: label propagation;
+  * KMeansLloyd: centroid refinement; here: rank flow), built on the same
+  * cross-engine exactness discipline: every quantity is a Long in
+  * parts-per-billion, every step is integer division on non-negative
+  * operands (`div` in Spark == `//` in DuckDB), so a fixed iteration count
+  * replays bit-for-bit in the oracle with NO float tolerance anywhere.
+  *
+  * Semantics (documented deltas from textbook PageRank, chosen for exact
+  * replayability):
+  *  - ranks are scaled by 10⁹; init r₀(v) = 10⁹ div N;
+  *  - one step: r'(v) = (15·10⁹ div 100) div N  +  (85 · Σ_{u→v} (r(u) div
+  *    outdeg(u))) div 100 — floor division at each stage, applied in the
+  *    SAME order in both engines;
+  *  - parallel edges are kept (a customer ordering twice from a supplier
+  *    contributes twice — edge multiplicity IS the weight);
+  *  - dangling mass is dropped, not redistributed (every node of the
+  *    symmetrized transaction graph has out-edges anyway), and floor
+  *    truncation slowly leaks mass: totals are NOT conserved and nobody
+  *    here pretends otherwise — ranks are an ordering signal, not a
+  *    probability vector.
+  *
+  * Scale shape: one iteration = join(ranks, edges) on src (shuffle keyed
+  * on the node id) + hash-aggregate on dst — the canonical distributed
+  * PageRank step, 2 bounded-key shuffles per round, nothing driver-side.
+  * `edges` and the out-degree frame are computed once and localCheckpointed
+  * (the ConnectedComponents discipline: eager materialization so the k-th
+  * iteration's plan does not embed k join trees, blocks freed by the
+  * ContextCleaner), and each iteration's rank frame replaces the last.
+  */
+object PageRankInt {
+
+  /** Ranks after `iters` exact-integer steps. `edges`: (src, dst) Long
+    * columns, parallel edges meaningful. Returns (node, rank_ppb). */
+  def run(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"need >=1 iteration, got $iters")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .localCheckpoint(true)
+    // distinct column names per frame: the per-iteration plan re-joins
+    // frames that all descend from `e`, and Spark's self-join ambiguity
+    // check (correctly) rejects attribute-by-lineage references there.
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .select(col("src").as("deg_node"), col("outdeg"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    val base = (15L * 1000000000L / 100L) / n // both divisors exact: plan literal
+    var ranks = nodes.select(col("node"), lit(1000000000L / n).as("rank_ppb"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contrib = ranks
+        .join(outdeg, col("node") === col("deg_node"))
+        .select(col("node").as("u"), expr("rank_ppb div outdeg").as("c"))
+      val acc = e.select(col("src").as("msg_src"), col("dst"))
+        .join(contrib, col("msg_src") === col("u"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("acc"))
+        .select(col("dst").as("node"), col("acc"))
+      val next = nodes
+        .join(acc, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr(s"(85 * coalesce(acc, 0L)) div 100")).as("rank_ppb"))
+        .localCheckpoint(true)
+      ranks = next
+    }
+    ranks
+  }
+}

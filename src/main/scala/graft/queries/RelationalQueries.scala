@@ -883,7 +883,56 @@ object RelationalQueries {
       |       WHERE l2.l_partkey = p_partkey)
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
+  // ---------------------------------------------------------------- q126
+  /** Integer-exact PageRank ([[graft.operators.PageRankInt]]) over the
+    * symmetrized customer↔supplier transaction multigraph (an edge per
+    * lineitem in each direction — multiplicity IS the edge weight, so
+    * repeat business concentrates rank). Completes the iterative family:
+    * ConnectedComponents (reachability), KMeansLloyd (refinement),
+    * PageRank (rank flow). Three exact-integer steps in parts-per-billion
+    * with floor division at every stage, so [[q126Sql]] replays the whole
+    * computation as three unrolled CTE rounds (aggregates are not allowed
+    * in a recursive CTE term, and a FIXED iteration count is the portable
+    * contract anyway) — no float tolerance anywhere. */
+  private val q126: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val pairs = li.join(ord, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("cust"), (col("l_suppkey") * 2 + 1).as("supp"))
+    val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
+      .unionByName(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+    graft.operators.PageRankInt.run(edges, iters = 3)
+      .select(col("node"), col("rank_ppb"),
+        pmod(col("node"), lit(2L)).as("is_supplier"))
+      .orderBy(col("node"))
+  }
+
+  private val q126Sql = {
+    def step(prev: String, out: String): String =
+      s"""s$out AS (SELECT e.dst AS node, SUM($prev.r // deg.outdeg) AS acc
+         |       FROM e JOIN $prev ON $prev.node = e.src JOIN deg ON deg.src = e.src
+         |       GROUP BY e.dst),
+         |$out AS (SELECT nodes.node,
+         |        (150000000 // n.cnt) + (85 * COALESCE(s$out.acc, 0)) // 100 AS r
+         |       FROM nodes LEFT JOIN s$out ON s$out.node = nodes.node, n)""".stripMargin
+    s"""WITH ej AS (SELECT o.o_custkey * 2 AS cust, l.l_suppkey * 2 + 1 AS supp
+       |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+       |e AS (SELECT cust AS src, supp AS dst FROM ej
+       |      UNION ALL SELECT supp, cust FROM ej),
+       |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |n AS (SELECT COUNT(*) AS cnt FROM nodes),
+       |r0 AS (SELECT node, 1000000000 // n.cnt AS r FROM nodes, n),
+       |${step("r0", "r1")},
+       |${step("r1", "r2")},
+       |${step("r2", "r3")}
+       |SELECT node, CAST(r AS BIGINT) AS rank_ppb,
+       | CAST(node % 2 AS BIGINT) AS is_supplier
+       |FROM r3 ORDER BY node""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q126_pagerank" -> q126,
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
     "q03_join_broadcast_agg" -> q03,
@@ -924,6 +973,7 @@ object RelationalQueries {
     "q89_typed_dataset" -> q89)
 
   val oracle: Map[String, String] = Map(
+    "q126_pagerank" -> q126Sql,
     "q01_pricing_summary" -> q01Sql,
     "q44_approx_count_distinct" -> q44Sql,
     "q02_filter_project" -> q02Sql,
