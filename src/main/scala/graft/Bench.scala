@@ -57,7 +57,15 @@ object Bench {
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch {
+        // toRdd.count(), NOT count(): count() prunes every column, which
+        // lets Catalyst eliminate unique-key left joins (q123's census
+        // count executed ZERO of its 4 joins — 1.3 s vs 4.2 s honest at
+        // sf0.1) and skip per-row kernels (a map-only md5 query "benched"
+        // as a bare scan count). Executing the query's own physical plan
+        // and materializing its UnsafeRows measures the work a real
+        // consumer (writer, collector) pays; nothing reaches the driver
+        // but the partition counts.
+        val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             false

@@ -55,6 +55,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("minhash_bands"),
       info("minhash_bands", "minhash_bands(shingles) - fused MinHash LSH band hashes"),
       (es: Seq[Expression]) => MinHashBands(es.head)))
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(words) - one-pass 64-bit SimHash signature"),
+      (es: Seq[Expression]) => SimHash64(es.head)))
     ext.injectFunction((FunctionIdentifier("word_shingles"),
       info("word_shingles", "word_shingles(text[, n]) - distinct n-word shingles"),
       {

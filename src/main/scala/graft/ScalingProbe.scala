@@ -127,6 +127,21 @@ object ScalingProbe {
     val q121Scored = SparkEntry.queries("q121_bigram_lm_surprisal")(spark, sfDir)
       .agg(coalesce(sum(col("n_bigrams")), lit(0L))).head().getLong(0)
 
+    // q123: distinct LSH candidate pairs — the volume the dot_f verify
+    // pays. Grows with Σ_buckets n_b² per table; with FIXED (L, p) and a
+    // corpus that grows by replication, bucket sizes grow ~K× so this is
+    // expected ~K² per table until planesPerTable is re-sized (the
+    // documented knob); the probe makes that visible instead of silent.
+    val q123Cand = operators.CosineLshJoin.candidatePairs(
+      Tables.embeddings(spark, sfDir), "vec_id", "embedding",
+      tables = 8, planesPerTable = 3, dim = 64).count()
+
+    // q124: scored-feature volume — the rows that hit the broadcast model
+    // join and shuffle per-doc partial sums; exactly linear in corpus
+    // bigrams.
+    val q124Feats = SparkEntry.queries("q124_dsir_importance")(spark, sfDir)
+      .agg(coalesce(sum(col("n_feats")), lit(0L))).head().getLong(0)
+
     println(s"""{"sf":"$sfDir","docs":$nDocs,"shingles":$totShingles,""" +
       s""""q86_cand":$q86Cand,"q86_pairs":$q86Pairs,""" +
       s""""q103_cand":$q103Cand,"q103_pairs":$q103Pairs,""" +
@@ -136,7 +151,8 @@ object ScalingProbe {
       s""""q110_postings":$q110Postings,"q111_pairs":$q111Pairs,""" +
       s""""q112_spans":$q112Spans,"q112_kept":$q112Kept,""" +
       s""""q113_pairvol":$q113PairVol,""" +
-      s""""q120_chunks":$q120Chunks,"q121_scored":$q121Scored}""")
+      s""""q120_chunks":$q120Chunks,"q121_scored":$q121Scored,""" +
+      s""""q123_cand":$q123Cand,"q124_feats":$q124Feats}""")
     spark.stop()
   }
 }

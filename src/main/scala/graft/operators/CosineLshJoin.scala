@@ -31,13 +31,12 @@ import org.apache.spark.sql.functions._
   */
 object CosineLshJoin {
 
-  /** All pairs (id_a < id_b) that collide in ≥1 of `tables` LSH tables AND
-    * verify at cosine ≥ `tau` (dot on L2-normalized vectors, rounded to
-    * `simScale` decimals before the threshold so an engine replaying the
-    * same planes ranks identically). Output: (id_a, id_b, sim). */
-  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      tables: Int, planesPerTable: Int, dim: Int, tau: Double,
-      seed: Long = 12345L, simScale: Int = 4): DataFrame = {
+  /** The candidate stage alone: distinct pairs (id_a < id_b) colliding in
+    * ≥1 of `tables` LSH tables. Exposed separately so ScalingProbe can
+    * count the work volume the verify stage actually pays. */
+  def candidatePairs(df: DataFrame, idCol: String, vecCol: String,
+      tables: Int, planesPerTable: Int, dim: Int,
+      seed: Long = 12345L): DataFrame = {
     require(tables >= 1 && planesPerTable >= 1,
       s"need >=1 table of >=1 planes, got $tables x $planesPerTable")
     graft.functions.VectorOps.register(df.sparkSession)
@@ -50,11 +49,21 @@ object CosineLshJoin {
     }
     val keyed = df.select(col(idCol),
       posexplode(array(bucketCols: _*)).as(Seq("t", "bucket")))
-    val cand = keyed.select(col("t"), col("bucket"), col(idCol).as("id_a"))
+    keyed.select(col("t"), col("bucket"), col(idCol).as("id_a"))
       .join(keyed.select(col("t"), col("bucket"), col(idCol).as("id_b")),
         Seq("t", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** All pairs (id_a < id_b) that collide in ≥1 of `tables` LSH tables AND
+    * verify at cosine ≥ `tau` (dot on L2-normalized vectors, rounded to
+    * `simScale` decimals before the threshold so an engine replaying the
+    * same planes ranks identically). Output: (id_a, id_b, sim). */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      tables: Int, planesPerTable: Int, dim: Int, tau: Double,
+      seed: Long = 12345L, simScale: Int = 4): DataFrame = {
+    val cand = candidatePairs(df, idCol, vecCol, tables, planesPerTable, dim, seed)
     val slim = df.select(col(idCol), col(vecCol))
     cand
       .join(slim.select(col(idCol).as("id_a"), col(vecCol).as("va")), Seq("id_a"))

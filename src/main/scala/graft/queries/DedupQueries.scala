@@ -340,16 +340,18 @@ object DedupQueries {
 
   // ---------------------------------------------------------------- q38 (no oracle: SimHash)
   /** 64-bit SimHash over distinct words + Hamming distance to doc_id+1.
-    * Near-dups have small Hamming distance; the per-doc signature is a pure
-    * expression (no shuffle), and the neighbor pair is an equi-join on
-    * doc_id+1 — shuffles on the key like any join, never a global window. */
+    * Near-dups have small Hamming distance; the per-doc signature is the
+    * one-pass codegen [[graft.functions.SimHash64]] kernel (no shuffle),
+    * and the neighbor pair is an equi-join on doc_id+1 — shuffles on the
+    * key like any join, never a global window. The original nested
+    * higher-order-lambda formulation ran interpreted at O(64·|words|)
+    * per row — honest toRdd benching caught it at 9.8 s / sf0.1, 14×
+    * SLOWER than the "slow" portable twin q67 — the exact trap the
+    * MinHashSig scaladoc documents for q37. */
   private val q38: Q = (s, d) => {
+    graft.functions.SimHash64.register(s)
     val sig = Tables.documents(s, d)
-      .withColumn("wh", expr("transform(array_distinct(split(text, ' ')), x -> xxhash64(x))"))
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 63), 0L, (acc, b) -> acc + shiftleft(
-          |  CASE WHEN aggregate(wh, 0L, (a2, h) -> a2 + (shiftright(h, b) & 1) * 2 - 1) > 0
-          |  THEN 1L ELSE 0L END, b))""".stripMargin))
+      .withColumn("simhash", expr("simhash64(array_distinct(split(text, ' ')))"))
       .select(col("doc_id"), col("simhash"))
     val nxt = sig.select((col("doc_id") - 1).as("doc_id"), col("simhash").as("next_simhash"))
     sig.join(nxt, Seq("doc_id"), "left")
