@@ -618,7 +618,68 @@ object CorpusQueries {
       | CAST(CASE WHEN SUM(lw) >= 0 THEN 1 ELSE 0 END AS BIGINT) AS selected
       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q127
+  /** Tokenizer vocabulary encoding — the "encode" half of tokenizer
+    * training: build a top-K vocabulary (rank by frequency, ties by word —
+    * the deterministic contract), map every token occurrence to its vocab
+    * id (out-of-vocabulary → 0, the UNK convention), and re-assemble each
+    * document's id sequence in position order. Output per doc: token
+    * count, OOV count, and the md5 of the comma-joined id sequence — the
+    * sequence fingerprint proves the per-position mapping end-to-end
+    * (the q112 rebuild discipline: aggregate a checksum, not the
+    * megabyte-scale sequence itself).
+    *
+    * Scale shape: vocab = one map-combinable hash agg + a top-K rank
+    * bounded by K (broadcast to the mapping join); the token stream
+    * explodes once, joins the K-row vocab, and re-aggregates per doc —
+    * position order restored by sorting the COLLECTED (pos, id) structs
+    * inside the row, never a global sort. At 100 TB the vocab is built
+    * once per corpus snapshot and reused (same plan, stored small side). */
+  private val q127: Q = (s, d) => {
+    val K = 500
+    val docs = Tables.documents(s, d)
+    val tok = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    // top-K rank WITHOUT a partition-less window (the 100 TB one-task
+    // trap QueryInventorySpec forbids): bound the candidate set to K rows
+    // first (TakeOrderedAndProject), then stamp ids with GlobalIndex's
+    // range-partition + zipWithIndex numbering.
+    val topK = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(K)
+    val vocab = graft.functions.GlobalIndex
+      .withRowNumber(topK, "id", col("c").desc, col("w"))
+      .select(col("w"), col("id"))
+    tok.join(broadcast(vocab), Seq("w"), "left")
+      .select(col("doc_id"), col("pos"), coalesce(col("id"), lit(0L)).as("id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum((col("id") === 0L).cast("long")).as("n_oov"),
+        md5(concat_ws(",",
+          expr("transform(array_sort(collect_list(struct(pos, id))), s -> CAST(s.id AS STRING))")))
+          .as("ids_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB replay: same rank contract (count DESC, word), same UNK=0,
+    * same ordered join of ids into the fingerprint (string_agg ORDER BY
+    * pos == Spark's sorted-struct transform). */
+  private val q127Sql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |tok AS (SELECT doc_id,
+      |  UNNEST(range(1, len(ws) + 1)) AS pos, UNNEST(ws) AS tokw FROM w),
+      |vc AS (SELECT tokw AS vw, COUNT(*) AS c FROM tok GROUP BY tokw),
+      |vocab AS (SELECT vw, id FROM (
+      |   SELECT vw, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, vw) AS BIGINT) AS id FROM vc)
+      |  WHERE id <= 500),
+      |ids AS (SELECT t.doc_id, t.pos, COALESCE(v.id, 0) AS id
+      |        FROM tok t LEFT JOIN vocab v ON v.vw = t.tokw)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      | CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      | md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos)) AS ids_md5
+      |FROM ids GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q127_vocab_encode" -> q127,
     "q124_dsir_importance" -> q124,
     "q120_token_chunking" -> q120,
     "q116_token_budget_select" -> q116,
@@ -634,6 +695,7 @@ object CorpusQueries {
     "q100_substring_windows" -> q100)
 
   val oracle: Map[String, String] = Map(
+    "q127_vocab_encode" -> q127Sql,
     "q124_dsir_importance" -> q124Sql,
     "q120_token_chunking" -> q120Sql,
     "q116_token_budget_select" -> q116Sql,
