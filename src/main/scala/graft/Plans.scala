@@ -54,7 +54,9 @@ object Plans {
     "q122_incremental_dedup" -> "incremental dedup: band join RESTRICTED to old x new (no old x old work); verify on mixed candidates only; verdict = two left joins on the new-doc key",
     "q123_embedding_neardup" -> "embedding near-dup: L=8 map-only bucket keys per vector, self-join on (table, bucket), distinct slim pair list BEFORE the dot_f verify joins",
     "q124_dsir_importance" -> "DSIR: 256-row hashed-bigram model from two map-combinable aggs, broadcast to the scoring join; corpus shuffles only per-doc partial sums",
-    "q126_pagerank" -> "PageRank: per-round join(ranks, edges) on the node key + one hash agg on dst - 2 bounded-key shuffles per iteration, edges localCheckpointed once")
+    "q126_pagerank" -> "PageRank: per-round join(ranks, edges) on the node key + one hash agg on dst - 2 bounded-key shuffles per iteration, edges localCheckpointed once",
+    "q127_vocab_encode" -> "vocab encode: K-row vocab via TakeOrderedAndProject + zipWithIndex ids, broadcast mapping join, per-doc sorted-struct reassembly",
+    "q128_event_trigram_funnel" -> "funnel trigrams: bounded per-user windows, map-combinable trigram hash agg, TakeOrderedAndProject top-25")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

@@ -572,7 +572,45 @@ object EventQueries {
       |  SELECT user_id FROM hi INTERSECT ALL SELECT user_id FROM err) GROUP BY user_id
       |ORDER BY op, user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q128
+  /** Event-sequence trigram mining (funnel analysis): for each user, order
+    * events by time and emit every 3-step event-type transition; report
+    * the 25 most frequent trigrams. The per-user sequence windows are
+    * bounded partitions (user_id), the trigram count is one map-combinable
+    * hash agg, and the top-25 is TakeOrderedAndProject — never a global
+    * sort or a partition-less window. Ties at the cut line break by the
+    * trigram string so both engines keep the identical 25.
+    *
+    * Event-time ties within a user (same microsecond) are broken by
+    * event_id in the window's ORDER BY — a total order, so lead() is
+    * deterministic in both engines. */
+  private val q128: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("trigram"))
+      .groupBy(col("trigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("trigram")).limit(25)
+  }
+
+  private val q128Sql =
+    """WITH o AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+      |seq AS (SELECT event_type,
+      |  LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS e2,
+      |  LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY us, event_id) AS e3
+      | FROM o),
+      |tg AS (SELECT event_type || '>' || e2 || '>' || e3 AS trigram
+      |       FROM seq WHERE e3 IS NOT NULL)
+      |SELECT trigram, COUNT(*) AS n FROM tg GROUP BY trigram
+      |ORDER BY n DESC, trigram LIMIT 25""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q128_event_trigram_funnel" -> q128,
     "q22_pivot_event_counts" -> q22,
     "q75_exact_moment_stats" -> q75,
     "q80_range_frame_trailing" -> q80,
@@ -595,6 +633,7 @@ object EventQueries {
     "q62_pipeline_daily_index_counts" -> q62)
 
   val oracle: Map[String, String] = Map(
+    "q128_event_trigram_funnel" -> q128Sql,
     "q22_pivot_event_counts" -> q22Sql,
     "q75_exact_moment_stats" -> q75Sql,
     "q80_range_frame_trailing" -> q80Sql,
