@@ -128,13 +128,16 @@ object ScalingProbe {
       .agg(coalesce(sum(col("n_bigrams")), lit(0L))).head().getLong(0)
 
     // q123: distinct LSH candidate pairs — the volume the dot_f verify
-    // pays. Grows with Σ_buckets n_b² per table; with FIXED (L, p) and a
-    // corpus that grows by replication, bucket sizes grow ~K× so this is
-    // expected ~K² per table until planesPerTable is re-sized (the
-    // documented knob); the probe makes that visible instead of silent.
+    // pays, Σ_buckets n_b² per table. With the corpus-adaptive plane
+    // count (p = ⌈log2(n/250)⌉, the round-7 fix for the measured 100×
+    // blowup at fixed p=3) per-table bucket population stays ≈250, so
+    // this counter should now grow ~linearly with the corpus.
+    val q123Emb = Tables.embeddings(spark, sfDir)
     val q123Cand = operators.CosineLshJoin.candidatePairs(
-      Tables.embeddings(spark, sfDir), "vec_id", "embedding",
-      tables = 8, planesPerTable = 3, dim = 64).count()
+      q123Emb, "vec_id", "embedding",
+      tables = 8,
+      planesPerTable = operators.CosineLshJoin.adaptivePlanes(q123Emb.count()),
+      dim = 64).count()
 
     // q124: scored-feature volume — the rows that hit the broadcast model
     // join and shuffle per-doc partial sums; exactly linear in corpus

@@ -31,6 +31,23 @@ import org.apache.spark.sql.functions._
   */
 object CosineLshJoin {
 
+  /** Corpus-adaptive plane count: the smallest p with
+    * targetBucket · 2^p ≥ n, clamped to [floor, cap] — i.e.
+    * ⌈log2(n / targetBucket)⌉ computed with pure integer arithmetic
+    * (shifts and comparisons, never floating-point log2, whose rounding
+    * differs across engines at exact powers of two: Scala's
+    * log(8)/log(2) = 2.9999999999999996). Keeping per-table bucket
+    * population ≈ targetBucket makes candidate volume Σ_b n_b² ≈
+    * n · targetBucket — LINEAR in the corpus — where a fixed p lets
+    * buckets grow with n and candidates grow ~n². An oracle replays the
+    * derivation exactly with a VALUES probe table:
+    * `MIN(p) WHERE targetBucket * (1 << p) >= COUNT(*)`. */
+  def adaptivePlanes(n: Long, targetBucket: Long = 250L,
+      floor: Int = 3, cap: Int = 14): Int = {
+    val fit = (1 to cap).find(p => (targetBucket << p) >= n).getOrElse(cap)
+    math.min(cap, math.max(floor, fit))
+  }
+
   /** The candidate stage alone: distinct pairs (id_a < id_b) colliding in
     * ≥1 of `tables` LSH tables. Exposed separately so ScalingProbe can
     * count the work volume the verify stage actually pays. */

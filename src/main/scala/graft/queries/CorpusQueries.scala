@@ -453,7 +453,7 @@ object CorpusQueries {
        |    ORDER BY quality_ppm DESC, doc_id
        |    ROWS UNBOUNDED PRECEDING) AS cum_tokens FROM qual)
        |SELECT source, COUNT(*) AS n_selected,
-       | SUM(tokens) AS tok_selected,
+       | CAST(SUM(tokens) AS BIGINT) AS tok_selected,
        | MIN(quality_ppm) AS cutoff_quality_ppm
        |FROM c WHERE cum_tokens <= $q116Budget
        |GROUP BY source ORDER BY source""".stripMargin

@@ -614,9 +614,15 @@ object DedupQueries {
     * duplicate when an EARLIER vector (smaller vec_id — the "canonical
     * copy" stand-in for crawl order) sits within cosine τ=0.35 of it.
     * Candidates come from [[graft.operators.CosineLshJoin]] — 8 independent
-    * hyperplane tables × 3 planes, the band/row recall trade of the
-    * MinHash-LSH text scheme transplanted to embedding space — and every
-    * candidate is verified with the exact codegen dot before the verdict.
+    * hyperplane tables of a CORPUS-ADAPTIVE plane count p =
+    * ⌈log2(n/250)⌉ (floor 3, integer-exact, the q108 k=⌈n/250⌉
+    * precedent), the band/row recall trade of the MinHash-LSH text scheme
+    * transplanted to embedding space — and every candidate is verified
+    * with the exact codegen dot before the verdict. Adaptive p keeps
+    * per-table bucket population ≈250 as the corpus grows, so candidate
+    * volume stays LINEAR in n instead of the ~n² a fixed 2³-bucket table
+    * degenerates to (ScalingProbe measured 100× candidates at 10× data
+    * under the old fixed p=3).
     * The complementary candidate engine to q108's SemDedup (k-means cluster
     * partition): LSH needs no trained partition and its recall is a closed
     * form in (L, p), while k-means concentrates near neighbors into one
@@ -625,17 +631,21 @@ object DedupQueries {
     * earliest such neighbor, and the keep flag — the same keep-earliest
     * shape as q122's incremental verdicts.
     *
-    * ORACLE-VERIFIED like q43/q51: the 24-plane family is a deterministic
-    * seeded constant, so [[q123Sql]] embeds the plane literals and DuckDB
-    * replays sign bits → per-table buckets → candidate pairs → exact
-    * verify → census, hash-for-hash. Approximation means "only pairs that
-    * collide in ≥1 table are scored", not "nondeterministic"; the recall
-    * knob (L tables × p planes) is replayed exactly by the oracle. */
+    * ORACLE-VERIFIED like q43/q51: the plane family is a deterministic
+    * seeded constant and prefix-consistent (planes(k) is the first k of
+    * planes(k′>k)), so [[q123Sql]] embeds the maximal 8×14 family as
+    * literals, re-derives p from COUNT(*) with the same integer probe,
+    * and DuckDB replays sign bits → per-table buckets → candidate pairs
+    * → exact verify → census, hash-for-hash at any corpus size.
+    * Approximation means "only pairs that collide in ≥1 table are
+    * scored", not "nondeterministic"; the recall knob (L tables ×
+    * adaptive p planes) is replayed exactly by the oracle. */
   private val q123: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
+    val p = graft.operators.CosineLshJoin.adaptivePlanes(e.count())
     val pairs = graft.operators.CosineLshJoin.nearDupPairs(
       e, "vec_id", "embedding",
-      tables = 8, planesPerTable = 3, dim = 64, tau = 0.35)
+      tables = 8, planesPerTable = p, dim = 64, tau = 0.35)
     val sup = pairs.groupBy(col("id_b"))
       .agg(max(col("sim")).as("max_sim"), min(col("id_a")).as("match_id"))
     e.select(col("vec_id"), col("label"))
@@ -646,22 +656,32 @@ object DedupQueries {
       .orderBy(col("vec_id"))
   }
 
-  /** DuckDB replay of the full multi-table LSH pipeline with the 24 plane
-    * constants baked in as literals (global plane g belongs to table g/3,
-    * bit g%3 — the same contiguous slicing CosineLshJoin uses). */
+  /** DuckDB replay of the full multi-table LSH pipeline with the maximal
+    * 8×14 plane family baked in as literals. The plane count p is
+    * re-derived from COUNT(*) with the same integer probe as
+    * [[graft.operators.CosineLshJoin.adaptivePlanes]] (smallest p with
+    * 250·2^p ≥ n, clamped to [3, 14] — no floating-point log2, whose
+    * engine-specific rounding at exact powers of two would desync the
+    * two sides). Global plane g belongs to table g/p, bit g%p, planes
+    * g < 8p used — the same contiguous slicing CosineLshJoin applies to
+    * the same prefix-consistent seeded family. */
   private def q123Sql: String = {
-    val fam = graft.operators.HyperplaneLsh.planes(numPlanes = 24, dim = 64, seed = 12345L)
+    val fam = graft.operators.HyperplaneLsh.planes(numPlanes = 8 * 14, dim = 64, seed = 12345L)
     val vals = fam.zipWithIndex.map { case (p, g) =>
       p.map(x => s"CAST($x AS FLOAT)").mkString(s"($g, [", ",", "])")
     }.mkString(",")
-    s"""WITH pl AS (SELECT * FROM (VALUES $vals) AS t(g, p)),
-       |u AS (SELECT e.vec_id, pl.g, UNNEST(e.embedding) AS x, UNNEST(pl.p) AS y
-       |      FROM embeddings e, pl),
+    val probe = (1 to 14).map(p => s"($p)").mkString(",")
+    s"""WITH pl AS (SELECT * FROM (VALUES $vals) AS t(g, v)),
+       |np AS (SELECT GREATEST(3, LEAST(14, COALESCE(MIN(c.p), 14))) AS p
+       |       FROM (VALUES $probe) c(p)
+       |       WHERE 250 * (1 << c.p) >= (SELECT COUNT(*) FROM embeddings)),
+       |u AS (SELECT e.vec_id, pl.g, UNNEST(e.embedding) AS x, UNNEST(pl.v) AS y
+       |      FROM embeddings e, pl, np WHERE pl.g < 8 * np.p),
        |dt AS (SELECT vec_id, g, SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dp
        |       FROM u GROUP BY vec_id, g),
-       |bk AS (SELECT vec_id, g // 3 AS tbl,
-       |         SUM(CASE WHEN dp > 0 THEN (1 << (g % 3)) ELSE 0 END) AS bucket
-       |       FROM dt GROUP BY vec_id, g // 3),
+       |bk AS (SELECT vec_id, g // np.p AS tbl,
+       |         SUM(CASE WHEN dp > 0 THEN (1 << (g % np.p)) ELSE 0 END) AS bucket
+       |       FROM dt, np GROUP BY vec_id, g // np.p),
        |cp AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
        |       FROM bk a JOIN bk b
        |         ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
