@@ -94,8 +94,7 @@ case class MinHashSig(child: Expression, numHashes: Int = 32)
 object MinHashSig {
   /** Register `minhash_sig` for use from expr()/SQL (1-arg form, k=32). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_sig", es => MinHashSig(es.head), "built-in")
+    RegisterOnce(spark, "minhash_sig")(es => MinHashSig(es.head))
 }
 
 /** One-pass LSH band hashes: `minhash_bands(array<string>) -> array<bigint>`
@@ -212,6 +211,5 @@ case class MinHashBands(child: Expression, numHashes: Int = 32, numBands: Int = 
 object MinHashBands {
   /** Register `minhash_bands` (1-arg form: k=32, 8 bands). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_bands", es => MinHashBands(es.head), "built-in")
+    RegisterOnce(spark, "minhash_bands")(es => MinHashBands(es.head))
 }

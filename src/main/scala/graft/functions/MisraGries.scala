@@ -117,8 +117,7 @@ case class MisraGriesAgg(child: Expression, k: Int,
 object MisraGries {
   /** Register `misra_gries(col, k)` for expr()/SQL use. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "misra_gries", {
+    RegisterOnce(spark, "misra_gries") {
         case Seq(c, kLit) =>
           val k = kLit.eval(null) match {
             case i: Int  => i
@@ -126,5 +125,5 @@ object MisraGries {
             case other   => throw new IllegalArgumentException(s"k must be an int literal, got $other")
           }
           MisraGriesAgg(c, k).toAggregateExpression()
-      }, "built-in")
+      }
 }

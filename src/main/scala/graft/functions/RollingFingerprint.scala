@@ -85,6 +85,5 @@ case class RollingFingerprint(child: Expression, k: Int = 16)
 
 object RollingFingerprint {
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "rolling_fp", es => RollingFingerprint(es.head), "built-in")
+    RegisterOnce(spark, "rolling_fp")(es => RollingFingerprint(es.head))
 }

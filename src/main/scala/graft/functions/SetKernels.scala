@@ -71,6 +71,5 @@ case class SortedOverlap(left: Expression, right: Expression)
 
 object SetKernels {
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sorted_overlap", es => SortedOverlap(es(0), es(1)), "built-in")
+    RegisterOnce(spark, "sorted_overlap")(es => SortedOverlap(es(0), es(1)))
 }

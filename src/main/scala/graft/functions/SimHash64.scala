@@ -89,6 +89,5 @@ case class SimHash64(child: Expression) extends UnaryExpression with ExpectsInpu
 object SimHash64 {
   /** Register `simhash64` for use from expr()/SQL. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", es => SimHash64(es.head), "built-in")
+    RegisterOnce(spark, "simhash64")(es => SimHash64(es.head))
 }

@@ -119,14 +119,13 @@ object TextKernels {
 
   /** Register `word_shingles` / `word_ngrams` for expr()/SQL use. */
   def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("word_shingles", {
+    RegisterOnce(spark, "word_shingles") {
       case Seq(t)    => WordShingles(t)
       case Seq(t, n) => WordShingles(t, lit(n))
-    }, "built-in")
-    reg.createOrReplaceTempFunction("word_ngrams", {
+    }
+    RegisterOnce(spark, "word_ngrams") {
       case Seq(t)    => WordNgrams(t)
       case Seq(t, n) => WordNgrams(t, lit(n))
-    }, "built-in")
+    }
   }
 }

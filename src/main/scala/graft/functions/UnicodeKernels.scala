@@ -54,6 +54,5 @@ case class NfcNormalize(child: Expression)
 object UnicodeKernels {
   /** Register `nfc_normalize` for expr()/SQL use. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "nfc_normalize", { case Seq(t) => NfcNormalize(t) }, "built-in")
+    RegisterOnce(spark, "nfc_normalize") { case Seq(t) => NfcNormalize(t) }
 }

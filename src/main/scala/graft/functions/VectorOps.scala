@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Native Catalyst expressions for the similarity-search hot path.
   *
@@ -245,17 +245,151 @@ case class L2NormF(child: Expression)
     copy(child = newChild)
 }
 
+/** All `tables` LSH bucket ids of a float vector in ONE codegen pass.
+  *
+  * Semantically identical to `tables` × `planesPerTable` separate
+  * [[DotProductF]]-against-literal-plane sign tests (same index-order double
+  * accumulation, same `> 0` sign rule, bit j from plane `t*p + j` of the
+  * flattened family), but materialized as a single tight loop over a
+  * primitive `float[]` plane matrix held as a codegen reference object.
+  * The composed formulation built one `when(dot_f(...) > 0, ...)` tree per
+  * plane — 56 expressions at (L=8, p=7) — which blows past the codegen
+  * splitting thresholds into interpreted evaluation (~3.5 µs/dot measured);
+  * this kernel computes the same 56 dots in ~0.1 µs/row. The plane count is
+  * a constructor constant, so the generated loops have compile-time bounds.
+  */
+case class LshBucketsF(child: Expression, planesFlat: Array[Float],
+    tables: Int, planesPerTable: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(tables >= 1 && planesPerTable >= 1 &&
+    planesFlat.length % (tables * planesPerTable) == 0,
+    s"plane matrix of ${planesFlat.length} floats does not tile " +
+      s"$tables tables x $planesPerTable planes")
+
+  private def dim: Int = planesFlat.length / (tables * planesPerTable)
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "lsh_buckets_f"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = math.min(dim, x.numElements())
+    val out = new Array[Int](tables)
+    var t = 0
+    while (t < tables) {
+      var b = 0
+      var j = 0
+      while (j < planesPerTable) {
+        val off = (t * planesPerTable + j) * dim
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          acc += x.getFloat(i).toDouble * planesFlat(off + i).toDouble
+          i += 1
+        }
+        if (acc > 0) b |= 1 << j
+        j += 1
+      }
+      out(t) = b
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val pf = ctx.addReferenceObj("planesFlat", planesFlat, "float[]")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val t = ctx.freshName("t")
+      val b = ctx.freshName("b")
+      val j = ctx.freshName("j")
+      val off = ctx.freshName("off")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($dim, $x.numElements());
+         |int[] $out = new int[$tables];
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  int $b = 0;
+         |  for (int $j = 0; $j < $planesPerTable; $j++) {
+         |    int $off = ($t * $planesPerTable + $j) * $dim;
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $acc += ((double) $x.getFloat($i)) * ((double) $pf[$off + $i]);
+         |    }
+         |    if ($acc > 0) $b |= 1 << $j;
+         |  }
+         |  $out[$t] = $b;
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** First index at which two int arrays hold equal values, −1 if none — the
+  * multi-table LSH "emit a pair only from its first colliding table" test.
+  * Joining bucket-exploded sides on (t, bucket) finds each colliding pair
+  * once PER shared table; filtering on `first_eq_idx(sketch_a, sketch_b) = t`
+  * keeps exactly one emission per pair, which deletes the cross-table
+  * `distinct` — a full shuffle of the candidate pair stream, the widest
+  * intermediate of the whole dedup pipeline at corpus scale. */
+case class FirstEqIdx(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(IntegerType), ArrayType(IntegerType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "first_eq_idx"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0
+    while (i < n) {
+      if (x.getInt(i) == y.getInt(i)) return i
+      i += 1
+    }
+    -1
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val res = ctx.freshName("res")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |int $res = -1;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.getInt($i) == $y.getInt($i)) { $res = $i; break; }
+         |}
+         |${ev.value} = $res;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorOps {
 
   /** Register `dot_f` / `l2norm_f` in the session's function registry so they
     * are usable from `expr(...)` / SQL. Idempotent; cheap to call per query. */
   def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("dot_f", es => DotProductF(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("l2norm_f", es => L2NormF(es.head), "built-in")
-    reg.createOrReplaceTempFunction("l2dist2_f", es => L2Dist2F(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("l2dist2_l", es => L2Dist2L(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("dot_l", es => DotProductL(es(0), es(1)), "built-in")
+    RegisterOnce(spark, "dot_f")(es => DotProductF(es(0), es(1)))
+    RegisterOnce(spark, "l2norm_f")(es => L2NormF(es.head))
+    RegisterOnce(spark, "l2dist2_f")(es => L2Dist2F(es(0), es(1)))
+    RegisterOnce(spark, "l2dist2_l")(es => L2Dist2L(es(0), es(1)))
+    RegisterOnce(spark, "dot_l")(es => DotProductL(es(0), es(1)))
   }
 
   /** Dot product of two array<float> columns (codegen'd). */

@@ -65,6 +65,6 @@ object WeightedAvg {
     * wraps the returned AggregateFunction in an AggregateExpression, so it
     * is usable directly in `expr(...)`/SQL aggregates). Idempotent. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "weighted_avg_cents", es => WeightedAvgCents(es(0), es(1)), "built-in")
+    RegisterOnce(spark, "weighted_avg_cents")(
+      es => WeightedAvgCents(es(0), es(1)))
 }

@@ -50,11 +50,10 @@ object BloomDecontam {
   /** Register the Bloom pair under explicit names (not registered by
     * default — Spark only instantiates them inside optimizer rules). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("bloom_filter_agg",
-      es => new BloomFilterAggregate(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("bloom_might_contain",
-      es => BloomFilterMightContain(es(0), es(1)), "built-in")
+    graft.functions.RegisterOnce(spark, "bloom_filter_agg")(
+      es => new BloomFilterAggregate(es(0), es(1)))
+    graft.functions.RegisterOnce(spark, "bloom_might_contain")(
+      es => BloomFilterMightContain(es(0), es(1)))
   }
 
   /** All (train_id, test_id, n_shared) pairs sharing ≥ `minShared`

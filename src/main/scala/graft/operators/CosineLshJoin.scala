@@ -50,27 +50,42 @@ object CosineLshJoin {
 
   /** The candidate stage alone: distinct pairs (id_a < id_b) colliding in
     * ≥1 of `tables` LSH tables. Exposed separately so ScalingProbe can
-    * count the work volume the verify stage actually pays. */
+    * count the work volume the verify stage actually pays.
+    *
+    * Two kernel-level choices keep this stage scan-shaped:
+    *  - all `tables` bucket ids come from ONE codegen pass per row
+    *    ([[graft.functions.LshBucketsF]] over the flattened plane matrix;
+    *    the composed per-plane `when(dot_f...)` tree fell out of codegen
+    *    at L×p = 56 expressions and cost ~4 s at 20 k×10 vectors);
+    *  - each colliding pair is emitted from its FIRST shared table only
+    *    ([[graft.functions.FirstEqIdx]] on the two 8-int sketches, which
+    *    ride along the join at 4 bytes/table/row), so the output is
+    *    exactly the distinct pair set with NO cross-table `distinct` —
+    *    deleting a full shuffle of the candidate stream, the widest
+    *    intermediate of the pipeline at corpus scale. */
   def candidatePairs(df: DataFrame, idCol: String, vecCol: String,
       tables: Int, planesPerTable: Int, dim: Int,
       seed: Long = 12345L): DataFrame = {
     require(tables >= 1 && planesPerTable >= 1,
       s"need >=1 table of >=1 planes, got $tables x $planesPerTable")
-    graft.functions.VectorOps.register(df.sparkSession)
-    val fam = HyperplaneLsh.planes(tables * planesPerTable, dim, seed)
+    import org.apache.spark.sql.graft.bridge.{column, expression}
     // table t hashes with the contiguous plane slice [t*p, (t+1)*p) — the
     // oracle replays the same family with bit j = global_index % p.
-    val bucketCols = (0 until tables).map { t =>
-      HyperplaneLsh.bucketCol(vecCol,
-        fam.slice(t * planesPerTable, (t + 1) * planesPerTable))
-    }
-    val keyed = df.select(col(idCol),
-      posexplode(array(bucketCols: _*)).as(Seq("t", "bucket")))
-    keyed.select(col("t"), col("bucket"), col(idCol).as("id_a"))
-      .join(keyed.select(col("t"), col("bucket"), col(idCol).as("id_b")),
-        Seq("t", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+    val flat = HyperplaneLsh.planes(tables * planesPerTable, dim, seed)
+      .flatten.toArray
+    val sketch = column(graft.functions.LshBucketsF(
+      expression(col(vecCol)), flat, tables, planesPerTable))
+    val keyed = df.select(col(idCol), sketch.as("bks"))
+      .select(col(idCol), col("bks"),
+        posexplode(col("bks")).as(Seq("t", "bucket")))
+    keyed.select(col("t"), col("bucket"), col(idCol).as("id_a"),
+        col("bks").as("bka"))
+      .join(keyed.select(col("t"), col("bucket"), col(idCol).as("id_b"),
+        col("bks").as("bkb")), Seq("t", "bucket"))
+      .filter(col("id_a") < col("id_b") &&
+        column(graft.functions.FirstEqIdx(
+          expression(col("bka")), expression(col("bkb")))) === col("t"))
+      .select(col("id_a"), col("id_b"))
   }
 
   /** All pairs (id_a < id_b) that collide in ≥1 of `tables` LSH tables AND
@@ -80,6 +95,7 @@ object CosineLshJoin {
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       tables: Int, planesPerTable: Int, dim: Int, tau: Double,
       seed: Long = 12345L, simScale: Int = 4): DataFrame = {
+    graft.functions.VectorOps.register(df.sparkSession)
     val cand = candidatePairs(df, idCol, vecCol, tables, planesPerTable, dim, seed)
     val slim = df.select(col(idCol), col(vecCol))
     cand

@@ -51,12 +51,13 @@ object PqAnn {
     * join + `min_by` formulation shuffled ~20M (row, code) pairs at sf1;
     * this one touches each (row, subspace) exactly once. */
   private def withCodes(xu: DataFrame, cb: Array[Array[Array[Long]]]): DataFrame = {
-    xu.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "pq_nearest_code",
-      { case Seq(s, x) => graft.functions.NearestCode(s, x, cb) }, "built-in")
-    // expr() resolves eagerly at DataFrame construction, so a later
-    // re-registration (next Lloyd round) cannot mutate this plan
-    xu.withColumn("code", expr("pq_nearest_code(s, xu)"))
+    // Build the expression directly (bridge, not the function registry):
+    // each Lloyd round carries a DIFFERENT codebook, so a registry binding
+    // would either WARN-spam on every replace or, made first-wins, freeze
+    // the round-0 codebook into later plans.
+    import org.apache.spark.sql.graft.bridge.{column, expression}
+    xu.withColumn("code", column(graft.functions.NearestCode(
+      expression(col("s")), expression(col("xu")), cb)))
   }
 
   /** Returns (codes, codebook): codes = (idCol, s, code) — m rows per

@@ -90,6 +90,29 @@ class CosineLshJoinSpec extends AnyFunSuite {
     expected.foreach { p => assert(found.contains(p), s"planted pair $p missed") }
   }
 
+  test("each candidate pair is emitted exactly once (no cross-table dupes)") {
+    // candidatePairs dropped its distinct() for first-colliding-table
+    // emission (FirstEqIdx); a regression there shows up as duplicate
+    // rows, which the Set-based equality test above would mask.
+    import spark.implicits._
+    val df = corpus(40, 11).toDF("id", "emb")
+    val cand = CosineLshJoin.candidatePairs(df, "id", "emb",
+      tables, planesPerTable, dim).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cand.length == cand.toSet.size,
+      s"${cand.length} rows but ${cand.toSet.size} distinct pairs")
+    assert(cand.nonEmpty)
+  }
+
+  test("adaptivePlanes: integer-exact ceil(log2(n/250)) clamped to [3,14]") {
+    val cases = Seq(1L -> 3, 500L -> 3, 501L -> 3, 2000L -> 3, 2001L -> 4,
+      4000L -> 4, 4001L -> 5, 20000L -> 7, 64000L -> 8, 64001L -> 9,
+      1000000L -> 12, 10000000L -> 14, 5000000000L -> 14)
+    cases.foreach { case (n, want) =>
+      assert(CosineLshJoin.adaptivePlanes(n) == want,
+        s"n=$n: got ${CosineLshJoin.adaptivePlanes(n)}, want $want")
+    }
+  }
+
   test("degenerate parameters are rejected") {
     import spark.implicits._
     val df = corpus(5, 1).toDF("id", "emb")
