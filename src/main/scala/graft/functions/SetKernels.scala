@@ -69,7 +69,72 @@ case class SortedOverlap(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** [[SortedOverlap]] over SORTED, DISTINCT long arrays — the same merge
+  * scan with primitive long compares in place of UTF8 byte compares.
+  *
+  * The verify joins attach each candidate pair's token arrays; hashing
+  * tokens to 8-byte longs (xxhash64) upstream cuts that shuffle to a
+  * fixed 8 B/token and turns the kernel's inner comparison into a single
+  * long compare. Overlap-on-hashes equals overlap-on-strings unless two
+  * DISTINCT tokens of a compared pair collide in 64 bits (P ≈ k²/2⁶⁵ per
+  * pair — negligible at any realistic per-document vocabulary), which the
+  * brute-force string-side oracle would catch as a hash mismatch. */
+case class SortedOverlapL(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_overlap_l"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (nx, ny) = (x.numElements(), y.numElements())
+    var i = 0
+    var j = 0
+    var ovl = 0L
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv == yv) { ovl += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    ovl
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      val ovl = ctx.freshName("ovl")
+      s"""
+         |int $nx = $x.numElements();
+         |int $ny = $y.numElements();
+         |int $i = 0; int $j = 0; long $ovl = 0L;
+         |while ($i < $nx && $j < $ny) {
+         |  long $xv = $x.getLong($i);
+         |  long $yv = $y.getLong($j);
+         |  if ($xv == $yv) { $ovl++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $ovl;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object SetKernels {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     RegisterOnce(spark, "sorted_overlap")(es => SortedOverlap(es(0), es(1)))
+    RegisterOnce(spark, "sorted_overlap_l")(es => SortedOverlapL(es(0), es(1)))
+  }
 }

@@ -46,13 +46,19 @@ object SetSimilarityJoin {
     val cand = rawCandidatePairs(ss, idCol, "_set", threshold)
     // Verify on the normalized sets, sorted ONCE per document so each
     // candidate pair's overlap is an allocation-free codegen merge scan
-    // (sorted_overlap) instead of a per-pair array_intersect hash set;
-    // |a∪b| = |a| + |b| − overlap, so no union array is materialized.
-    val sorted = ss.select(col(idCol), sort_array(col("_set")).as("_set"))
-    val a = sorted.select(col(idCol).as("id_a"), col("_set").as("toks_a"))
-    val b = sorted.select(col(idCol).as("id_b"), col("_set").as("toks_b"))
+    // instead of a per-pair array_intersect hash set; |a∪b| = |a| + |b| −
+    // overlap, so no union array is materialized. Tokens are pre-hashed to
+    // 64-bit longs (one xxhash64 per document token, BEFORE the arrays are
+    // attached to candidates), so the pair-stream joins shuffle a fixed
+    // 8 B/token instead of string payloads and the merge scan compares
+    // longs, not UTF8 bytes. |set| and overlap are hash-collision-exact up
+    // to a ~k²/2⁶⁵ per-pair collision the string-side oracle would expose.
+    val sorted = ss.select(col(idCol),
+      sort_array(transform(col("_set"), t => xxhash64(t))).as("_hset"))
+    val a = sorted.select(col(idCol).as("id_a"), col("_hset").as("toks_a"))
+    val b = sorted.select(col(idCol).as("id_b"), col("_hset").as("toks_b"))
     cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
-      .withColumn("__ovl", expr("sorted_overlap(toks_a, toks_b)"))
+      .withColumn("__ovl", expr("sorted_overlap_l(toks_a, toks_b)"))
       .withColumn("jaccard",
         col("__ovl").cast("double") /
           (size(col("toks_a")) + size(col("toks_b")) - col("__ovl")))
@@ -85,11 +91,13 @@ object SetSimilarityJoin {
     // Raw candidate stream + verified-output dedup, same reasoning as
     // [[jaccardJoin]] (measured multiplicity ~1.04 here).
     val cand = rawContainmentCandidates(ss, idCol, "_set", threshold)
-    val s2 = ss.select(col(idCol), sort_array(col("_set")).as("_set"))
+    // Hashed-long verify arrays, same trade as [[jaccardJoin]].
+    val s2 = ss.select(col(idCol),
+      sort_array(transform(col("_set"), t => xxhash64(t))).as("_hset"))
     cand
-      .join(s2.select(col(idCol).as("id_a"), col("_set").as("toks_a")), Seq("id_a"))
-      .join(s2.select(col(idCol).as("id_b"), col("_set").as("toks_b")), Seq("id_b"))
-      .withColumn("n_inter", expr("sorted_overlap(toks_a, toks_b)").cast("long"))
+      .join(s2.select(col(idCol).as("id_a"), col("_hset").as("toks_a")), Seq("id_a"))
+      .join(s2.select(col(idCol).as("id_b"), col("_hset").as("toks_b")), Seq("id_b"))
+      .withColumn("n_inter", expr("sorted_overlap_l(toks_a, toks_b)").cast("long"))
       .withColumn("n_a", size(col("toks_a")).cast("long"))
       .filter(col("n_inter").cast("double") >= col("n_a") * threshold - 1e-9)
       .select(col("id_a"), col("id_b"), col("n_inter"), col("n_a"))
