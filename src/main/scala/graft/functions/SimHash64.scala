@@ -18,7 +18,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * accumulates the 64 ±1 bit counters in a local int[], and emits the sign
   * bits — one traversal, zero allocation per element, whole-stage codegen:
   * the formulation the MinHashSig/MinHashBands kernels already proved out.
-  */
+  *
+  * NULL ELEMENTS ARE SKIPPED: a null word contributes nothing to any bit
+  * counter, as if absent. The replaced declarative formulation instead
+  * folded `xxhash64(NULL)` = the seed (42) into the counters — a phantom
+  * token per null. Skipping is the deliberate semantics (a null is not a
+  * word) and is pinned by SimHash64Spec; the registered session function
+  * keeps it for arbitrary SQL over null-bearing arrays. */
 case class SimHash64(child: Expression) extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))

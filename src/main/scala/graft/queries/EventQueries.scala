@@ -592,7 +592,12 @@ object EventQueries {
         unix_micros(col("ts")).as("us"))
       .withColumn("e2", lead(col("event_type"), 1).over(w))
       .withColumn("e3", lead(col("event_type"), 2).over(w))
-      .filter(col("e3").isNotNull)
+      // All three legs non-null: concat_ws silently DROPS null parts while
+      // the oracle's || propagates null, so a null event_type anywhere in
+      // the window would diverge the engines. The generated data has none,
+      // but the guard makes the semantics identical by construction.
+      .filter(col("event_type").isNotNull && col("e2").isNotNull &&
+        col("e3").isNotNull)
       .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("trigram"))
       .groupBy(col("trigram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("trigram")).limit(25)
@@ -605,7 +610,8 @@ object EventQueries {
       |  LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY us, event_id) AS e3
       | FROM o),
       |tg AS (SELECT event_type || '>' || e2 || '>' || e3 AS trigram
-      |       FROM seq WHERE e3 IS NOT NULL)
+      |       FROM seq WHERE event_type IS NOT NULL AND e2 IS NOT NULL
+      |         AND e3 IS NOT NULL)
       |SELECT trigram, COUNT(*) AS n FROM tg GROUP BY trigram
       |ORDER BY n DESC, trigram LIMIT 25""".stripMargin
 

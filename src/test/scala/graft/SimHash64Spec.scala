@@ -29,6 +29,20 @@ class SimHash64Spec extends AnyFunSuite {
     assert(both.select(col("fast")).distinct().count() > 100)
   }
 
+  test("null elements are skipped, not hashed as a phantom token") {
+    SimHash64.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq[String]("alpha", "beta")),
+      (2L, Seq[String]("alpha", null, "beta")),
+      (3L, Seq[String](null, null)))
+      .toDF("id", "ws").withColumn("sig", expr("simhash64(ws)"))
+    val sig = df.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // null-padded array == the same words without nulls; all-null == empty
+    assert(sig(1L) == sig(2L))
+    assert(sig(3L) == 0L)
+  }
+
   test("empty and single-word arrays are well-defined") {
     SimHash64.register(spark)
     import spark.implicits._
