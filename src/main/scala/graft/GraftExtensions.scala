@@ -77,6 +77,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("sorted_overlap",
         "sorted_overlap(a, b) - intersection size of two sorted distinct string arrays"),
       (es: Seq[Expression]) => SortedOverlap(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("sorted_overlap_l"),
+      info("sorted_overlap_l",
+        "sorted_overlap_l(a, b) - intersection size of two sorted distinct bigint arrays"),
+      (es: Seq[Expression]) => SortedOverlapL(es(0), es(1))))
     ext.injectFunction((FunctionIdentifier("misra_gries"),
       info("misra_gries", "misra_gries(col, k) - Misra-Gries heavy-hitter candidate set"),
       ((es: Seq[Expression]) =>
