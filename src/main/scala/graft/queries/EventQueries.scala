@@ -460,6 +460,39 @@ object EventQueries {
       | CAST(COUNT(*) AS BIGINT) AS n
       |FROM o GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q129
+  /** GLOBAL exact quantiles WITHOUT a sort — the scale twin of q81. q81's
+    * per-group window sort is honest when groups are bounded; a global
+    * quantile through that shape would be `ROW_NUMBER() OVER ()` — one
+    * task owning every row. [[graft.operators.HistogramQuantiles]] instead
+    * refines per-rank intervals with B-bucket counting scans: ≤4 passes at
+    * cents range, each map-side-combined to ≤3·1024 count cells, no
+    * range-exchange, no skew sensitivity — the formulation that survives
+    * 100 TB. Same multiset rank arithmetic as q81 ((n+3)/4 etc.), so the
+    * oracle is q81's ROW_NUMBER selection without the PARTITION BY. */
+  private val q129: Q = (s, d) => {
+    import s.implicits._
+    val cents = Tables.events(s, d)
+      .select((money(col("value")) * 100).cast("long").as("cents"))
+    val n = cents.count()
+    val ranks = Seq((n + 3) / 4, (n + 1) / 2, (3 * n + 3) / 4)
+    val qs = graft.operators.HistogramQuantiles
+      .orderStatistics(cents, "cents", ranks)
+    Seq((qs(0) / 100.0, qs(1) / 100.0, qs(2) / 100.0, n))
+      .toDF("p25", "p50", "p75", "n")
+  }
+
+  private val q129Sql =
+    """WITH e AS (SELECT CAST(CAST(value AS DECIMAL(15,2)) * 100 AS BIGINT) AS cents FROM events),
+      |o AS (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn,
+      |             COUNT(*) OVER () AS n FROM e)
+      |SELECT
+      | CAST(MIN(CASE WHEN rn = (n + 3) // 4 THEN cents END) AS DOUBLE) / 100 AS p25,
+      | CAST(MIN(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS DOUBLE) / 100 AS p50,
+      | CAST(MIN(CASE WHEN rn = (3 * n + 3) // 4 THEN cents END) AS DOUBLE) / 100 AS p75,
+      | CAST(COUNT(*) AS BIGINT) AS n
+      |FROM o""".stripMargin
+
   // ---------------------------------------------------------------- q82
   /** Unpivot (wide → long): the inverse of q22's pivot via the native
     * `unpivot` operator — a row generator, no shuffle beyond the upstream
@@ -617,6 +650,7 @@ object EventQueries {
 
   val queries: Map[String, Q] = Map(
     "q128_event_trigram_funnel" -> q128,
+    "q129_quantiles_histogram" -> q129,
     "q22_pivot_event_counts" -> q22,
     "q75_exact_moment_stats" -> q75,
     "q80_range_frame_trailing" -> q80,
@@ -640,6 +674,7 @@ object EventQueries {
 
   val oracle: Map[String, String] = Map(
     "q128_event_trigram_funnel" -> q128Sql,
+    "q129_quantiles_histogram" -> q129Sql,
     "q22_pivot_event_counts" -> q22Sql,
     "q75_exact_moment_stats" -> q75Sql,
     "q80_range_frame_trailing" -> q80Sql,

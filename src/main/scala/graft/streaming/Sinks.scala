@@ -138,11 +138,44 @@ object Sinks {
     obs.get("n").asInstanceOf[Long]
   }
 
-  /** One simulated bulk round-trip: given a chunk's doc `_id`s, return the
-    * subset that FAILED this attempt (the per-document rejections a real
-    * bulk response itemizes, e.g. 429s). Must be serializable — it runs on
-    * executors. */
-  type BulkTransport = Seq[String] => Seq[String]
+  /** The OpenSearch HTTP boundary: one bulk round-trip. Given a chunk's doc
+    * `_id`s, return the subset that FAILED this attempt (the per-document
+    * rejections a real bulk response itemizes, e.g. 429s). A real deployment
+    * implements this with an HTTP bulk client built from the
+    * [[writeTransportMeta]] kwargs (lambda_function.py:61-74,84); this
+    * harness plugs in simulators / fault injectors. SAM trait so existing
+    * `ids => …` literals convert unchanged; extends Serializable because the
+    * transport runs inside executor tasks (foreachPartition — the same place
+    * a real per-partition HTTP client would live). */
+  trait BulkTransport extends Serializable {
+    def apply(ids: Seq[String]): Seq[String]
+  }
+
+  /** A bulk transport that accepts every document — the happy-path simulator
+    * (a real cluster with no rejections is observationally identical). */
+  val acceptAllBulk: BulkTransport = (_: Seq[String]) => Seq.empty
+
+  /** The Splunk HEC HTTP boundary: one POST of ≤maxBatchSize envelope lines
+    * (lambda_function.py:90-102: `requests.post(hec_url, …, timeout=12)`).
+    * Throwing signals transport failure → the caller drops the chunk and
+    * continues (at-most-once per post, reference returns 0 and moves on).
+    * `partitionId`/`chunkNo` identify the post within the batch so an
+    * implementation can name artifacts or tag telemetry deterministically.
+    * Runs on executors — implementations must be Serializable. */
+  trait HecTransport extends Serializable {
+    def post(partitionId: Int, chunkNo: Int, lines: Seq[String]): Unit
+  }
+
+  /** HEC simulator: one POST = one JSON-lines file under `dir`, named by
+    * (postTag, partition, chunk) so redelivered micro-batches overwrite
+    * their own posts instead of duplicating them. */
+  final case class JsonlFileHec(dir: String, postTag: String) extends HecTransport {
+    override def post(partitionId: Int, chunkNo: Int, lines: Seq[String]): Unit = {
+      val path = Paths.get(dir, f"post-$postTag-$partitionId%05d-$chunkNo%05d.jsonl")
+      Files.write(path, lines.mkString("\n").getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    }
+  }
 
   /** OpenSearch bulk upsert with PER-DOCUMENT partial-failure + retry
     * semantics (lambda_function.py:84-86: `helpers.bulk(client, actions,
@@ -226,17 +259,21 @@ object Sinks {
       m: SinkMetrics, maxBatchSize: Int = 500,
       postTag: String = java.util.UUID.randomUUID().toString.take(8)): Unit = {
     Files.createDirectories(Paths.get(dir))
+    writeSplunkVia(lines, JsonlFileHec(dir, postTag), m, maxBatchSize)
+  }
+
+  /** Delivery semantics over any [[HecTransport]] — the chunking, counters,
+    * and at-most-once drop-on-failure are transport-independent; only the
+    * POST itself is behind the trait. */
+  def writeSplunkVia(lines: DataFrame, transport: HecTransport,
+      m: SinkMetrics, maxBatchSize: Int = 500): Unit = {
     lines.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       val pid = TaskContext.getPartitionId()
       var chunkNo = 0
       it.map(_.getString(0)).grouped(maxBatchSize).foreach { chunk =>
         m.splunkTotal.add(chunk.size)
         try {
-          // stands in for requests.post(hec_url, json=chunk, timeout=12);
-          // postTag keeps posts from different micro-batches distinct
-          val path = Paths.get(dir, f"post-$postTag-$pid%05d-$chunkNo%05d.jsonl")
-          Files.write(path, chunk.mkString("\n").getBytes(StandardCharsets.UTF_8),
-            StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+          transport.post(pid, chunkNo, chunk)
           m.splunkSuccess.add(chunk.size)
         } catch {
           case e: Exception =>
