@@ -38,6 +38,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("dot_l"),
       info("dot_l", "dot_l(a, b) - exact dot product of two array<bigint> vectors"),
       (es: Seq[Expression]) => DotProductL(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("absmax_f"),
+      info("absmax_f", "absmax_f(a) - largest |component| of an array<float> vector"),
+      (es: Seq[Expression]) => AbsMaxF(es.head)))
+    ext.injectFunction((FunctionIdentifier("int8_err_nanos"),
+      info("int8_err_nanos",
+        "int8_err_nanos(a) - total symmetric-int8 round-trip error in integer nanounits"),
+      (es: Seq[Expression]) => Int8ErrNanos(es.head)))
     ext.injectFunction((FunctionIdentifier("bloom_filter_agg"),
       info("bloom_filter_agg",
         "bloom_filter_agg(xxhash64(col), est) - Bloom filter over a column's hashes"),

@@ -380,6 +380,130 @@ case class FirstEqIdx(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Largest |component| of a float vector as double — the symmetric-int8
+  * quantization scale. A plain MAX of ABS: order-free, so any engine
+  * computing it over the same elements agrees exactly. Empty vector → 0. */
+case class AbsMaxF(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "absmax_f"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var m = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(x.getFloat(i).toDouble)
+      if (v > m) m = v
+      i += 1
+    }
+    m
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val i = ctx.freshName("i")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $x.numElements();
+         |double $m = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = java.lang.Math.abs((double) $x.getFloat($i));
+         |  if ($v > $m) $m = $v;
+         |}
+         |${ev.value} = $m;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Total symmetric-int8 round-trip error of a float vector, in INTEGER
+  * nanounits — the storage-compression audit kernel (4× memory cut for a
+  * 100 TB embedding store; this measures what it costs).
+  *
+  * Per element: quantize q = ⌊x·127/s + 0.5⌋ against the vector's absmax
+  * scale s, dequantize q·s/127, take |x − dq|, and CONVERT EACH ELEMENT'S
+  * ERROR TO A LONG (⌊e·10⁹ + 0.5⌋) BEFORE summing — integer addition is
+  * order-free, so per-label aggregates of this value are engine-exact with
+  * no round() safety net on the sum (only the final mean divides). Every
+  * double op (cast, ·127, /s, floor, ·s, /127, −, abs) is an IEEE
+  * operation an oracle replays verbatim; ⌊·+0.5⌋ is used instead of
+  * round() because engines disagree on half-even vs half-away ties while
+  * floor is bit-deterministic. All-zero vector → 0 (nothing to quantize).
+  */
+case class Int8ErrNanos(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "int8_err_nanos"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(x.getFloat(i).toDouble)
+      if (v > s) s = v
+      i += 1
+    }
+    if (s == 0.0) 0L
+    else {
+      var acc = 0L
+      i = 0
+      while (i < n) {
+        val xd = x.getFloat(i).toDouble
+        val q = math.floor(xd * 127.0 / s + 0.5)
+        val e = math.abs(xd - q * s / 127.0)
+        acc += math.floor(e * 1e9 + 0.5).toLong
+        i += 1
+      }
+      acc
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val v = ctx.freshName("v")
+      val acc = ctx.freshName("acc")
+      val xd = ctx.freshName("xd")
+      val q = ctx.freshName("q")
+      val e = ctx.freshName("e")
+      s"""
+         |int $n = $x.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = java.lang.Math.abs((double) $x.getFloat($i));
+         |  if ($v > $s) $s = $v;
+         |}
+         |long $acc = 0L;
+         |if ($s != 0.0) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xd = (double) $x.getFloat($i);
+         |    double $q = java.lang.Math.floor($xd * 127.0 / $s + 0.5);
+         |    double $e = java.lang.Math.abs($xd - $q * $s / 127.0);
+         |    $acc += (long) java.lang.Math.floor($e * 1e9 + 0.5);
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorOps {
 
   /** Register `dot_f` / `l2norm_f` in the session's function registry so they
@@ -390,6 +514,8 @@ object VectorOps {
     RegisterOnce(spark, "l2dist2_f")(es => L2Dist2F(es(0), es(1)))
     RegisterOnce(spark, "l2dist2_l")(es => L2Dist2L(es(0), es(1)))
     RegisterOnce(spark, "dot_l")(es => DotProductL(es(0), es(1)))
+    RegisterOnce(spark, "absmax_f")(es => AbsMaxF(es.head))
+    RegisterOnce(spark, "int8_err_nanos")(es => Int8ErrNanos(es.head))
   }
 
   /** Dot product of two array<float> columns (codegen'd). */

@@ -493,6 +493,107 @@ object EventQueries {
       | CAST(COUNT(*) AS BIGINT) AS n
       |FROM o""".stripMargin
 
+  // ---------------------------------------------------------------- q130
+  /** Last-touch attribution: every purchase is attributed to the user's
+    * most recent PRECEDING click within a 1-hour window. The "most recent
+    * preceding" is a running MAX over a rows-frame ending 1 PRECEDING in
+    * the (us, event_id) total order — the same per-user bounded-partition
+    * window family as q128, never a join back onto the events table (an
+    * event-to-event as-of join would shuffle the corpus twice; the window
+    * pays one user-keyed exchange). Delay stays in integer microseconds
+    * until the final per-day mean, so aggregates are engine-exact. */
+  private val q130: Q = (s, d) => {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts"), unix_micros(col("ts")).as("us"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    e.withColumn("last_click_us",
+        max(when(col("event_type") === "click", col("us"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("delay_us", col("us") - col("last_click_us"))
+      .withColumn("attr",
+        (col("delay_us").isNotNull && col("delay_us") <= 3600L * 1000000L).cast("long"))
+      .groupBy(to_date(col("ts")).cast("string").as("day"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("attr")).as("n_attributed"),
+        round(sum(when(col("attr") === 1, col("delay_us"))).cast("double")
+          / sum(col("attr")) / 1e6, 4).as("avg_delay_s"))
+      .orderBy(col("day"))
+  }
+
+  private val q130Sql =
+    """WITH e AS (SELECT user_id, event_id, event_type, ts, epoch_us(ts) AS us FROM events),
+      |a AS (SELECT event_type, ts, us,
+      |   MAX(CASE WHEN event_type = 'click' THEN us END) OVER (
+      |     PARTITION BY user_id ORDER BY us, event_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_us
+      |  FROM e),
+      |p AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+      |        us - last_click_us AS delay_us,
+      |        CASE WHEN last_click_us IS NOT NULL
+      |             AND us - last_click_us <= 3600000000 THEN 1 ELSE 0 END AS attr
+      |      FROM a WHERE event_type = 'purchase')
+      |SELECT day, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+      | CAST(SUM(attr) AS BIGINT) AS n_attributed,
+      | ROUND(CAST(SUM(CASE WHEN attr = 1 THEN delay_us END) AS DOUBLE)
+      |   / SUM(attr) / 1e6, 4) AS avg_delay_s
+      |FROM p GROUP BY day ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------------------- q132
+  /** Ordered funnel conversion view → click → purchase: a user converts a
+    * step only by an event STRICTLY LATER (in microseconds) than their
+    * entry into the previous step. Three chained full-partition windows
+    * compute the per-user step times over ONE user-keyed exchange (each
+    * MIN(CASE) window reuses the partitioning of the previous — no join
+    * per step, which is how funnel queries degenerate at scale); ties at
+    * the same microsecond deliberately do not chain (documented strict
+    * order, identical in both engines). Output is the one-row step-count /
+    * conversion-rate summary. */
+  private val q132: Q = (s, d) => {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val w = Window.partitionBy(col("user_id"))
+    val staged = e
+      .withColumn("t1", min(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn("t2", min(when(col("event_type") === "click" &&
+        col("us") > col("t1"), col("us"))).over(w))
+      .withColumn("t3", min(when(col("event_type") === "purchase" &&
+        col("us") > col("t2"), col("us"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"), min(col("t3")).as("t3"))
+    staged.agg(count(lit(1)).as("n_users"),
+        sum(col("t1").isNotNull.cast("long")).as("viewed"),
+        sum(col("t2").isNotNull.cast("long")).as("clicked"),
+        sum(col("t3").isNotNull.cast("long")).as("purchased"))
+      .select(col("n_users"), col("viewed"), col("clicked"), col("purchased"),
+        round(col("clicked").cast("double") / col("viewed"), 4).as("conv_view_click"),
+        round(col("purchased").cast("double") / col("clicked"), 4).as("conv_click_purchase"))
+  }
+
+  private val q132Sql =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |s1 AS (SELECT user_id, us, event_type,
+      |   MIN(CASE WHEN event_type = 'view' THEN us END)
+      |     OVER (PARTITION BY user_id) AS t1 FROM e),
+      |s2 AS (SELECT user_id, us, event_type, t1,
+      |   MIN(CASE WHEN event_type = 'click' AND us > t1 THEN us END)
+      |     OVER (PARTITION BY user_id) AS t2 FROM s1),
+      |s3 AS (SELECT user_id, t1, t2,
+      |   MIN(CASE WHEN event_type = 'purchase' AND us > t2 THEN us END)
+      |     OVER (PARTITION BY user_id) AS t3 FROM s2),
+      |u AS (SELECT user_id, MIN(t1) AS t1, MIN(t2) AS t2, MIN(t3) AS t3
+      |      FROM s3 GROUP BY user_id),
+      |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(SUM(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS viewed,
+      |  CAST(SUM(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS clicked,
+      |  CAST(SUM(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS purchased
+      | FROM u)
+      |SELECT n_users, viewed, clicked, purchased,
+      | ROUND(CAST(clicked AS DOUBLE) / viewed, 4) AS conv_view_click,
+      | ROUND(CAST(purchased AS DOUBLE) / clicked, 4) AS conv_click_purchase
+      |FROM g""".stripMargin
+
   // ---------------------------------------------------------------- q82
   /** Unpivot (wide → long): the inverse of q22's pivot via the native
     * `unpivot` operator — a row generator, no shuffle beyond the upstream
@@ -651,6 +752,8 @@ object EventQueries {
   val queries: Map[String, Q] = Map(
     "q128_event_trigram_funnel" -> q128,
     "q129_quantiles_histogram" -> q129,
+    "q130_last_touch_attribution" -> q130,
+    "q132_funnel_conversion" -> q132,
     "q22_pivot_event_counts" -> q22,
     "q75_exact_moment_stats" -> q75,
     "q80_range_frame_trailing" -> q80,
@@ -675,6 +778,8 @@ object EventQueries {
   val oracle: Map[String, String] = Map(
     "q128_event_trigram_funnel" -> q128Sql,
     "q129_quantiles_histogram" -> q129Sql,
+    "q130_last_touch_attribution" -> q130Sql,
+    "q132_funnel_conversion" -> q132Sql,
     "q22_pivot_event_counts" -> q22Sql,
     "q75_exact_moment_stats" -> q75Sql,
     "q80_range_frame_trailing" -> q80Sql,

@@ -556,7 +556,57 @@ object SimilarityQueries {
       |FROM fwd f JOIN bwd w ON w.a_id = f.a_id AND w.b_id = f.b_id
       |ORDER BY f.a_id""".stripMargin
 
+  // ---------------------------------------------------------------- q131
+  /** Symmetric-int8 quantization audit: what a 4×-compressed embedding
+    * store costs in round-trip error, per label. The per-vector work is ONE
+    * codegen kernel call ([[graft.functions.Int8ErrNanos]]): absmax scale,
+    * quantize ⌊x·127/s+0.5⌋, dequantize, |x−x̂| — with every element's
+    * error converted to INTEGER nanounits before any summation, so the
+    * label aggregate is order-free exact long addition (no float-sum
+    * round() dance) on both engines; only the final mean divides. Map-only
+    * + one bounded-key hash agg: at 100 TB the scan is the whole cost, and
+    * the audit rides the same scan that would write the quantized copies.
+    * The oracle replays the identical IEEE chain over UNNEST. */
+  private val q131: Q = (s, d) => {
+    VectorOps.register(s)
+    Tables.embeddings(s, d)
+      .select(col("label"),
+        expr("int8_err_nanos(embedding)").as("err_nanos"),
+        floor(expr("absmax_f(embedding)") * lit(1e9) + lit(0.5)).cast("long").as("scale_nanos"),
+        size(col("embedding")).cast("long").as("dim"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("err_nanos")).cast("long").as("tot_err_nanos"),
+        round(sum(col("err_nanos")).cast("double") / sum(col("dim")) / 1e9, 6)
+          .as("mean_abs_err"),
+        round(sum(col("scale_nanos")).cast("double") / count(lit(1)) / 1e9, 6)
+          .as("avg_scale"))
+      .orderBy(col("label"))
+  }
+
+  private val q131Sql =
+    """WITH u AS (SELECT vec_id, label, UNNEST(embedding) AS x FROM embeddings),
+      |s AS (SELECT vec_id, MAX(ABS(CAST(x AS DOUBLE))) AS scale FROM u GROUP BY vec_id),
+      |e AS (SELECT u.vec_id,
+      |   CASE WHEN s.scale = 0 THEN 0 ELSE
+      |     CAST(FLOOR(ABS(CAST(u.x AS DOUBLE)
+      |       - FLOOR(CAST(u.x AS DOUBLE) * 127.0 / s.scale + 0.5) * s.scale / 127.0)
+      |       * 1e9 + 0.5) AS BIGINT) END AS nanos
+      |  FROM u JOIN s USING (vec_id)),
+      |v AS (SELECT vec_id, CAST(SUM(nanos) AS BIGINT) AS err_nanos,
+      |             CAST(COUNT(*) AS BIGINT) AS dim
+      |      FROM e GROUP BY vec_id)
+      |SELECT em.label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      | CAST(SUM(v.err_nanos) AS BIGINT) AS tot_err_nanos,
+      | ROUND(CAST(SUM(v.err_nanos) AS DOUBLE) / SUM(v.dim) / 1e9, 6) AS mean_abs_err,
+      | ROUND(SUM(CAST(FLOOR(s.scale * 1e9 + 0.5) AS BIGINT)) / CAST(COUNT(*) AS DOUBLE) / 1e9, 6) AS avg_scale
+      |FROM embeddings em
+      | JOIN s ON s.vec_id = em.vec_id
+      | JOIN v ON v.vec_id = em.vec_id
+      |GROUP BY em.label ORDER BY em.label""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q131_int8_quant_audit" -> q131,
     "q125_mutual_nn_pairs" -> q125,
     "q114_source_centroid_matrix" -> q114,
     "q111_ann_filtered" -> q111,
@@ -571,6 +621,7 @@ object SimilarityQueries {
     "q108_semdedup" -> q108)
 
   val oracle: Map[String, String] = Map(
+    "q131_int8_quant_audit" -> q131Sql,
     "q125_mutual_nn_pairs" -> q125Sql,
     "q114_source_centroid_matrix" -> q114Sql,
     "q111_ann_filtered" -> q111Sql,
