@@ -92,6 +92,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("misra_gries", "misra_gries(col, k) - Misra-Gries heavy-hitter candidate set"),
       ((es: Seq[Expression]) =>
         MisraGriesAgg(es(0), intLit(es(1))).toAggregateExpression())))
+    ext.injectFunction((FunctionIdentifier("topk_pair"),
+      info("topk_pair",
+        "topk_pair(value, id, k) - k largest (value, id) pairs, bounded O(k) state"),
+      ((es: Seq[Expression]) =>
+        TopKPairsAgg(es(0), es(1), intLit(es(2))).toAggregateExpression())))
     ext.injectFunction((FunctionIdentifier("nfc_normalize"),
       info("nfc_normalize", "nfc_normalize(text) - Unicode canonical composition (NFC)"),
       (es: Seq[Expression]) => NfcNormalize(es.head)))

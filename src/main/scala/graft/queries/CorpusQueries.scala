@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-preparation operators a large-scale training-data pipeline needs
@@ -678,7 +679,122 @@ object CorpusQueries {
       | md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos)) AS ids_md5
       |FROM ids GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q133
+  /** Aggressive-normalization ("fuzzy exact") dedup: documents are
+    * canonicalized — lowercase, strip non-alphanumerics, collapse runs of
+    * spaces, trim — before fingerprinting, so case/punctuation/whitespace
+    * variants of one document collapse to a single md5 where byte-exact
+    * dedup (q35) keeps them all. The corpus has no such variants, so they
+    * are synthesized DETERMINISTICALLY per doc_id (upper-case every 3rd
+    * doc, punctuation tail every 4th, doubled spaces every 5th) and the
+    * oracle replays the identical mutation + normalization chain; exact
+    * duplicates planted in the corpus land in different mutation classes,
+    * so n_norm_distinct < n_exact_distinct by construction — the operator
+    * provably catches what q35 misses. Everything downstream of the
+    * per-row normalization travels as md5, never text (the q35 posture):
+    * two hash aggregates plus one keeper-sized join, linear at 100 TB.
+    * Keeper = min doc_id per normalized group, extracted in the same agg
+    * as a struct MIN — no per-group window. */
+  private val q133: Q = (s, d) => {
+    val n = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"))
+      .withColumn("m", when(col("doc_id") % 3 === 0, upper(col("text")))
+        .otherwise(col("text")))
+      .withColumn("m", when(col("doc_id") % 4 === 0, concat(col("m"), lit(" !!!")))
+        .otherwise(col("m")))
+      .withColumn("m", when(col("doc_id") % 5 === 0, expr("replace(m, ' ', '  ')"))
+        .otherwise(col("m")))
+      .select(col("doc_id"), col("source"), md5(col("m")).as("exact_fp"),
+        md5(trim(regexp_replace(regexp_replace(lower(col("m")),
+          "[^a-z0-9 ]", ""), " +", " "))).as("norm_fp"))
+    val perSource = n.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("exact_fp")).as("n_exact_distinct"),
+      countDistinct(col("norm_fp")).as("n_norm_distinct"))
+    val kept = n.groupBy(col("norm_fp"))
+      .agg(min(struct(col("doc_id"), col("source"))).as("k"))
+      .groupBy(col("k.source").as("source"))
+      .agg(count(lit(1)).as("kept_n"))
+    perSource.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_exact_distinct"),
+        col("n_norm_distinct"), coalesce(col("kept_n"), lit(0L)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
+  private val q133Sql =
+    """WITH a AS (SELECT doc_id, source,
+      |  CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END AS m FROM documents),
+      |b AS (SELECT doc_id, source,
+      |  CASE WHEN doc_id % 4 = 0 THEN m || ' !!!' ELSE m END AS m FROM a),
+      |c AS (SELECT doc_id, source,
+      |  CASE WHEN doc_id % 5 = 0 THEN replace(m, ' ', '  ') ELSE m END AS m FROM b),
+      |n AS (SELECT doc_id, source, md5(m) AS exact_fp,
+      |  md5(trim(regexp_replace(regexp_replace(lower(m), '[^a-z0-9 ]', '', 'g'),
+      |           ' +', ' ', 'g'))) AS norm_fp FROM c),
+      |p AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(DISTINCT exact_fp) AS BIGINT) AS n_exact_distinct,
+      |  CAST(COUNT(DISTINCT norm_fp) AS BIGINT) AS n_norm_distinct
+      | FROM n GROUP BY source),
+      |k AS (SELECT norm_fp, MIN(doc_id) AS keeper FROM n GROUP BY norm_fp),
+      |ks AS (SELECT n.source, COUNT(*) AS kept_n
+      |       FROM k JOIN n ON n.doc_id = k.keeper GROUP BY n.source)
+      |SELECT p.source, n_docs, n_exact_distinct, n_norm_distinct,
+      | CAST(COALESCE(ks.kept_n, 0) AS BIGINT) AS n_kept
+      |FROM p LEFT JOIN ks ON ks.source = p.source ORDER BY p.source""".stripMargin
+
+  // ---------------------------------------------------------------- q135
+  /** Per-language calibrated quality filtering (the CCNet discipline):
+    * a single global quality cutoff over a multilingual corpus filters
+    * low-resource languages unfairly, so the cutoff is derived PER
+    * LANGUAGE — here the 20th-percentile type-token ratio (integer ppm,
+    * engine-exact) as an exact order statistic. Per-language ranks use
+    * the q81 bounded-group window at test SF; for unbounded per-language
+    * volumes the cutoff derivation swaps to the q129 histogram-refinement
+    * operator per group (same rank arithmetic, no sort) while the census
+    * below it is unchanged — one scored scan, a 5-row broadcast of
+    * cutoffs, one bounded-key agg. */
+  private val q135: Q = (s, d) => {
+    val sc = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
+      .select(col("doc_id"), col("lang"),
+        expr("CAST(CAST(size(array_distinct(toks)) AS BIGINT) * 1000000 div size(toks) AS BIGINT)")
+          .as("ttr_ppm"))
+    val w = Window.partitionBy(col("lang"))
+    val r = sc
+      .withColumn("rn", row_number().over(w.orderBy(col("ttr_ppm"), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(w))
+    val cutoffs = r.filter(col("rn") === expr("(n + 4) div 5"))
+      .select(col("lang"), col("ttr_ppm").as("cutoff_ppm"))
+    sc.join(broadcast(cutoffs), Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("cutoff_ppm")).as("cutoff_ppm"),
+        sum((col("ttr_ppm") >= col("cutoff_ppm")).cast("long")).as("n_kept"))
+      .select(col("lang"), col("n_docs"), col("cutoff_ppm"), col("n_kept"),
+        round(col("n_kept").cast("double") / col("n_docs"), 4).as("kept_frac"))
+      .orderBy(col("lang"))
+  }
+
+  private val q135Sql =
+    """WITH sc AS (SELECT doc_id, lang,
+      |  CAST(CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT)
+      |       * 1000000 // len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS ttr_ppm
+      | FROM documents),
+      |r AS (SELECT lang, doc_id, ttr_ppm,
+      |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY ttr_ppm, doc_id) AS rn,
+      |  COUNT(*) OVER (PARTITION BY lang) AS n FROM sc),
+      |c AS (SELECT lang, ttr_ppm AS cutoff_ppm FROM r WHERE rn = (n + 4) // 5)
+      |SELECT sc.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      | MIN(cutoff_ppm) AS cutoff_ppm,
+      | CAST(SUM(CASE WHEN ttr_ppm >= cutoff_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      | ROUND(CAST(SUM(CASE WHEN ttr_ppm >= cutoff_ppm THEN 1 ELSE 0 END) AS DOUBLE)
+      |       / COUNT(*), 4) AS kept_frac
+      |FROM sc JOIN c ON c.lang = sc.lang GROUP BY sc.lang ORDER BY sc.lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q133_normalized_dedup" -> q133,
+    "q135_perlang_quality_cutoff" -> q135,
     "q127_vocab_encode" -> q127,
     "q124_dsir_importance" -> q124,
     "q120_token_chunking" -> q120,
@@ -695,6 +811,8 @@ object CorpusQueries {
     "q100_substring_windows" -> q100)
 
   val oracle: Map[String, String] = Map(
+    "q133_normalized_dedup" -> q133Sql,
+    "q135_perlang_quality_cutoff" -> q135Sql,
     "q127_vocab_encode" -> q127Sql,
     "q124_dsir_importance" -> q124Sql,
     "q120_token_chunking" -> q120Sql,

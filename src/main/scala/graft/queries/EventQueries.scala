@@ -594,6 +594,120 @@ object EventQueries {
       | ROUND(CAST(purchased AS DOUBLE) / clicked, 4) AS conv_click_purchase
       |FROM g""".stripMargin
 
+  // ---------------------------------------------------------------- q134
+  /** Cohort retention matrix: users are cohorted by their FIRST activity
+    * day; each (cohort, week-offset) cell counts distinct users active
+    * that week, with retention relative to the cohort's week-0 size. The
+    * first-day derivation is a per-user window MIN (bounded partitions,
+    * ONE user-keyed exchange — never a groupBy + join back onto the
+    * corpus, which would shuffle the events twice); the matrix aggregate
+    * has bounded keys (days × weeks), and the week-0 denominator is a
+    * window over the already-tiny matrix. */
+  private val q134: Q = (s, d) => {
+    val wUser = Window.partitionBy(col("user_id"))
+    val cells = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .withColumn("cohort", min(col("day")).over(wUser))
+      .withColumn("week_off", (datediff(col("day"), col("cohort")) / 7).cast("long"))
+      .groupBy(col("cohort").cast("string").as("cohort"), col("week_off"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+    cells
+      .withColumn("size0", max(when(col("week_off") === 0, col("n_active")))
+        .over(Window.partitionBy(col("cohort"))))
+      .select(col("cohort"), col("week_off"), col("n_active"),
+        round(col("n_active").cast("double") / col("size0"), 4).as("retention"))
+      .orderBy(col("cohort"), col("week_off"))
+  }
+
+  private val q134Sql =
+    """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      |f AS (SELECT user_id, day, MIN(day) OVER (PARTITION BY user_id) AS cohort FROM e),
+      |g AS (SELECT CAST(cohort AS VARCHAR) AS cohort,
+      |             CAST(datediff('day', cohort, day) // 7 AS BIGINT) AS week_off,
+      |             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+      |      FROM f GROUP BY 1, 2),
+      |r AS (SELECT cohort, week_off, n_active,
+      |             MAX(CASE WHEN week_off = 0 THEN n_active END)
+      |               OVER (PARTITION BY cohort) AS size0 FROM g)
+      |SELECT cohort, week_off, n_active,
+      | ROUND(CAST(n_active AS DOUBLE) / size0, 4) AS retention
+      |FROM r ORDER BY cohort, week_off""".stripMargin
+
+  // ---------------------------------------------------------------- q136
+  /** Gaps-and-islands sessionization: a session breaks when a user is idle
+    * > 30 minutes — lag() finds the gap, a running SUM of break flags
+    * numbers the sessions, all inside ONE user-keyed window exchange
+    * (bounded partitions). The batch twin of q25's `session_window` built
+    * from first principles; unlike session_window it exposes the session
+    * id for downstream joins. Output is the session-size histogram:
+    * (events-per-session → session count, mean duration). */
+  private val q136: Q = (s, d) => {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(wOrd))
+      .withColumn("is_new", (col("prev_us").isNull ||
+        col("us") - col("prev_us") > 1800L * 1000000L).cast("long"))
+      .withColumn("sid", sum(col("is_new"))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n_events"), (max(col("us")) - min(col("us"))).as("dur_us"))
+      .groupBy(col("n_events"))
+      .agg(count(lit(1)).as("n_sessions"),
+        round(sum(col("dur_us")).cast("double") / count(lit(1)) / 1e6, 4).as("avg_dur_s"))
+      .orderBy(col("n_events"))
+  }
+
+  private val q136Sql =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      |l AS (SELECT user_id, event_id, us,
+      |   LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us FROM e),
+      |n AS (SELECT user_id, event_id, us,
+      |   CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new
+      |  FROM l),
+      |s AS (SELECT user_id, us,
+      |   SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM n),
+      |g AS (SELECT user_id, sid, COUNT(*) AS n_events, MAX(us) - MIN(us) AS dur_us
+      |      FROM s GROUP BY user_id, sid)
+      |SELECT CAST(n_events AS BIGINT) AS n_events,
+      | CAST(COUNT(*) AS BIGINT) AS n_sessions,
+      | ROUND(CAST(SUM(dur_us) AS DOUBLE) / COUNT(*) / 1e6, 4) AS avg_dur_s
+      |FROM g GROUP BY n_events ORDER BY n_events""".stripMargin
+
+  // ---------------------------------------------------------------- q139
+  /** Grouped top-k WITHOUT a window sort: per event type, the 3 largest
+    * single-event amounts via [[graft.functions.TopKPairsAgg]] — a
+    * `TypedImperativeAggregate` holding a bounded k-pair heap, so the
+    * query is one map-side-combinable hash aggregate (each input split
+    * sends ≤k survivors per group to the exchange). The stock
+    * `row_number()` formulation — the oracle — sorts every group's full
+    * contents after shuffling the corpus; at 100 TB this aggregate's
+    * exchange is KBs where the window's is the table. Ties break by
+    * event_id ASC inside the aggregate's total order, so the kept set is
+    * merge-order-invariant and the two engines agree exactly. */
+  private val q139: Q = (s, d) => {
+    graft.functions.TopKPairs.register(s)
+    Tables.events(s, d)
+      .select(col("event_type"), col("event_id"),
+        (money(col("value")) * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"))
+      .agg(expr("topk_pair(cents, event_id, 3)").as("top"))
+      .select(col("event_type"), posexplode(col("top")))
+      .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.v").as("cents"), col("col.id").as("event_id"))
+      .orderBy(col("event_type"), col("rank"))
+  }
+
+  private val q139Sql =
+    """WITH e AS (SELECT event_type, event_id,
+      |  CAST(CAST(value AS DECIMAL(15,2)) * 100 AS BIGINT) AS cents FROM events),
+      |r AS (SELECT event_type, event_id, cents,
+      |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents DESC, event_id) AS rank
+      | FROM e)
+      |SELECT event_type, CAST(rank AS BIGINT) AS rank, cents, event_id
+      |FROM r WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin
+
   // ---------------------------------------------------------------- q82
   /** Unpivot (wide → long): the inverse of q22's pivot via the native
     * `unpivot` operator — a row generator, no shuffle beyond the upstream
@@ -754,6 +868,9 @@ object EventQueries {
     "q129_quantiles_histogram" -> q129,
     "q130_last_touch_attribution" -> q130,
     "q132_funnel_conversion" -> q132,
+    "q134_cohort_retention" -> q134,
+    "q136_session_gaps_islands" -> q136,
+    "q139_grouped_topk" -> q139,
     "q22_pivot_event_counts" -> q22,
     "q75_exact_moment_stats" -> q75,
     "q80_range_frame_trailing" -> q80,
@@ -780,6 +897,9 @@ object EventQueries {
     "q129_quantiles_histogram" -> q129Sql,
     "q130_last_touch_attribution" -> q130Sql,
     "q132_funnel_conversion" -> q132Sql,
+    "q134_cohort_retention" -> q134Sql,
+    "q136_session_gaps_islands" -> q136Sql,
+    "q139_grouped_topk" -> q139Sql,
     "q22_pivot_event_counts" -> q22Sql,
     "q75_exact_moment_stats" -> q75Sql,
     "q80_range_frame_trailing" -> q80Sql,

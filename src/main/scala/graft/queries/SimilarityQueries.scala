@@ -605,7 +605,61 @@ object SimilarityQueries {
       | JOIN v ON v.vec_id = em.vec_id
       |GROUP BY em.label ORDER BY em.label""".stripMargin
 
+  // ---------------------------------------------------------------- q137
+  /** Nearest-class-centroid pseudo-labeling (the Rocchio classifier shape
+    * that scales): class centroids are fit from a 10% seed subset
+    * (vec_id % 10 = 0 — deterministic, resumable), every remaining vector
+    * is assigned the label of its nearest centroid, and the output is the
+    * confusion matrix of true × assigned labels — the audit a
+    * classifier-filtered corpus build (quality/language/domain routing)
+    * runs before trusting propagated labels. Exactness: the
+    * [[KMeansLloyd]] ×10⁴ integer quantization, truncating integer
+    * centroid means, and `l2dist2_l` exact squared distances; argmin
+    * tie-breaks on the smaller label via a struct MIN in a hash aggregate
+    * (never a per-vector window sort). Scale shape: the L-row centroid
+    * table is collected local + broadcast, assignment is one map-side
+    * scored scan + one bounded-key agg — the corpus is never self-joined
+    * and never shuffled by vector. */
+  private val q137: Q = (s, d) => {
+    VectorOps.register(s)
+    val q = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        KMeansLloyd.quantize("embedding").as("qvec"))
+    val cent = KMeansLloyd.localize(
+      KMeansLloyd.intMeanCentroids(
+        q.filter(col("vec_id") % 10 === 0), Seq("label"), "qvec")
+        .select(col("label").as("clabel"), col("centroid")))
+    q.filter(col("vec_id") % 10 =!= 0)
+      .crossJoin(broadcast(cent))
+      .withColumn("d2", expr("l2dist2_l(qvec, centroid)"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(min(struct(col("d2"), col("clabel"))).as("m"))
+      .groupBy(col("label"), col("m.clabel").as("assigned"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("label"), col("assigned"))
+  }
+
+  private val q137Sql =
+    """WITH q AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)) AS qvec
+      |  FROM embeddings),
+      |sd AS (SELECT * FROM q WHERE vec_id % 10 = 0),
+      |u AS (SELECT label, generate_subscripts(qvec, 1) AS pos, UNNEST(qvec) AS v FROM sd),
+      |cm AS (SELECT label, pos, SUM(v) // COUNT(*) AS m FROM u GROUP BY label, pos),
+      |cent AS (SELECT label AS clabel, list(CAST(m AS BIGINT) ORDER BY pos) AS centroid
+      |         FROM cm GROUP BY label),
+      |r AS (SELECT q.vec_id, q.label, c.clabel,
+      |    (SELECT SUM((x - y) * (x - y))
+      |     FROM (SELECT UNNEST(q.qvec) AS x, UNNEST(c.centroid) AS y)) AS d2
+      |  FROM q CROSS JOIN cent c WHERE q.vec_id % 10 <> 0),
+      |a AS (SELECT vec_id, label, clabel,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn FROM r)
+      |SELECT label, clabel AS assigned, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM a WHERE rn = 1 GROUP BY label, clabel ORDER BY label, assigned""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q137_centroid_pseudolabel" -> q137,
     "q131_int8_quant_audit" -> q131,
     "q125_mutual_nn_pairs" -> q125,
     "q114_source_centroid_matrix" -> q114,
@@ -621,6 +675,7 @@ object SimilarityQueries {
     "q108_semdedup" -> q108)
 
   val oracle: Map[String, String] = Map(
+    "q137_centroid_pseudolabel" -> q137Sql,
     "q131_int8_quant_audit" -> q131Sql,
     "q125_mutual_nn_pairs" -> q125Sql,
     "q114_source_centroid_matrix" -> q114Sql,

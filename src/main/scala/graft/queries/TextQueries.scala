@@ -769,7 +769,41 @@ object TextQueries {
       | CAST(SUM(surp_micro) AS BIGINT) // COUNT(*) AS avg_surprisal_micro
       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q138
+  /** BPE merge-candidate mining — one round of byte-pair-encoding vocab
+    * learning: the 20 most frequent adjacent character pairs across the
+    * corpus, weighted by word frequency (the argmax pair IS the next BPE
+    * merge; a tokenizer trainer loops this with the pair merged in).
+    * Scale shape is the whole point: the corpus-sized work is ONE word
+    * hash aggregate (the q30 shape); pair explosion then runs over the
+    * DISTINCT VOCABULARY — thousands of rows, not billions — carrying the
+    * word counts as weights, so the second stage costs vocab × word
+    * length regardless of corpus size. Counts are overlapping-pair counts
+    * (deterministic in both engines); ties at the cut break by pair
+    * string. */
+  private val q138: Q = (s, d) => {
+    Tables.documents(s, d)
+      .select(explode(expr("filter(split(text, ' '), x -> x <> '')")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .filter(length(col("w")) >= 2)
+      .select(col("n"), explode(
+        expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("n")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair")).limit(20)
+  }
+
+  private val q138Sql =
+    """WITH wc AS (SELECT w, COUNT(*) AS n FROM (
+      |   SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE w <> '' GROUP BY w),
+      |p AS (SELECT UNNEST(list_transform(generate_series(1, length(w) - 1),
+      |        i -> substr(w, i, 2))) AS pair, n
+      |      FROM wc WHERE length(w) >= 2)
+      |SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt FROM p GROUP BY pair
+      |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q138_bpe_merge_candidates" -> q138,
     "q121_bigram_lm_surprisal" -> q121,
     "q118_token_accounting" -> q118,
     "q119_countmin_sketch" -> q119,
@@ -790,6 +824,7 @@ object TextQueries {
     "q69_levenshtein_neardup" -> q69)
 
   val oracle: Map[String, String] = Map(
+    "q138_bpe_merge_candidates" -> q138Sql,
     "q121_bigram_lm_surprisal" -> q121Sql,
     "q118_token_accounting" -> q118Sql,
     "q119_countmin_sketch" -> q119Sql,
