@@ -792,7 +792,71 @@ object CorpusQueries {
       |       / COUNT(*), 4) AS kept_frac
       |FROM sc JOIN c ON c.lang = sc.lang GROUP BY sc.lang ORDER BY sc.lang""".stripMargin
 
+  // ---------------------------------------------------------------- q141
+  /** Weak-supervision label aggregation (the Snorkel/programmatic-labeling
+    * shape): three deterministic labeling functions — type-token-ratio
+    * quality, length, and stopword-mass — each vote keep(1)/drop(0)/
+    * abstain(-1) per document, and a majority vote resolves them (ties
+    * and all-abstain stay -1). Output is the full joint distribution of
+    * (lf votes, final vote) — the agreement/conflict matrix a labeling
+    * pipeline inspects to debug its rules — at most 3³ rows at any
+    * corpus size. Every signal is exact integer ppm arithmetic; the
+    * whole query is one per-row expression stage plus one bounded-key
+    * hash aggregate — no shuffle except the final tiny agg, the same
+    * 100 TB posture as q95/q96. */
+  private val q141: Q = (s, d) => {
+    val sc = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
+      .select(col("doc_id"), col("n_chars"),
+        expr("CAST(CAST(size(array_distinct(toks)) AS BIGINT) * 1000000 div size(toks) AS BIGINT)")
+          .as("ttr_ppm"),
+        expr("CAST(CAST(size(filter(toks, x -> x = 'the' OR x = 'a')) AS BIGINT) * 1000000 div size(toks) AS BIGINT)")
+          .as("stop_ppm"))
+      .select(col("doc_id"),
+        when(col("ttr_ppm") >= 600000, 1L).when(col("ttr_ppm") < 400000, 0L)
+          .otherwise(-1L).as("lf_quality"),
+        when(col("n_chars") >= 180, 1L).when(col("n_chars") < 120, 0L)
+          .otherwise(-1L).as("lf_length"),
+        when(col("stop_ppm") >= 100000, 1L).when(col("stop_ppm") < 50000, 0L)
+          .otherwise(-1L).as("lf_stop"))
+    val pos = Seq("lf_quality", "lf_length", "lf_stop")
+      .map(c => when(col(c) === 1, 1L).otherwise(0L)).reduce(_ + _)
+    val neg = Seq("lf_quality", "lf_length", "lf_stop")
+      .map(c => when(col(c) === 0, 1L).otherwise(0L)).reduce(_ + _)
+    sc.withColumn("vote",
+        when(pos > neg, 1L).when(neg > pos, 0L).otherwise(-1L))
+      .groupBy(col("lf_quality"), col("lf_length"), col("lf_stop"), col("vote"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lf_quality"), col("lf_length"), col("lf_stop"))
+  }
+
+  private val q141Sql =
+    """WITH t AS (SELECT doc_id, n_chars,
+      |  list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+      |sc AS (SELECT doc_id, n_chars,
+      |  CAST(CAST(len(list_distinct(toks)) AS BIGINT) * 1000000 // len(toks) AS BIGINT) AS ttr_ppm,
+      |  CAST(CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS BIGINT) * 1000000
+      |       // len(toks) AS BIGINT) AS stop_ppm FROM t),
+      |lf AS (SELECT doc_id,
+      |  CAST(CASE WHEN ttr_ppm >= 600000 THEN 1 WHEN ttr_ppm < 400000 THEN 0 ELSE -1 END AS BIGINT) AS lf_quality,
+      |  CAST(CASE WHEN n_chars >= 180 THEN 1 WHEN n_chars < 120 THEN 0 ELSE -1 END AS BIGINT) AS lf_length,
+      |  CAST(CASE WHEN stop_ppm >= 100000 THEN 1 WHEN stop_ppm < 50000 THEN 0 ELSE -1 END AS BIGINT) AS lf_stop
+      | FROM sc),
+      |v AS (SELECT lf_quality, lf_length, lf_stop,
+      |  (CASE WHEN lf_quality = 1 THEN 1 ELSE 0 END + CASE WHEN lf_length = 1 THEN 1 ELSE 0 END
+      |   + CASE WHEN lf_stop = 1 THEN 1 ELSE 0 END) AS pos,
+      |  (CASE WHEN lf_quality = 0 THEN 1 ELSE 0 END + CASE WHEN lf_length = 0 THEN 1 ELSE 0 END
+      |   + CASE WHEN lf_stop = 0 THEN 1 ELSE 0 END) AS neg
+      | FROM lf)
+      |SELECT lf_quality, lf_length, lf_stop,
+      | CAST(CASE WHEN pos > neg THEN 1 WHEN neg > pos THEN 0 ELSE -1 END AS BIGINT) AS vote,
+      | CAST(COUNT(*) AS BIGINT) AS n
+      |FROM v GROUP BY 1, 2, 3, 4
+      |ORDER BY lf_quality, lf_length, lf_stop""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q141_weak_label_vote" -> q141,
     "q133_normalized_dedup" -> q133,
     "q135_perlang_quality_cutoff" -> q135,
     "q127_vocab_encode" -> q127,
@@ -811,6 +875,7 @@ object CorpusQueries {
     "q100_substring_windows" -> q100)
 
   val oracle: Map[String, String] = Map(
+    "q141_weak_label_vote" -> q141Sql,
     "q133_normalized_dedup" -> q133Sql,
     "q135_perlang_quality_cutoff" -> q135Sql,
     "q127_vocab_encode" -> q127Sql,

@@ -946,7 +946,50 @@ object RelationalQueries {
        |FROM r3 ORDER BY node""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q140
+  /** Join-key skew audit — the diagnostic a platform team runs BEFORE
+    * choosing a join strategy (salt? AQE skew split? broadcast?): for
+    * each candidate join key, the row count, distinct-key count, the
+    * hottest key's frequency, its corpus share in ppm, and the
+    * max/mean-frequency skew ratio. Each audit is one two-level hash
+    * aggregate (per-key count → global max/sum/count) — fully map-side
+    * combinable, one bounded-row result per key column; the three audits
+    * union to a 3-row report. All ratios are exact integer div, so the
+    * report is engine-portable (DuckDB SUM returns HUGEINT — cast before
+    * the arithmetic on the oracle side). */
+  private val q140: Q = (s, d) => {
+    def audit(df: DataFrame, keyCol: String, tag: String) =
+      df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("f"))
+        .agg(sum(col("f")).as("n_rows"), count(lit(1)).as("n_keys"),
+          max(col("f")).as("max_freq"))
+        .select(lit(tag).as("key_col"), col("n_rows"), col("n_keys"), col("max_freq"),
+          expr("max_freq * 1000000 div n_rows").as("top_share_ppm"),
+          expr("max_freq * n_keys * 100 div n_rows").as("skew_x100"))
+    audit(Tables.lineitem(s, d), "l_partkey", "lineitem.l_partkey")
+      .unionByName(audit(Tables.orders(s, d), "o_custkey", "orders.o_custkey"))
+      .unionByName(audit(Tables.events(s, d), "user_id", "events.user_id"))
+      .orderBy(col("key_col"))
+  }
+
+  private val q140Sql = {
+    def audit(table: String, key: String) =
+      s"""SELECT '$table.$key' AS key_col,
+         | CAST(SUM(f) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_keys,
+         | CAST(MAX(f) AS BIGINT) AS max_freq,
+         | CAST(MAX(f) * 1000000 // CAST(SUM(f) AS BIGINT) AS BIGINT) AS top_share_ppm,
+         | CAST(MAX(f) * COUNT(*) * 100 // CAST(SUM(f) AS BIGINT) AS BIGINT) AS skew_x100
+         |FROM (SELECT COUNT(*) AS f FROM $table GROUP BY $key)""".stripMargin
+    s"""SELECT * FROM (
+       |${audit("lineitem", "l_partkey")}
+       |UNION ALL
+       |${audit("orders", "o_custkey")}
+       |UNION ALL
+       |${audit("events", "user_id")})
+       |ORDER BY key_col""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q140_join_skew_audit" -> q140,
     "q126_pagerank" -> q126,
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -988,6 +1031,7 @@ object RelationalQueries {
     "q89_typed_dataset" -> q89)
 
   val oracle: Map[String, String] = Map(
+    "q140_join_skew_audit" -> q140Sql,
     "q126_pagerank" -> q126Sql,
     "q01_pricing_summary" -> q01Sql,
     "q44_approx_count_distinct" -> q44Sql,
