@@ -30,8 +30,10 @@ import org.apache.spark.sql.functions._
   * PageRank step, 2 bounded-key shuffles per round, nothing driver-side.
   * `edges` and the out-degree frame are computed once and localCheckpointed
   * (the ConnectedComponents discipline: eager materialization so the k-th
-  * iteration's plan does not embed k join trees, blocks freed by the
-  * ContextCleaner), and each iteration's rank frame replaces the last.
+  * iteration's plan does not embed k join trees), each iteration's rank
+  * frame replaces the last, and every intermediate block this call pinned
+  * is unpersisted explicitly before returning — only the final rank
+  * frame's own checkpoint survives.
   */
 object PageRankInt {
 
@@ -47,6 +49,15 @@ object PageRankInt {
   def run(edges: DataFrame, iters: Int, checkpointInterval: Int = 5): DataFrame = {
     require(iters >= 1, s"need >=1 iteration, got $iters")
     require(checkpointInterval >= 1, s"bad checkpointInterval $checkpointInterval")
+    // Track which block-manager entries THIS call creates, so every
+    // intermediate checkpoint (edge list, node list, mid-run rank frames)
+    // can be released explicitly before returning — the ConnectedComponents
+    // persist/unpersist discipline. Waiting for GC + ContextCleaner is not
+    // enough: sf1 honest benching measured back-to-back q126 passes
+    // degrading 5 s → 40 s as ~GBs of dead checkpoint blocks from earlier
+    // passes crowded the block manager before the cleaner caught up.
+    val sc = edges.sparkSession.sparkContext
+    val pinnedBefore = sc.getPersistentRDDs.keySet
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .localCheckpoint(true)
     // distinct column names per frame: the per-iteration plan re-joins
@@ -76,6 +87,15 @@ object PageRankInt {
       ranks =
         if (it % checkpointInterval == 0 || it == iters) next.localCheckpoint(true)
         else next
+    }
+    // `ranks` was checkpointed on the last iteration and is created last,
+    // so its blocks carry the HIGHEST new RDD id; release every other
+    // block this call pinned (single-threaded operator execution — no
+    // concurrent persists to misattribute).
+    val keep = sc.getPersistentRDDs.keySet.diff(pinnedBefore)
+      .reduceOption(_ max _)
+    sc.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!pinnedBefore.contains(id) && !keep.contains(id)) rdd.unpersist(false)
     }
     ranks
   }

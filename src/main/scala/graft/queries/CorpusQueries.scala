@@ -855,7 +855,101 @@ object CorpusQueries {
       |FROM v GROUP BY 1, 2, 3, 4
       |ORDER BY lf_quality, lf_length, lf_stop""".stripMargin
 
+  // ---------------------------------------------------------------- q142
+  /** RAG chunk retrieval end-to-end: the q120 overlapping token-window
+    * chunker composed with an integer tf·idf scorer (q68/q110's log-free
+    * idf proxy n·10⁴ div df, monotone in df and engine-exact) for a
+    * broadcast query-term set, returning the global top-10 chunks — the
+    * retrieval path a RAG corpus build runs to spot-check chunking +
+    * index quality in one query. Scale shape: chunk explosion is map-only
+    * (q120), the term filter hits the exploded token stream map-side so
+    * only the 3 query terms' postings shuffle (q110), corpus constants
+    * ride broadcasts, and the top-10 is TakeOrderedAndProject. */
+  private val q142: Q = (s, d) => {
+    val ch = Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("k", explode(expr(
+        "sequence(0L, CASE WHEN n <= 64 THEN 0L ELSE (n - 17) div 48 END)")))
+      .select(col("doc_id"), col("k").as("chunk_id"),
+        expr("slice(toks, k * 48 + 1, 64)").as("ctoks"))
+    val tf = ch.select(col("doc_id"), col("chunk_id"), explode(col("ctoks")).as("w"))
+      .filter(col("w").isin("spark", "shuffle", "join"))
+      .groupBy(col("doc_id"), col("chunk_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val consts = ch.agg(count(lit(1)).as("n_chunks"))
+    tf.join(broadcast(df), Seq("w")).crossJoin(broadcast(consts))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("tf") * expr("n_chunks * 10000 div df")).as("term_score"))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(sum(col("term_score")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"), col("chunk_id"))
+      .limit(10)
+  }
+
+  private val q142Sql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+      |c AS (SELECT doc_id, toks, n,
+      |  UNNEST(range(CASE WHEN n <= 64 THEN 1 ELSE (n - 17) // 48 + 1 END)) AS k
+      | FROM t),
+      |ch AS (SELECT doc_id, k AS chunk_id,
+      |  list_slice(toks, k * 48 + 1, k * 48 + 64) AS ctoks FROM c),
+      |wrd AS (SELECT doc_id, chunk_id, UNNEST(ctoks) AS w FROM ch),
+      |tf AS (SELECT doc_id, chunk_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+      |       FROM wrd WHERE w IN ('spark', 'shuffle', 'join') GROUP BY 1, 2, 3),
+      |df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+      |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks FROM ch)
+      |SELECT tf.doc_id, tf.chunk_id,
+      | CAST(SUM(tf.tf * (nc.n_chunks * 10000 // df.df)) AS BIGINT) AS score
+      |FROM tf JOIN df ON df.w = tf.w CROSS JOIN nc
+      |GROUP BY tf.doc_id, tf.chunk_id
+      |ORDER BY score DESC, doc_id, chunk_id LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q143
+  /** Source-share concentration audit: the Gini coefficient of per-source
+    * token mass — the one-number answer to "is this mixture dominated by
+    * a few sources?" that data-mixture work tracks alongside q106's
+    * rebalancing. Integer-exact: G = (2·Σi·xᵢ − (n+1)·Σx)·10⁶ div (n·Σx)
+    * over sources ranked ascending by mass (micro-units, engine-portable
+    * BIGINT). The rank window is partition-less but runs over the
+    * ALREADY-AGGREGATED per-source table — ≤ n_sources rows by
+    * construction at any corpus size (bounded-input windows are the q92
+    * family; contrast q99, whose vocab-sized ranks needed GlobalIndex).
+    * Long-overflow bound (q110 discipline): exact while n·Σx·10⁶ < 2⁶³,
+    * i.e. total tokens ≤ ~4.6e11 at 20 sources; beyond that the same
+    * arithmetic runs in DECIMAL(38,0) unchanged. */
+  private val q143: Q = (s, d) => {
+    val src = Tables.documents(s, d)
+      .select(col("source"),
+        size(expr("filter(split(text, ' '), x -> x <> '')")).cast("long").as("tok"))
+      .groupBy(col("source")).agg(sum(col("tok")).as("x"))
+    src
+      .withColumn("i", row_number()
+        .over(Window.orderBy(col("x"), col("source"))).cast("long"))
+      .agg(count(lit(1)).as("n_sources"), sum(col("x")).as("total_tokens"),
+        sum(col("i") * col("x")).as("six"))
+      .select(col("n_sources"), col("total_tokens"),
+        expr("(2 * six - (n_sources + 1) * total_tokens) * 1000000" +
+          " div (n_sources * total_tokens)").as("gini_micro"))
+  }
+
+  private val q143Sql =
+    """WITH s AS (SELECT source,
+      |  CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS x
+      | FROM documents GROUP BY source),
+      |r AS (SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY x, source) AS BIGINT) AS i FROM s),
+      |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+      |             CAST(SUM(x) AS BIGINT) AS total_tokens,
+      |             CAST(SUM(i * x) AS BIGINT) AS six FROM r)
+      |SELECT n_sources, total_tokens,
+      | CAST((2 * six - (n_sources + 1) * total_tokens) * 1000000
+      |      // (n_sources * total_tokens) AS BIGINT) AS gini_micro
+      |FROM g""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q142_rag_chunk_retrieval" -> q142,
+    "q143_source_gini" -> q143,
     "q141_weak_label_vote" -> q141,
     "q133_normalized_dedup" -> q133,
     "q135_perlang_quality_cutoff" -> q135,
@@ -875,6 +969,8 @@ object CorpusQueries {
     "q100_substring_windows" -> q100)
 
   val oracle: Map[String, String] = Map(
+    "q142_rag_chunk_retrieval" -> q142Sql,
+    "q143_source_gini" -> q143Sql,
     "q141_weak_label_vote" -> q141Sql,
     "q133_normalized_dedup" -> q133Sql,
     "q135_perlang_quality_cutoff" -> q135Sql,

@@ -708,6 +708,62 @@ object EventQueries {
       |SELECT event_type, CAST(rank AS BIGINT) AS rank, cents, event_id
       |FROM r WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q144
+  /** Robust outlier census via median absolute deviation: per event type,
+    * the exact median amount, the exact MAD, and how many events sit
+    * beyond 3×MAD — the robust alternative to z-scores (q75's moment
+    * stats), immune to the outliers it hunts. Medians are exact order
+    * statistics in integer cents (the q81 family: bounded-group windows
+    * with (cents, event_id) total order; unbounded groups swap in the
+    * q129 histogram-refinement operator with identical rank arithmetic).
+    * The two median tables are ≤ n_types rows and broadcast back, so the
+    * corpus is scanned, never self-joined. */
+  private val q144: Q = (s, d) => {
+    val e = Tables.events(s, d)
+      .select(col("event_type"), col("event_id"),
+        (money(col("value")) * 100).cast("long").as("cents"))
+    val w = Window.partitionBy(col("event_type"))
+    val med = e
+      .withColumn("rn", row_number().over(w.orderBy(col("cents"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(w))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("event_type"), col("cents").as("med"))
+    val dev = e.join(broadcast(med), Seq("event_type"))
+      .withColumn("ad", abs(col("cents") - col("med")))
+    val mad = dev
+      .withColumn("rn", row_number().over(w.orderBy(col("ad"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(w))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("event_type"), col("ad").as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("med")).as("median_cents"),
+        min(col("mad")).as("mad_cents"),
+        sum((col("ad") > col("mad") * 3).cast("long")).as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q144Sql =
+    """WITH e AS (SELECT event_type, event_id,
+      |  CAST(CAST(value AS DECIMAL(15,2)) * 100 AS BIGINT) AS cents FROM events),
+      |m AS (SELECT event_type, cents AS med FROM (
+      |   SELECT event_type, cents,
+      |     ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rn,
+      |     COUNT(*) OVER (PARTITION BY event_type) AS n FROM e)
+      |  WHERE rn = (n + 1) // 2),
+      |d AS (SELECT e.event_type, e.event_id, ABS(e.cents - m.med) AS ad, m.med
+      |      FROM e JOIN m ON m.event_type = e.event_type),
+      |md AS (SELECT event_type, ad AS mad FROM (
+      |   SELECT event_type, ad,
+      |     ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ad, event_id) AS rn,
+      |     COUNT(*) OVER (PARTITION BY event_type) AS n FROM d)
+      |  WHERE rn = (n + 1) // 2)
+      |SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      | MIN(d.med) AS median_cents, MIN(md.mad) AS mad_cents,
+      | CAST(SUM(CASE WHEN d.ad > md.mad * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM d JOIN md ON md.event_type = d.event_type
+      |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
+
   // ---------------------------------------------------------------- q82
   /** Unpivot (wide → long): the inverse of q22's pivot via the native
     * `unpivot` operator — a row generator, no shuffle beyond the upstream
@@ -871,6 +927,7 @@ object EventQueries {
     "q134_cohort_retention" -> q134,
     "q136_session_gaps_islands" -> q136,
     "q139_grouped_topk" -> q139,
+    "q144_mad_outliers" -> q144,
     "q22_pivot_event_counts" -> q22,
     "q75_exact_moment_stats" -> q75,
     "q80_range_frame_trailing" -> q80,
@@ -900,6 +957,7 @@ object EventQueries {
     "q134_cohort_retention" -> q134Sql,
     "q136_session_gaps_islands" -> q136Sql,
     "q139_grouped_topk" -> q139Sql,
+    "q144_mad_outliers" -> q144Sql,
     "q22_pivot_event_counts" -> q22Sql,
     "q75_exact_moment_stats" -> q75Sql,
     "q80_range_frame_trailing" -> q80Sql,

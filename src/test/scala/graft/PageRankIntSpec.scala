@@ -53,4 +53,18 @@ class PageRankIntSpec extends AnyFunSuite {
       PageRankInt.run(Seq((1L, 2L)).toDF("src", "dst"), 0)
     }
   }
+
+  test("run leaves at most its own result pinned (no block-manager residue)") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+    // 7 iterations with interval 2 → three intermediate checkpoints that
+    // must all be released; only the final rank frame's blocks may remain.
+    val out = PageRankInt.run(edges.toDF("src", "dst"), 7, checkpointInterval = 2)
+    assert(out.count() == 3)
+    val leaked = sc.getPersistentRDDs.keySet.diff(before)
+    assert(leaked.size <= 1,
+      s"PageRank left ${leaked.size} persistent RDDs pinned: $leaked")
+  }
 }
