@@ -764,6 +764,39 @@ object EventQueries {
       |FROM d JOIN md ON md.event_type = d.event_type
       |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q146
+  /** Semi-structured schema-drift audit: group events by the SORTED KEY
+    * SET of their JSON payload — the governance query that tells an
+    * ingest pipeline (reference lambda_function.py:45: schema-on-read
+    * `json.loads`) which payload shapes are live and how common each is.
+    * The corpus's `props` has one fixed key, so drift is synthesized
+    * deterministically per event_id (a `ver` key on every 3rd event, a
+    * `src` key on every 4th — the q94/q95 discipline: both engines build
+    * and parse the same bytes). Per-row JSON parse + map_keys, one
+    * bounded-key hash agg (≤ distinct shapes), no other shuffle. */
+  private val q146: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(concat(lit("{\"k\": 1"),
+        when(col("event_id") % 3 === 0, lit(", \"ver\": 2")).otherwise(lit("")),
+        when(col("event_id") % 4 === 0, lit(", \"src\": \"api\"")).otherwise(lit("")),
+        lit("}")).as("j"))
+      .select(expr(
+        "array_join(array_sort(map_keys(from_json(j, 'map<string,string>'))), ',')")
+        .as("key_sig"))
+      .groupBy(col("key_sig")).agg(count(lit(1)).as("n"))
+      .withColumn("n_keys", size(split(col("key_sig"), ",")).cast("long"))
+      .orderBy(col("key_sig"))
+
+  private val q146Sql =
+    """WITH j AS (SELECT '{"k": 1'
+      |  || CASE WHEN event_id % 3 = 0 THEN ', "ver": 2' ELSE '' END
+      |  || CASE WHEN event_id % 4 = 0 THEN ', "src": "api"' ELSE '' END
+      |  || '}' AS j FROM events),
+      |s AS (SELECT array_to_string(list_sort(json_keys(j)), ',') AS key_sig FROM j)
+      |SELECT key_sig, CAST(COUNT(*) AS BIGINT) AS n,
+      | CAST(len(string_split(key_sig, ',')) AS BIGINT) AS n_keys
+      |FROM s GROUP BY key_sig ORDER BY key_sig""".stripMargin
+
   // ---------------------------------------------------------------- q82
   /** Unpivot (wide → long): the inverse of q22's pivot via the native
     * `unpivot` operator — a row generator, no shuffle beyond the upstream
@@ -928,6 +961,7 @@ object EventQueries {
     "q136_session_gaps_islands" -> q136,
     "q139_grouped_topk" -> q139,
     "q144_mad_outliers" -> q144,
+    "q146_json_schema_audit" -> q146,
     "q22_pivot_event_counts" -> q22,
     "q75_exact_moment_stats" -> q75,
     "q80_range_frame_trailing" -> q80,
@@ -958,6 +992,7 @@ object EventQueries {
     "q136_session_gaps_islands" -> q136Sql,
     "q139_grouped_topk" -> q139Sql,
     "q144_mad_outliers" -> q144Sql,
+    "q146_json_schema_audit" -> q146Sql,
     "q22_pivot_event_counts" -> q22Sql,
     "q75_exact_moment_stats" -> q75Sql,
     "q80_range_frame_trailing" -> q80Sql,

@@ -988,7 +988,59 @@ object RelationalQueries {
        |ORDER BY key_col""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q149
+  /** CDC merge census (the MERGE INTO / SCD upsert shape expressed as a
+    * full-outer key join): a deterministic change batch — every 7th order
+    * repriced, a shifted-key insert for every 11th — is merged against
+    * the current snapshot and each key classified inserted / updated /
+    * unchanged, with the post-merge value sum proving the merge applied
+    * the right side. The full outer join is the one shape MERGE cannot
+    * broadcast (both sides may contribute unmatched keys); it shuffles
+    * both sides BY THE MERGE KEY once — at 100 TB the change batch is
+    * normally far smaller than the snapshot, and AQE picks the cheaper
+    * build side; everything downstream is a 3-row census. Exact integer
+    * cents throughout (Exact money discipline). */
+  private val q149: Q = (s, d) => {
+    val cur = Tables.orders(s, d)
+      .select(col("o_orderkey").as("key"),
+        (money(col("o_totalprice")) * 100).cast("long").as("price_cents"))
+    val upd = cur.filter(col("key") % 7 === 0)
+      .select(col("key"), (col("price_cents") + 500L).as("price_cents"))
+      .unionByName(cur.filter(col("key") % 11 === 0)
+        .select((col("key") + 10000000L).as("key"), lit(999L).as("price_cents")))
+    cur.select(col("key"), col("price_cents").as("old_p"))
+      .join(upd.select(col("key"), col("price_cents").as("new_p")),
+        Seq("key"), "full_outer")
+      .select(
+        when(col("new_p").isNull, "unchanged")
+          .when(col("old_p").isNull, "inserted")
+          .otherwise("updated").as("action"),
+        coalesce(col("new_p"), col("old_p")).as("cur_cents"))
+      .groupBy(col("action"))
+      .agg(count(lit(1)).as("n"), sum(col("cur_cents")).as("sum_cents"))
+      .orderBy(col("action"))
+  }
+
+  private val q149Sql =
+    """WITH cur AS (SELECT o_orderkey AS key,
+      |  CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS price_cents
+      | FROM orders),
+      |upd AS (
+      | SELECT key, price_cents + 500 AS price_cents FROM cur WHERE key % 7 = 0
+      | UNION ALL
+      | SELECT key + 10000000 AS key, 999 AS price_cents FROM cur WHERE key % 11 = 0),
+      |m AS (SELECT
+      |  CASE WHEN u.key IS NULL THEN 'unchanged'
+      |       WHEN c.key IS NULL THEN 'inserted'
+      |       ELSE 'updated' END AS action,
+      |  COALESCE(u.price_cents, c.price_cents) AS cur_cents
+      | FROM cur c FULL OUTER JOIN upd u ON u.key = c.key)
+      |SELECT action, CAST(COUNT(*) AS BIGINT) AS n,
+      | CAST(SUM(cur_cents) AS BIGINT) AS sum_cents
+      |FROM m GROUP BY action ORDER BY action""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q149_cdc_merge_census" -> q149,
     "q140_join_skew_audit" -> q140,
     "q126_pagerank" -> q126,
     "q01_pricing_summary" -> q01,
@@ -1031,6 +1083,7 @@ object RelationalQueries {
     "q89_typed_dataset" -> q89)
 
   val oracle: Map[String, String] = Map(
+    "q149_cdc_merge_census" -> q149Sql,
     "q140_join_skew_audit" -> q140Sql,
     "q126_pagerank" -> q126Sql,
     "q01_pricing_summary" -> q01Sql,

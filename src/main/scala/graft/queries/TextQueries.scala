@@ -802,7 +802,50 @@ object TextQueries {
       |SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt FROM p GROUP BY pair
       |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- q145
+  /** Frequent co-occurring word pairs — the A-Priori first join step
+    * (association mining over documents as baskets): only words frequent
+    * as SINGLETONS (top-16 by document frequency, the monotone A-Priori
+    * prune) are eligible, each document contributes its sorted distinct
+    * frequent-word pairs once, and pairs rank by support. Scale shape:
+    * the prune list is a 16-row broadcast hitting the exploded token
+    * stream map-side, so the pair explosion runs over ≤16 kept words per
+    * doc — O(docs · k²) with k bounded by the prune, never vocab². The
+    * pair generator is an index-lambda transform over the kept array (no
+    * self-join); the oracle's doc-level self-join is the quadratic
+    * witness proving result-invariance. */
+  private val q145: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        array_distinct(expr("filter(split(text, ' '), x -> x <> '')")).as("ws"))
+    val fw = toks.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("w")).limit(16)
+      .select(col("w"))
+    toks.select(col("doc_id"), explode(col("ws")).as("w"))
+      .join(broadcast(fw), Seq("w"))
+      .groupBy(col("doc_id")).agg(sort_array(collect_list(col("w"))).as("ks"))
+      .select(explode(expr(
+        "flatten(transform(ks, (x, i) -> transform(slice(ks, i + 2, size(ks)), y -> struct(x AS a, y AS b))))")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc, col("a"), col("b")).limit(20)
+  }
+
+  private val q145Sql =
+    """WITH t AS (SELECT doc_id,
+      |  list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS ws
+      | FROM documents),
+      |w AS (SELECT doc_id, UNNEST(ws) AS w FROM t),
+      |fw AS (SELECT w FROM (SELECT w, COUNT(*) AS df FROM w GROUP BY w
+      |       ORDER BY df DESC, w LIMIT 16)),
+      |k AS (SELECT w.doc_id, w.w FROM w JOIN fw ON fw.w = w.w)
+      |SELECT a.w AS a, b.w AS b, CAST(COUNT(*) AS BIGINT) AS support
+      |FROM k a JOIN k b ON a.doc_id = b.doc_id AND a.w < b.w
+      |GROUP BY a.w, b.w ORDER BY support DESC, a, b LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q145_copair_mining" -> q145,
     "q138_bpe_merge_candidates" -> q138,
     "q121_bigram_lm_surprisal" -> q121,
     "q118_token_accounting" -> q118,
@@ -824,6 +867,7 @@ object TextQueries {
     "q69_levenshtein_neardup" -> q69)
 
   val oracle: Map[String, String] = Map(
+    "q145_copair_mining" -> q145Sql,
     "q138_bpe_merge_candidates" -> q138Sql,
     "q121_bigram_lm_surprisal" -> q121Sql,
     "q118_token_accounting" -> q118Sql,
