@@ -912,10 +912,12 @@ object CorpusQueries {
     * a few sources?" that data-mixture work tracks alongside q106's
     * rebalancing. Integer-exact: G = (2·Σi·xᵢ − (n+1)·Σx)·10⁶ div (n·Σx)
     * over sources ranked ascending by mass (micro-units, engine-portable
-    * BIGINT). The rank window is partition-less but runs over the
-    * ALREADY-AGGREGATED per-source table — ≤ n_sources rows by
-    * construction at any corpus size (bounded-input windows are the q92
-    * family; contrast q99, whose vocab-sized ranks needed GlobalIndex).
+    * BIGINT). Ranks come from [[graft.functions.GlobalIndex]] (the q99
+    * discipline — range-partition + zipWithIndex, never a partition-less
+    * `row_number()` window) even though the ranked input is the
+    * already-aggregated ≤ n_sources-row table: the same query shape then
+    * holds verbatim when the "source" key is something unbounded (URL
+    * domains, say).
     * Long-overflow bound (q110 discipline): exact while n·Σx·10⁶ < 2⁶³,
     * i.e. total tokens ≤ ~4.6e11 at 20 sources; beyond that the same
     * arithmetic runs in DECIMAL(38,0) unchanged. */
@@ -924,9 +926,7 @@ object CorpusQueries {
       .select(col("source"),
         size(expr("filter(split(text, ' '), x -> x <> '')")).cast("long").as("tok"))
       .groupBy(col("source")).agg(sum(col("tok")).as("x"))
-    src
-      .withColumn("i", row_number()
-        .over(Window.orderBy(col("x"), col("source"))).cast("long"))
+    graft.functions.GlobalIndex.withRowNumber(src, "i", col("x"), col("source"))
       .agg(count(lit(1)).as("n_sources"), sum(col("x")).as("total_tokens"),
         sum(col("i") * col("x")).as("six"))
       .select(col("n_sources"), col("total_tokens"),
@@ -947,7 +947,41 @@ object CorpusQueries {
       |      // (n_sources * total_tokens) AS BIGINT) AS gini_micro
       |FROM g""".stripMargin
 
+  // ---------------------------------------------------------------- q148
+  /** Classifier-score calibration curve (the FineWeb-Edu audit): bucket a
+    * quality signal into fixed-width bins and report, per bin, how often
+    * a reference target holds — here the TTR quality signal (q135's
+    * integer-ppm score) calibrated against an is-English proxy target.
+    * Fixed-width buckets (score div 10⁵), NOT quantile buckets, so the
+    * binning is a pure per-row expression with no rank pass at all; one
+    * bounded-key hash agg (≤11 bins at any corpus size) finishes it. A
+    * monotone rate column = the signal orders documents usefully; a flat
+    * one = the classifier threshold is arbitrary. */
+  private val q148: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("lang"),
+        expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
+      .select((col("lang") === "en").cast("long").as("is_en"),
+        expr("CAST(CAST(size(array_distinct(toks)) AS BIGINT) * 1000000 div size(toks) AS BIGINT)")
+          .as("ttr_ppm"))
+      .select(expr("ttr_ppm div 100000").as("bucket"), col("is_en"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("is_en")).as("n_target"),
+        expr("CAST(sum(is_en) * 1000000 div count(1) AS BIGINT)").as("target_ppm"))
+      .orderBy(col("bucket"))
+
+  private val q148Sql =
+    """WITH sc AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en,
+      |  CAST(CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT)
+      |       * 1000000 // len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS ttr_ppm
+      | FROM documents)
+      |SELECT ttr_ppm // 100000 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      | CAST(SUM(is_en) AS BIGINT) AS n_target,
+      | CAST(CAST(SUM(is_en) AS BIGINT) * 1000000 // COUNT(*) AS BIGINT) AS target_ppm
+      |FROM sc GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q148_score_calibration" -> q148,
     "q142_rag_chunk_retrieval" -> q142,
     "q143_source_gini" -> q143,
     "q141_weak_label_vote" -> q141,
@@ -969,6 +1003,7 @@ object CorpusQueries {
     "q100_substring_windows" -> q100)
 
   val oracle: Map[String, String] = Map(
+    "q148_score_calibration" -> q148Sql,
     "q142_rag_chunk_retrieval" -> q142Sql,
     "q143_source_gini" -> q143Sql,
     "q141_weak_label_vote" -> q141Sql,

@@ -701,7 +701,46 @@ object DedupQueries {
        |ORDER BY e.vec_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q147
+  /** Dedup-recall evaluation — the meta-operator that answers "what does
+    * the LSH stage MISS?" before anyone trusts it at 100 TB: ground truth
+    * is the EXACT all-pairs 3-shingle Jaccard ≥ 0.5 join (the PPJoin
+    * prefix-filter operator — lossless, so it is a legitimate truth set,
+    * not another approximation), detected is the q66 MinHash-LSH
+    * candidate + verify pipeline; verified LSH pairs are a subset of
+    * truth by construction (identical threshold on identical shingle
+    * sets), so the one-row report is truth / detected / missed / recall
+    * in exact integer ppm. The two pair sets are each oracle-replayed
+    * end-to-end (the q66 CTE and the brute-force witness), so the recall
+    * number itself is cross-engine-verified. Both counts are bounded
+    * driver scalars (the KMeans-centroid class of collect). */
+  private val q147: Q = (s, d) => {
+    import s.implicits._
+    val sets = withShingles(Tables.documents(s, d), "text")
+      .select(col("doc_id"), col("sh"))
+    val nTrue = graft.operators.SetSimilarityJoin
+      .jaccardJoin(sets, "doc_id", "sh", 0.5).count()
+    val nDet = lshVerifiedPairs(s, d).count()
+    val recall = if (nTrue == 0) 0L else nDet * 1000000L / nTrue
+    Seq((nTrue, nDet, nTrue - nDet, recall))
+      .toDF("n_true", "n_detected", "n_missed", "recall_ppm")
+  }
+
+  private val q147Sql =
+    s"""WITH $lshPairsCte,
+       |brute AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b
+       | FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+       | WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+       |       len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5),
+       |c AS (SELECT CAST((SELECT COUNT(*) FROM brute) AS BIGINT) AS n_true,
+       |             CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_detected)
+       |SELECT n_true, n_detected, n_true - n_detected AS n_missed,
+       | CAST(CASE WHEN n_true = 0 THEN 0
+       |      ELSE n_detected * 1000000 // n_true END AS BIGINT) AS recall_ppm
+       |FROM c""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q147_lsh_recall_eval" -> q147,
     "q123_embedding_neardup" -> q123,
     "q122_incremental_dedup" -> q122,
     "q86_setsim_prefix_join" -> q86,
@@ -727,6 +766,7 @@ object DedupQueries {
     "q38_simhash_hamming" -> q38)
 
   val oracle: Map[String, String] = Map(
+    "q147_lsh_recall_eval" -> q147Sql,
     "q123_embedding_neardup" -> q123Sql,
     "q122_incremental_dedup" -> q122Sql,
     "q86_setsim_prefix_join" -> q86Sql,
