@@ -980,7 +980,52 @@ object CorpusQueries {
       | CAST(CAST(SUM(is_en) AS BIGINT) * 1000000 // COUNT(*) AS BIGINT) AS target_ppm
       |FROM sc GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  // ---------------------------------------------------------------- q150
+  /** Curriculum ordering with source interleaving — the data-ordering
+    * operator for training runs: documents are ranked easiest-first
+    * WITHIN their source (difficulty = the q135 TTR signal), and the
+    * global training position is the CLOSED FORM
+    * (rank−1)·n_sources + source_idx — a round-robin interleave of
+    * sources in difficulty order computed arithmetically, with NO global
+    * sort over the corpus anywhere (the presentation top-20 is
+    * TakeOrderedAndProject). Per-source ranks are bounded-group windows
+    * here; per-source GlobalIndex is the drop-in when one source alone
+    * exceeds a partition. Positions are unique by construction
+    * (src_idx < n_sources), so the ordering is total and resumable —
+    * any worker can compute any document's position independently. */
+  private val q150: Q = (s, d) => {
+    val sc = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        expr("CAST(substring(source, 4) AS BIGINT)").as("src_idx"),
+        expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
+      .select(col("doc_id"), col("source"), col("src_idx"),
+        expr("CAST(CAST(size(array_distinct(toks)) AS BIGINT) * 1000000 div size(toks) AS BIGINT)")
+          .as("ttr_ppm"))
+    val w = Window.partitionBy(col("source")).orderBy(col("ttr_ppm"), col("doc_id"))
+    val n = sc.agg(countDistinct(col("source")).as("n_src"))
+    sc.withColumn("rank_in_source", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(n))
+      .select(((col("rank_in_source") - 1) * col("n_src") + col("src_idx"))
+        .as("train_pos"), col("source"), col("doc_id"), col("rank_in_source"))
+      .orderBy(col("train_pos")).limit(20)
+  }
+
+  private val q150Sql =
+    """WITH sc AS (SELECT doc_id, source,
+      |  CAST(substring(source, 4) AS BIGINT) AS src_idx,
+      |  CAST(CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT)
+      |       * 1000000 // len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS ttr_ppm
+      | FROM documents),
+      |r AS (SELECT doc_id, source, src_idx,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY ttr_ppm, doc_id) AS BIGINT) AS rank_in_source
+      | FROM sc),
+      |n AS (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n_src FROM sc)
+      |SELECT (rank_in_source - 1) * n.n_src + src_idx AS train_pos,
+      | source, doc_id, rank_in_source
+      |FROM r CROSS JOIN n ORDER BY train_pos LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q150_curriculum_interleave" -> q150,
     "q148_score_calibration" -> q148,
     "q142_rag_chunk_retrieval" -> q142,
     "q143_source_gini" -> q143,
@@ -1003,6 +1048,7 @@ object CorpusQueries {
     "q100_substring_windows" -> q100)
 
   val oracle: Map[String, String] = Map(
+    "q150_curriculum_interleave" -> q150Sql,
     "q148_score_calibration" -> q148Sql,
     "q142_rag_chunk_retrieval" -> q142Sql,
     "q143_source_gini" -> q143Sql,

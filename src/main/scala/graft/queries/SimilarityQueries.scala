@@ -658,7 +658,62 @@ object SimilarityQueries {
       |SELECT label, clabel AS assigned, CAST(COUNT(*) AS BIGINT) AS n
       |FROM a WHERE rn = 1 GROUP BY label, clabel ORDER BY label, assigned""".stripMargin
 
+  // ---------------------------------------------------------------- q151
+  /** Matryoshka truncation audit: how much of each embedding's energy the
+    * first k dimensions retain (k = 8/16/32 of 64) — the measurement
+    * behind MRL-style dimension-budget decisions (truncating a stored
+    * vector to k dims keeps cos(full, truncated) = √(retained energy)
+    * for the same vector, so energy IS the audit quantity). Integer
+    * exact end-to-end: ×10⁴ quantized vectors, `dot_l` self-products of
+    * prefixes (max |v|²·10⁶ ≈ 6.4e15 — inside Long), per-label means as
+    * integer div. Map-only + one bounded-key agg; the audit rides the
+    * same scan that would write the truncated copies. */
+  private val q151: Q = (s, d) => {
+    VectorOps.register(s)
+    Tables.embeddings(s, d)
+      .select(col("label").cast("long").as("label"),
+        KMeansLloyd.quantize("embedding").as("qv"))
+      .select(col("label"), expr("dot_l(qv, qv)").as("full2"),
+        expr("dot_l(slice(qv, 1, 8), slice(qv, 1, 8))").as("p8"),
+        expr("dot_l(slice(qv, 1, 16), slice(qv, 1, 16))").as("p16"),
+        expr("dot_l(slice(qv, 1, 32), slice(qv, 1, 32))").as("p32"))
+      .select(col("label"),
+        expr("CASE WHEN full2 = 0 THEN 1000000 ELSE p8 * 1000000 div full2 END").as("e8"),
+        expr("CASE WHEN full2 = 0 THEN 1000000 ELSE p16 * 1000000 div full2 END").as("e16"),
+        expr("CASE WHEN full2 = 0 THEN 1000000 ELSE p32 * 1000000 div full2 END").as("e32"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("CAST(sum(e8) div count(1) AS BIGINT)").as("e8_ppm"),
+        expr("CAST(sum(e16) div count(1) AS BIGINT)").as("e16_ppm"),
+        expr("CAST(sum(e32) div count(1) AS BIGINT)").as("e32_ppm"))
+      .orderBy(col("label"))
+  }
+
+  private val q151Sql =
+    """WITH q AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |  list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)) AS qv
+      | FROM embeddings),
+      |u AS (SELECT vec_id, label, generate_subscripts(qv, 1) AS pos, UNNEST(qv) AS v FROM q),
+      |e AS (SELECT vec_id, label,
+      |  CAST(SUM(v * v) AS BIGINT) AS full2,
+      |  CAST(SUM(CASE WHEN pos <= 8 THEN v * v ELSE 0 END) AS BIGINT) AS p8,
+      |  CAST(SUM(CASE WHEN pos <= 16 THEN v * v ELSE 0 END) AS BIGINT) AS p16,
+      |  CAST(SUM(CASE WHEN pos <= 32 THEN v * v ELSE 0 END) AS BIGINT) AS p32
+      | FROM u GROUP BY vec_id, label),
+      |r AS (SELECT label,
+      |  CASE WHEN full2 = 0 THEN 1000000 ELSE p8 * 1000000 // full2 END AS e8,
+      |  CASE WHEN full2 = 0 THEN 1000000 ELSE p16 * 1000000 // full2 END AS e16,
+      |  CASE WHEN full2 = 0 THEN 1000000 ELSE p32 * 1000000 // full2 END AS e32
+      | FROM e)
+      |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      | CAST(CAST(SUM(e8) AS BIGINT) // COUNT(*) AS BIGINT) AS e8_ppm,
+      | CAST(CAST(SUM(e16) AS BIGINT) // COUNT(*) AS BIGINT) AS e16_ppm,
+      | CAST(CAST(SUM(e32) AS BIGINT) // COUNT(*) AS BIGINT) AS e32_ppm
+      |FROM r GROUP BY label ORDER BY label""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q151_matryoshka_energy" -> q151,
     "q137_centroid_pseudolabel" -> q137,
     "q131_int8_quant_audit" -> q131,
     "q125_mutual_nn_pairs" -> q125,
@@ -675,6 +730,7 @@ object SimilarityQueries {
     "q108_semdedup" -> q108)
 
   val oracle: Map[String, String] = Map(
+    "q151_matryoshka_energy" -> q151Sql,
     "q137_centroid_pseudolabel" -> q137Sql,
     "q131_int8_quant_audit" -> q131Sql,
     "q125_mutual_nn_pairs" -> q125Sql,
