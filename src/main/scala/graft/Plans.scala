@@ -56,7 +56,23 @@ object Plans {
     "q124_dsir_importance" -> "DSIR: 256-row hashed-bigram model from two map-combinable aggs, broadcast to the scoring join; corpus shuffles only per-doc partial sums",
     "q126_pagerank" -> "PageRank: per-round join(ranks, edges) on the node key + one hash agg on dst - 2 bounded-key shuffles per iteration, edges localCheckpointed once",
     "q127_vocab_encode" -> "vocab encode: K-row vocab via TakeOrderedAndProject + zipWithIndex ids, broadcast mapping join, per-doc sorted-struct reassembly",
-    "q128_event_trigram_funnel" -> "funnel trigrams: bounded per-user windows, map-combinable trigram hash agg, TakeOrderedAndProject top-25")
+    "q128_event_trigram_funnel" -> "funnel trigrams: bounded per-user windows, map-combinable trigram hash agg, TakeOrderedAndProject top-25",
+    "q129_quantiles_histogram" -> "global exact quantiles: B-bucket counting scans, map-side-combined count cells - no range exchange, no sort, no 1-task window",
+    "q130_last_touch_attribution" -> "attribution: event-to-event as-of as ONE user-keyed rows-frame running MAX, never a self-join",
+    "q132_funnel_conversion" -> "ordered funnel: three chained MIN(CASE) windows SHARE one user-keyed exchange",
+    "q133_normalized_dedup" -> "normalized dedup: per-row canonicalization chain, everything downstream travels as md5; keeper via struct-MIN hash agg",
+    "q134_cohort_retention" -> "cohort retention: per-user window MIN cohorting (one exchange), bounded-key matrix agg, week-0 denominator windowed over the tiny matrix",
+    "q136_session_gaps_islands" -> "sessionization: lag + running-sum session ids inside ONE user-keyed window exchange; histogram agg on bounded keys",
+    "q137_centroid_pseudolabel" -> "pseudo-labeling: L-row centroid broadcast, map-side l2dist2_l scoring, argmin via struct-MIN hash agg (no per-vector window)",
+    "q138_bpe_merge_candidates" -> "BPE mining: corpus-sized work is ONE word hash agg; char-pair explosion runs over the distinct vocabulary only",
+    "q139_grouped_topk" -> "grouped top-k: partial ObjectHashAggregate holds a k-pair heap - the exchange carries <=k pairs per (group x split), no window sort",
+    "q140_join_skew_audit" -> "skew audit: two-level map-combinable hash aggregates per key column, 3-row report",
+    "q142_rag_chunk_retrieval" -> "RAG retrieval: map-only chunk explosion, query-term postings only through the shuffle, TakeOrderedAndProject top-10",
+    "q145_copair_mining" -> "co-pair mining: frequent-singleton broadcast prune hits the token stream map-side; pair explode over <=16 kept words per doc",
+    "q147_lsh_recall_eval" -> "recall eval: exact PPJoin truth + LSH detected pipelines, two bounded driver scalars, one-row report",
+    "q149_cdc_merge_census" -> "CDC merge: full-outer join on the merge key (the one shape MERGE cannot broadcast), 3-row census downstream",
+    "q150_curriculum_interleave" -> "curriculum: per-source bounded rank windows + CLOSED-FORM interleave position - no global sort anywhere",
+    "q151_matryoshka_energy" -> "matryoshka audit: map-only prefix dot_l self-products, one bounded-key agg")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")
