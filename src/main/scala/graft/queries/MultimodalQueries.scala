@@ -86,13 +86,49 @@ object MultimodalQueries {
       | CAST(SUM(CASE WHEN i % 3 = 0 THEN least(nb - i * 1000, 1000) ELSE 0 END) AS BIGINT) AS bytes_sampled
       |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q152
+  /** Audio windowed-energy extraction (graft.multimodal.Audio): every
+    * document wrapped as a REAL RIFF/WAVE PCM container, then decoded by
+    * parsing the bytes — magics, format tag, little-endian sample rate,
+    * data-chunk walk, s16le sample decode — and reduced to per-object
+    * windowed |amplitude| features. Sample values are a deterministic
+    * function of (doc_id, index), so the oracle replays the energy math
+    * arithmetically while Spark must EARN it through the byte parse (a
+    * wrong endianness or data offset fails this hash compare — the q63
+    * contract, audio edition). Map-only: synthesis, parse, and the
+    * window fold all happen per object with no shuffle before the
+    * presentation ordering. */
+  private val q152: Q = (s, d) => {
+    implicit val spark: SparkSession = s
+    graft.multimodal.Audio.features(
+      graft.multimodal.Audio.toAudio(Tables.documents(s, d)))
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  private val q152Sql =
+    """WITH t AS (SELECT doc_id, n_chars AS n,
+      |  8000 + (doc_id * 13) % 8001 AS sr FROM documents WHERE n_chars >= 1),
+      |s AS (SELECT doc_id, n, UNNEST(range(n)) AS i FROM t),
+      |v AS (SELECT doc_id, i // 64 AS w,
+      |  ABS((doc_id * 31 + i * 7) % 65536 - 32768) AS a FROM s),
+      |pw AS (SELECT doc_id, w, SUM(a) AS wa FROM v GROUP BY doc_id, w),
+      |agg AS (SELECT doc_id, CAST(SUM(wa) AS BIGINT) AS tot_abs,
+      |        CAST(MAX(wa) AS BIGINT) AS max_win_abs FROM pw GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(sr AS BIGINT) AS sample_rate,
+      | CAST(n AS BIGINT) AS n_samples, CAST((n + 63) // 64 AS BIGINT) AS n_windows,
+      | agg.tot_abs, agg.max_win_abs
+      |FROM t JOIN agg ON agg.doc_id = t.doc_id ORDER BY t.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q63_multimodal_features" -> q63,
     "q64_multimodal_meta_agg" -> q64,
-    "q79_frame_sample" -> q79)
+    "q79_frame_sample" -> q79,
+    "q152_audio_energy" -> q152)
 
   val oracle: Map[String, String] = Map(
     "q63_multimodal_features" -> q63Sql,
     "q64_multimodal_meta_agg" -> q64Sql,
-    "q79_frame_sample" -> q79Sql)
+    "q79_frame_sample" -> q79Sql,
+    "q152_audio_energy" -> q152Sql)
 }

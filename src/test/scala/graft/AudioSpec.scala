@@ -1,0 +1,63 @@
+package graft
+
+import graft.multimodal.Audio
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The WAV container must round-trip: parseWav(wavFor(...)) recovers the
+  * header fields and the exact sample formula; malformed containers must
+  * throw, not decode to garbage; the window fold must equal a scalar
+  * reference on awkward lengths. */
+class AudioSpec extends AnyFunSuite {
+
+  test("synthesize-parse roundtrip recovers rate and samples exactly") {
+    for (id <- Seq(0L, 1L, 17L, 4999L); n <- Seq(1, 63, 64, 65, 200)) {
+      val (sr, samples) = Audio.parseWav(Audio.wavFor(id, n))
+      assert(sr == Audio.sampleRateFor(id))
+      assert(samples.length == n)
+      (0 until n).foreach { i =>
+        assert(samples(i) == Audio.sampleAt(id, i.toLong), s"id=$id i=$i")
+      }
+    }
+  }
+
+  test("negative amplitudes survive the s16le encode/decode") {
+    // doc_id chosen so (31*id) % 65536 = 32705 sits just under the sign
+    // boundary: the +7i ramp crosses it at i=9, so both signs occur.
+    val (_, samples) = Audio.parseWav(Audio.wavFor(1055L, 500))
+    assert(samples.exists(_ < 0) && samples.exists(_ > 0))
+    assert(samples.forall(s => s >= -32768 && s <= 32767))
+  }
+
+  test("malformed containers throw instead of decoding to zeros") {
+    val good = Audio.wavFor(1L, 10)
+    intercept[IllegalArgumentException](Audio.parseWav(good.take(20)))
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    intercept[IllegalArgumentException](Audio.parseWav(badMagic))
+    val badBits = good.clone(); badBits(34) = 8.toByte
+    intercept[IllegalArgumentException](Audio.parseWav(badBits))
+    val shortData = good.clone()
+    // inflate declared data size beyond the container
+    shortData(40) = 0xff.toByte; shortData(41) = 0xff.toByte
+    intercept[IllegalArgumentException](Audio.parseWav(shortData))
+  }
+
+  test("window fold equals the scalar reference on awkward lengths") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val docs = Seq((1L, 63L), (2L, 64L), (3L, 65L), (4L, 200L))
+      .toDF("doc_id", "n_chars")
+    val got = Audio.features(Audio.toAudio(docs)).collect()
+      .map(f => f.doc_id -> f).toMap
+    docs.collect().foreach { r =>
+      val (id, n) = (r.getLong(0), r.getLong(1).toInt)
+      val abs = (0 until n).map(i => math.abs(Audio.sampleAt(id, i.toLong).toLong))
+      val wins = abs.grouped(Audio.WindowSamples).map(_.sum).toSeq
+      val f = got(id)
+      assert(f.n_samples == n && f.n_windows == wins.size)
+      assert(f.tot_abs == abs.sum && f.max_win_abs == wins.max,
+        s"doc $id windowed fold mismatch")
+      assert(f.sample_rate == Audio.sampleRateFor(id))
+    }
+  }
+}
