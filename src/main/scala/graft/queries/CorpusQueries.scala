@@ -1024,7 +1024,83 @@ object CorpusQueries {
       | source, doc_id, rank_in_source
       |FROM r CROSS JOIN n ORDER BY train_pos LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- q153
+  /** Fill-in-the-middle (FIM) transformation — the code-model pretraining
+    * reorder: each document is split at deterministic token cut points
+    * (n/3 and 2n/3, integer div) into prefix/middle/suffix and re-emitted
+    * as <PRE>prefix<SUF>suffix<MID>middle, the PSM layout. Pure per-row
+    * string surgery — map-only, no shuffle before the presentation
+    * ordering; at 100 TB this is one codegen projection stage riding the
+    * same scan as tokenization. The rebuilt text travels as md5 (the
+    * q112 discipline), with cut sizes exposed so the oracle's arithmetic
+    * replay pins both the split points and the reassembly order. */
+  private val q153: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"),
+        expr("size(toks) div 3").as("c1"), expr("2 * size(toks) div 3").as("c2"),
+        col("toks"))
+      .select(col("doc_id"), col("n_toks"),
+        col("c1").cast("long").as("n_prefix"),
+        (col("c2") - col("c1")).cast("long").as("n_middle"),
+        (col("n_toks") - col("c2")).cast("long").as("n_suffix"),
+        md5(concat(lit("<PRE>"),
+          array_join(expr("slice(toks, 1, c1)"), " "), lit("<SUF>"),
+          array_join(expr("slice(toks, c2 + 1, size(toks) - c2)"), " "), lit("<MID>"),
+          array_join(expr("slice(toks, c1 + 1, c2 - c1)"), " "))).as("fim_md5"))
+      .orderBy(col("doc_id"))
+
+  private val q153Sql =
+    """WITH t AS (SELECT doc_id,
+      |  list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+      |c AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+      |  len(toks) // 3 AS c1, 2 * len(toks) // 3 AS c2 FROM t)
+      |SELECT doc_id, n AS n_toks,
+      | CAST(c1 AS BIGINT) AS n_prefix, CAST(c2 - c1 AS BIGINT) AS n_middle,
+      | CAST(n - c2 AS BIGINT) AS n_suffix,
+      | md5('<PRE>' || array_to_string(list_slice(toks, 1, c1), ' ')
+      |  || '<SUF>' || array_to_string(list_slice(toks, c2 + 1, n), ' ')
+      |  || '<MID>' || array_to_string(list_slice(toks, c1 + 1, c2), ' ')) AS fim_md5
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q154
+  /** Tokenizer fertility audit per language — the multilingual-fairness
+    * metric: how many subword pieces the q118 BPE-piece estimate
+    * (ceil(len/4) per word) spends per whitespace word, by language. A
+    * language with systematically higher fertility pays more sequence
+    * length for the same content — the number tokenizer-vocabulary
+    * rebalancing decisions are made on. Integer-exact: per-doc piece and
+    * word counts are exact sums, the per-language fertility is one ppm
+    * integer division; one map pass + one bounded-key agg (≤ n_langs). */
+  private val q154: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("lang"),
+        expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
+      .select(col("lang"), size(col("toks")).cast("long").as("n_words"),
+        expr("aggregate(toks, 0L, (acc, x) -> acc + (length(x) + 3) div 4)")
+          .as("n_pieces"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("words"),
+        sum(col("n_pieces")).as("pieces"),
+        expr("CAST(sum(n_pieces) * 1000000 div sum(n_words) AS BIGINT)")
+          .as("fertility_ppm"))
+      .orderBy(col("lang"))
+
+  private val q154Sql =
+    """WITH w AS (SELECT doc_id, lang, UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      | FROM documents),
+      |p AS (SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+      |  CAST(SUM((length(w) + 3) // 4) AS BIGINT) AS n_pieces
+      | FROM w GROUP BY doc_id, lang)
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      | CAST(SUM(n_words) AS BIGINT) AS words, CAST(SUM(n_pieces) AS BIGINT) AS pieces,
+      | CAST(CAST(SUM(n_pieces) AS BIGINT) * 1000000 // CAST(SUM(n_words) AS BIGINT) AS BIGINT) AS fertility_ppm
+      |FROM p GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q153_fim_transform" -> q153,
+    "q154_tokenizer_fertility" -> q154,
     "q150_curriculum_interleave" -> q150,
     "q148_score_calibration" -> q148,
     "q142_rag_chunk_retrieval" -> q142,
@@ -1048,6 +1124,8 @@ object CorpusQueries {
     "q100_substring_windows" -> q100)
 
   val oracle: Map[String, String] = Map(
+    "q153_fim_transform" -> q153Sql,
+    "q154_tokenizer_fertility" -> q154Sql,
     "q150_curriculum_interleave" -> q150Sql,
     "q148_score_calibration" -> q148Sql,
     "q142_rag_chunk_retrieval" -> q142Sql,
