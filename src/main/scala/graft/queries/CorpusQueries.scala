@@ -1098,7 +1098,85 @@ object CorpusQueries {
       | CAST(CAST(SUM(n_pieces) AS BIGINT) * 1000000 // CAST(SUM(n_words) AS BIGINT) AS BIGINT) AS fertility_ppm
       |FROM p GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q155
+  /** Within-document self-repetition removal (the intra-page dedup step
+    * of CCNet/Dolma-style cleaning, complementing q112's CROSS-document
+    * span dedup): each document is cut into consecutive 8-token blocks,
+    * duplicate blocks collapse to their first occurrence, and the
+    * document is rebuilt in order — md5-checked byte-for-byte. The
+    * corpus has no aligned self-repeats, so every 4th document gets its
+    * own first 8 tokens PREPENDED (making block 0 == block 1 by
+    * construction — both engines replay the injection), proving removal
+    * actually fires. Spark's `array_distinct` preserves first-occurrence
+    * order, so the whole operator is per-row array surgery — map-only,
+    * no explode, no shuffle; the oracle reconstructs via min-index
+    * grouping + ordered string_agg. */
+  private val q155: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
+      .filter(size(col("toks")) >= 8)
+      .withColumn("toks", when(col("doc_id") % 4 === 0,
+        expr("concat(slice(toks, 1, 8), toks)")).otherwise(col("toks")))
+      .select(col("doc_id"), expr(
+        "transform(sequence(0, CAST((size(toks) + 7) div 8 AS INT) - 1)," +
+          " i -> array_join(slice(toks, i * 8 + 1, 8), ' '))").as("blocks"))
+      .select(col("doc_id"), size(col("blocks")).cast("long").as("n_blocks"),
+        size(array_distinct(col("blocks"))).cast("long").as("n_kept"),
+        md5(array_join(array_distinct(col("blocks")), " ")).as("rebuilt_md5"))
+      .orderBy(col("doc_id"))
+
+  private val q155Sql =
+    """WITH t0 AS (SELECT doc_id,
+      |  list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+      |t AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0
+      |         THEN list_concat(list_slice(toks, 1, 8), toks) ELSE toks END AS toks
+      |      FROM t0 WHERE len(toks) >= 8),
+      |b AS (SELECT doc_id, toks, UNNEST(range((len(toks) + 7) // 8)) AS i FROM t),
+      |blk AS (SELECT doc_id, i,
+      |  array_to_string(list_slice(toks, i * 8 + 1, i * 8 + 8), ' ') AS btxt FROM b),
+      |k AS (SELECT doc_id, btxt, MIN(i) AS fi FROM blk GROUP BY doc_id, btxt),
+      |r AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |  md5(string_agg(btxt, ' ' ORDER BY fi)) AS rebuilt_md5 FROM k GROUP BY doc_id),
+      |nb AS (SELECT doc_id, CAST((len(toks) + 7) // 8 AS BIGINT) AS n_blocks FROM t)
+      |SELECT nb.doc_id, nb.n_blocks, r.n_kept, r.rebuilt_md5
+      |FROM nb JOIN r ON r.doc_id = nb.doc_id ORDER BY nb.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q156
+  /** Padding-waste planning: for candidate context-window sizes, what
+    * fraction of every batch would be pad tokens if each document were
+    * windowed alone — the audit that motivates sequence packing (q92) and
+    * picks its window size. Per (doc, W): ceil(n/W) windows and
+    * ceil(n/W)·W − n pad tokens, all exact integer arithmetic; the W axis
+    * is a 3-element literal explode, so the whole query is one map stage
+    * + one 3-key hash agg at any corpus size. */
+  private val q156: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(expr("CAST(size(filter(split(text, ' '), x -> x <> '')) AS BIGINT)").as("n"))
+      .select(col("n"), explode(expr("array(16L, 32L, 64L)")).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("(n + w - 1) div w")).as("n_windows"),
+        sum(expr("((n + w - 1) div w) * w - n")).as("pad_tokens"))
+      .select(col("w"), col("n_docs"), col("n_windows"), col("pad_tokens"),
+        expr("CAST(pad_tokens * 1000000 div (n_windows * w) AS BIGINT)").as("pad_ppm"))
+      .orderBy(col("w"))
+
+  private val q156Sql =
+    """WITH n AS (SELECT CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n
+      | FROM documents),
+      |x AS (SELECT n, UNNEST([CAST(16 AS BIGINT), CAST(32 AS BIGINT), CAST(64 AS BIGINT)]) AS w FROM n),
+      |g AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM((n + w - 1) // w) AS BIGINT) AS n_windows,
+      |  CAST(SUM(((n + w - 1) // w) * w - n) AS BIGINT) AS pad_tokens
+      | FROM x GROUP BY w)
+      |SELECT w, n_docs, n_windows, pad_tokens,
+      | CAST(pad_tokens * 1000000 // (n_windows * w) AS BIGINT) AS pad_ppm
+      |FROM g ORDER BY w""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q155_selfrep_block_dedup" -> q155,
+    "q156_padding_waste" -> q156,
     "q153_fim_transform" -> q153,
     "q154_tokenizer_fertility" -> q154,
     "q150_curriculum_interleave" -> q150,
@@ -1124,6 +1202,8 @@ object CorpusQueries {
     "q100_substring_windows" -> q100)
 
   val oracle: Map[String, String] = Map(
+    "q155_selfrep_block_dedup" -> q155Sql,
+    "q156_padding_waste" -> q156Sql,
     "q153_fim_transform" -> q153Sql,
     "q154_tokenizer_fertility" -> q154Sql,
     "q150_curriculum_interleave" -> q150Sql,
