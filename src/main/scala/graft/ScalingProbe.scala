@@ -145,6 +145,26 @@ object ScalingProbe {
     val q124Feats = SparkEntry.queries("q124_dsir_importance")(spark, sfDir)
       .agg(coalesce(sum(col("n_feats")), lit(0L))).head().getLong(0)
 
+    // q133: distinct normalized-fingerprint groups — the keeper-join's
+    // build side. Grows ~linearly on any corpus whose duplicate rate is
+    // stable; a sub-linear bend here just means MORE dedup work saved.
+    val q133Groups = SparkEntry.queries("q133_normalized_dedup")(spark, sfDir)
+      .agg(coalesce(sum(col("n_norm_distinct")), lit(0L))).head().getLong(0)
+
+    // q145: pair rows entering the support aggregate — Σ_docs C(k_d, 2)
+    // with k_d ≤ 16 enforced by the frequent-singleton prune, so the
+    // volume must stay ~linear in docs regardless of vocabulary growth.
+    val toks145 = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        array_distinct(expr("filter(split(text, ' '), x -> x <> '')")).as("ws"))
+    val fw145 = toks145.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("w")).limit(16).select(col("w"))
+    val q145Pairs = toks145.select(col("doc_id"), explode(col("ws")).as("w"))
+      .join(broadcast(fw145), Seq("w"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("k"))
+      .agg(coalesce(sum(expr("k * (k - 1) div 2")), lit(0L))).head().getLong(0)
+
     println(s"""{"sf":"$sfDir","docs":$nDocs,"shingles":$totShingles,""" +
       s""""q86_cand":$q86Cand,"q86_pairs":$q86Pairs,""" +
       s""""q103_cand":$q103Cand,"q103_pairs":$q103Pairs,""" +
@@ -155,7 +175,8 @@ object ScalingProbe {
       s""""q112_spans":$q112Spans,"q112_kept":$q112Kept,""" +
       s""""q113_pairvol":$q113PairVol,""" +
       s""""q120_chunks":$q120Chunks,"q121_scored":$q121Scored,""" +
-      s""""q123_cand":$q123Cand,"q124_feats":$q124Feats}""")
+      s""""q123_cand":$q123Cand,"q124_feats":$q124Feats,""" +
+      s""""q133_groups":$q133Groups,"q145_pairs":$q145Pairs}""")
     spark.stop()
   }
 }
