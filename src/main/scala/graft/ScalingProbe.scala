@@ -154,14 +154,10 @@ object ScalingProbe {
     // q145: pair rows entering the support aggregate — Σ_docs C(k_d, 2)
     // with k_d ≤ 16 enforced by the frequent-singleton prune, so the
     // volume must stay ~linear in docs regardless of vocabulary growth.
-    val toks145 = Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        array_distinct(expr("filter(split(text, ' '), x -> x <> '')")).as("ws"))
-    val fw145 = toks145.select(explode(col("ws")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("df"))
-      .orderBy(col("df").desc, col("w")).limit(16).select(col("w"))
-    val q145Pairs = toks145.select(col("doc_id"), explode(col("ws")).as("w"))
-      .join(broadcast(fw145), Seq("w"))
+    // Derived from the query's OWN kept-token pipeline (shared helper),
+    // so the counter cannot drift from what q145 actually runs.
+    val q145Pairs = queries.TextQueries
+      .frequentTokenStream(Tables.documents(spark, sfDir))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("k"))
       .agg(coalesce(sum(expr("k * (k - 1) div 2")), lit(0L))).head().getLong(0)
 

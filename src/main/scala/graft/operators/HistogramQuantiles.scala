@@ -24,8 +24,10 @@ import org.apache.spark.sql.functions._
   *     residual rank, and narrows the interval; a bucket of width 1 is the
   *     answer.
   *
-  * With B=1024, a 64-bit range resolves in ≤7 scans; money-sized ranges
-  * (≤2³⁴ cents) in ≤4. Skew-immune (no key ever shuffles), spill-immune
+  * With B=1024, a range spanning up to Long.MaxValue−1 resolves in ≤7
+  * scans (spans are signed-Long arithmetic, so a data range of the FULL
+  * 2⁶⁴ domain is rejected up front — see the require below); money-sized
+  * ranges (≤2³⁴ cents) in ≤4. Skew-immune (no key ever shuffles), spill-immune
   * (state is T·B counters), and every pass is one WholeStageCodegen scan.
   * The driver-side state is O(targets · B) longs — bounded like the KMeans
   * centroid collect (KMeansLloyd.scala), not data-sized.
@@ -50,6 +52,14 @@ object HistogramQuantiles {
     if (seed.getLong(2) == 0L) return Seq.empty
     val (gLo, gHi, n) = (seed.getLong(0), seed.getLong(1), seed.getLong(2))
     ranks.foreach(k => require(k >= 1 && k <= n, s"rank $k outside [1, $n]"))
+    // Fail fast, not hang: the interval arithmetic below computes signed
+    // spans (hi - lo + 1), which wraps when the data range exceeds
+    // Long.MaxValue - 1 (e.g. values at both ±2⁶²). A wrapped span makes
+    // the refinement walk diverge; real monetary/count/ppm columns are
+    // orders of magnitude inside the bound. Callers with genuinely full
+    // 64-bit ranges should pre-shift or split the domain.
+    require(gHi - gLo >= 0 && gHi - gLo < Long.MaxValue,
+      s"value range [$gLo, $gHi] too wide for signed span arithmetic")
 
     // per-target state: interval [lo, hi] and residual rank within it
     final case class T(lo: Long, hi: Long, r: Long)

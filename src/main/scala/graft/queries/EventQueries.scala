@@ -475,11 +475,19 @@ object EventQueries {
     val cents = Tables.events(s, d)
       .select((money(col("value")) * 100).cast("long").as("cents"))
     val n = cents.count()
-    val ranks = Seq((n + 3) / 4, (n + 1) / 2, (3 * n + 3) / 4)
-    val qs = graft.operators.HistogramQuantiles
-      .orderStatistics(cents, "cents", ranks)
-    Seq((qs(0) / 100.0, qs(1) / 100.0, qs(2) / 100.0, n))
-      .toDF("p25", "p50", "p75", "n")
+    // Degenerate-input parity: the oracle's aggregate over zero rows is
+    // one row of NULL quantiles with n=0, so the engine must emit the
+    // same shape instead of indexing into an empty result.
+    if (n == 0L) {
+      Seq((Option.empty[Double], Option.empty[Double], Option.empty[Double], 0L))
+        .toDF("p25", "p50", "p75", "n")
+    } else {
+      val ranks = Seq((n + 3) / 4, (n + 1) / 2, (3 * n + 3) / 4)
+      val qs = graft.operators.HistogramQuantiles
+        .orderStatistics(cents, "cents", ranks)
+      Seq((qs(0) / 100.0, qs(1) / 100.0, qs(2) / 100.0, n))
+        .toDF("p25", "p50", "p75", "n")
+    }
   }
 
   private val q129Sql =

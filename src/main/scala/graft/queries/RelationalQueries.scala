@@ -964,7 +964,13 @@ object RelationalQueries {
           max(col("f")).as("max_freq"))
         .select(lit(tag).as("key_col"), col("n_rows"), col("n_keys"), col("max_freq"),
           expr("max_freq * 1000000 div n_rows").as("top_share_ppm"),
-          expr("max_freq * n_keys * 100 div n_rows").as("skew_x100"))
+          // skew vs the TRUNCATED integer mean frequency (n_rows div
+          // n_keys >= 1 since every key has >=1 row): max_freq*100/avg
+          // peaks at ~1e11 where the algebraically-equal
+          // max_freq*n_keys*100/n_rows form overflows Long (wrapping
+          // silently on Spark, raising on DuckDB) exactly at the billions-
+          // of-keys scale this audit targets.
+          expr("max_freq * 100 div (n_rows div n_keys)").as("skew_x100"))
     audit(Tables.lineitem(s, d), "l_partkey", "lineitem.l_partkey")
       .unionByName(audit(Tables.orders(s, d), "o_custkey", "orders.o_custkey"))
       .unionByName(audit(Tables.events(s, d), "user_id", "events.user_id"))
@@ -977,7 +983,7 @@ object RelationalQueries {
          | CAST(SUM(f) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_keys,
          | CAST(MAX(f) AS BIGINT) AS max_freq,
          | CAST(MAX(f) * 1000000 // CAST(SUM(f) AS BIGINT) AS BIGINT) AS top_share_ppm,
-         | CAST(MAX(f) * COUNT(*) * 100 // CAST(SUM(f) AS BIGINT) AS BIGINT) AS skew_x100
+         | CAST(MAX(f) * 100 // (CAST(SUM(f) AS BIGINT) // COUNT(*)) AS BIGINT) AS skew_x100
          |FROM (SELECT COUNT(*) AS f FROM $table GROUP BY $key)""".stripMargin
     s"""SELECT * FROM (
        |${audit("lineitem", "l_partkey")}
@@ -1004,10 +1010,15 @@ object RelationalQueries {
     val cur = Tables.orders(s, d)
       .select(col("o_orderkey").as("key"),
         (money(col("o_totalprice")) * 100).cast("long").as("price_cents"))
+    // Insert keys are NEGATED (−key−1): o_orderkey is strictly positive at
+    // every scale factor, so synthetic inserts can never collide with a
+    // real key — a fixed additive offset would start colliding (and
+    // silently double-count the census in BOTH engines) once orderkeys
+    // pass the offset.
     val upd = cur.filter(col("key") % 7 === 0)
       .select(col("key"), (col("price_cents") + 500L).as("price_cents"))
       .unionByName(cur.filter(col("key") % 11 === 0)
-        .select((col("key") + 10000000L).as("key"), lit(999L).as("price_cents")))
+        .select((-col("key") - 1L).as("key"), lit(999L).as("price_cents")))
     cur.select(col("key"), col("price_cents").as("old_p"))
       .join(upd.select(col("key"), col("price_cents").as("new_p")),
         Seq("key"), "full_outer")
@@ -1028,7 +1039,7 @@ object RelationalQueries {
       |upd AS (
       | SELECT key, price_cents + 500 AS price_cents FROM cur WHERE key % 7 = 0
       | UNION ALL
-      | SELECT key + 10000000 AS key, 999 AS price_cents FROM cur WHERE key % 11 = 0),
+      | SELECT -key - 1 AS key, 999 AS price_cents FROM cur WHERE key % 11 = 0),
       |m AS (SELECT
       |  CASE WHEN u.key IS NULL THEN 'unchanged'
       |       WHEN c.key IS NULL THEN 'inserted'

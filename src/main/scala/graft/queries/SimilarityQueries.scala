@@ -570,6 +570,11 @@ object SimilarityQueries {
   private val q131: Q = (s, d) => {
     VectorOps.register(s)
     Tables.embeddings(s, d)
+      // domain parity with the oracle: its UNNEST-derived per-vector CTEs
+      // have no rows for a zero-length vector, so the inner join would
+      // drop it there while the kernel path counts it here — exclude
+      // empties identically on both sides.
+      .filter(size(col("embedding")) > 0)
       .select(col("label"),
         expr("int8_err_nanos(embedding)").as("err_nanos"),
         floor(expr("absmax_f(embedding)") * lit(1e9) + lit(0.5)).cast("long").as("scale_nanos"),
@@ -585,7 +590,8 @@ object SimilarityQueries {
   }
 
   private val q131Sql =
-    """WITH u AS (SELECT vec_id, label, UNNEST(embedding) AS x FROM embeddings),
+    """WITH em0 AS (SELECT * FROM embeddings WHERE len(embedding) > 0),
+      |u AS (SELECT vec_id, label, UNNEST(embedding) AS x FROM em0),
       |s AS (SELECT vec_id, MAX(ABS(CAST(x AS DOUBLE))) AS scale FROM u GROUP BY vec_id),
       |e AS (SELECT u.vec_id,
       |   CASE WHEN s.scale = 0 THEN 0 ELSE
@@ -600,7 +606,7 @@ object SimilarityQueries {
       | CAST(SUM(v.err_nanos) AS BIGINT) AS tot_err_nanos,
       | ROUND(CAST(SUM(v.err_nanos) AS DOUBLE) / SUM(v.dim) / 1e9, 6) AS mean_abs_err,
       | ROUND(SUM(CAST(FLOOR(s.scale * 1e9 + 0.5) AS BIGINT)) / CAST(COUNT(*) AS DOUBLE) / 1e9, 6) AS avg_scale
-      |FROM embeddings em
+      |FROM em0 em
       | JOIN s ON s.vec_id = em.vec_id
       | JOIN v ON v.vec_id = em.vec_id
       |GROUP BY em.label ORDER BY em.label""".stripMargin
@@ -622,7 +628,10 @@ object SimilarityQueries {
     * and never shuffled by vector. */
   private val q137: Q = (s, d) => {
     VectorOps.register(s)
+    // empty-vector rows are excluded on both engines (q131 domain-parity
+    // note: the oracle's UNNEST centroid/distance CTEs cannot see them)
     val q = Tables.embeddings(s, d)
+      .filter(size(col("embedding")) > 0)
       .select(col("vec_id"), col("label").cast("long").as("label"),
         KMeansLloyd.quantize("embedding").as("qvec"))
     val cent = KMeansLloyd.localize(
@@ -643,7 +652,7 @@ object SimilarityQueries {
     """WITH q AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
       |    list_transform(embedding,
       |      x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)) AS qvec
-      |  FROM embeddings),
+      |  FROM embeddings WHERE len(embedding) > 0),
       |sd AS (SELECT * FROM q WHERE vec_id % 10 = 0),
       |u AS (SELECT label, generate_subscripts(qvec, 1) AS pos, UNNEST(qvec) AS v FROM sd),
       |cm AS (SELECT label, pos, SUM(v) // COUNT(*) AS m FROM u GROUP BY label, pos),
@@ -671,6 +680,8 @@ object SimilarityQueries {
   private val q151: Q = (s, d) => {
     VectorOps.register(s)
     Tables.embeddings(s, d)
+      // q131 domain-parity note: exclude empty vectors on both engines
+      .filter(size(col("embedding")) > 0)
       .select(col("label").cast("long").as("label"),
         KMeansLloyd.quantize("embedding").as("qv"))
       .select(col("label"), expr("dot_l(qv, qv)").as("full2"),
@@ -693,7 +704,7 @@ object SimilarityQueries {
     """WITH q AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
       |  list_transform(embedding,
       |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)) AS qv
-      | FROM embeddings),
+      | FROM embeddings WHERE len(embedding) > 0),
       |u AS (SELECT vec_id, label, generate_subscripts(qv, 1) AS pos, UNNEST(qv) AS v FROM q),
       |e AS (SELECT vec_id, label,
       |  CAST(SUM(v * v) AS BIGINT) AS full2,

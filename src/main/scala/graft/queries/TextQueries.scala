@@ -814,16 +814,24 @@ object TextQueries {
     * pair generator is an index-lambda transform over the kept array (no
     * self-join); the oracle's doc-level self-join is the quadratic
     * witness proving result-invariance. */
-  private val q145: Q = (s, d) => {
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"),
-        array_distinct(expr("filter(split(text, ' '), x -> x <> '')")).as("ws"))
+  /** q145's kept-token stream — distinct words per doc, filtered to the
+    * top-`k` document-frequency singletons (the A-Priori prune, broadcast
+    * map-side). PUBLIC and shared with [[graft.ScalingProbe]] so the
+    * probed pair volume is derived from the query's own pipeline rather
+    * than a copy that could silently drift from it. */
+  def frequentTokenStream(docs: DataFrame, k: Int = 16): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      array_distinct(expr("filter(split(text, ' '), x -> x <> '')")).as("ws"))
     val fw = toks.select(explode(col("ws")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("df"))
-      .orderBy(col("df").desc, col("w")).limit(16)
+      .orderBy(col("df").desc, col("w")).limit(k)
       .select(col("w"))
     toks.select(col("doc_id"), explode(col("ws")).as("w"))
       .join(broadcast(fw), Seq("w"))
+  }
+
+  private val q145: Q = (s, d) => {
+    frequentTokenStream(Tables.documents(s, d))
       .groupBy(col("doc_id")).agg(sort_array(collect_list(col("w"))).as("ks"))
       .select(explode(expr(
         "flatten(transform(ks, (x, i) -> transform(slice(ks, i + 2, size(ks)), y -> struct(x AS a, y AS b))))")).as("p"))

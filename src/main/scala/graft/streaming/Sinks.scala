@@ -171,6 +171,11 @@ object Sinks {
     * their own posts instead of duplicating them. */
   final case class JsonlFileHec(dir: String, postTag: String) extends HecTransport {
     override def post(partitionId: Int, chunkNo: Int, lines: Seq[String]): Unit = {
+      // Create the target dir here, not only in writeSplunk: a transport
+      // constructed directly for writeSplunkVia against a fresh dir would
+      // otherwise throw NoSuchFileException inside the per-chunk catch,
+      // which reads as a transport 503 and silently drops EVERY chunk.
+      Files.createDirectories(Paths.get(dir))
       val path = Paths.get(dir, f"post-$postTag-$partitionId%05d-$chunkNo%05d.jsonl")
       Files.write(path, lines.mkString("\n").getBytes(StandardCharsets.UTF_8),
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
