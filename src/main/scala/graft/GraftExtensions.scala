@@ -100,6 +100,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("nfc_normalize"),
       info("nfc_normalize", "nfc_normalize(text) - Unicode canonical composition (NFC)"),
       (es: Seq[Expression]) => NfcNormalize(es.head)))
+    ext.injectFunction((FunctionIdentifier("norm_ascii"),
+      info("norm_ascii",
+        "norm_ascii(text) - one-pass lowercase/strip-punct/collapse-ws/trim canonicalization"),
+      (es: Seq[Expression]) => NormAscii(es.head)))
     ext.injectFunction((FunctionIdentifier("weighted_avg_cents"),
       info("weighted_avg_cents",
         "weighted_avg_cents(cents, w) - exact weighted mean in currency units"),

@@ -51,8 +51,66 @@ case class NfcNormalize(child: Expression)
     copy(child = newChild)
 }
 
+/** Single-pass aggressive ASCII normalization shared by the eval and
+  * codegen paths of [[NormAscii]].
+  *
+  * Semantics contract (pinned by NormAsciiSpec against the declarative
+  * chain INSIDE Spark): identical output to
+  * `trim(regexp_replace(regexp_replace(lower(s), '[^a-z0-9 ]', ''), ' +', ' '))`
+  * — lowercase, strip non-[a-z0-9 ], collapse space runs, trim. The chain
+  * is four allocating string passes per row; this is one pass with one
+  * output buffer, which matters because normalization-dedup (q133) runs it
+  * over every byte of the corpus — the chain was the dominant cost of the
+  * q133 scan at sf1.
+  */
+object AsciiNormKernel {
+  def normalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val n = str.length
+    val out = new java.lang.StringBuilder(n)
+    var pendingSpace = false
+    var i = 0
+    while (i < n) {
+      val c = Character.toLowerCase(str.charAt(i))
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        if (pendingSpace && out.length > 0) out.append(' ')
+        pendingSpace = false
+        out.append(c)
+      } else if (c == ' ') {
+        pendingSpace = true
+      }
+      i += 1
+    }
+    UTF8String.fromString(out.toString)
+  }
+}
+
+/** `norm_ascii(text) -> string`: one-pass lowercase / strip-punctuation /
+  * collapse-whitespace / trim canonicalization (the q133 "fuzzy exact"
+  * dedup key). The oracle keeps the regexp formulation — hash equality is
+  * the cross-engine proof. */
+case class NormAscii(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "norm_ascii"
+
+  override def nullSafeEval(input: Any): Any =
+    AsciiNormKernel.normalize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.AsciiNormKernel.normalize($x);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object UnicodeKernels {
-  /** Register `nfc_normalize` for expr()/SQL use. */
-  def register(spark: SparkSession): Unit =
+  /** Register `nfc_normalize` / `norm_ascii` for expr()/SQL use. */
+  def register(spark: SparkSession): Unit = {
     RegisterOnce(spark, "nfc_normalize") { case Seq(t) => NfcNormalize(t) }
+    RegisterOnce(spark, "norm_ascii") { case Seq(t) => NormAscii(t) }
+  }
 }

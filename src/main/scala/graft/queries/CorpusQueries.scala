@@ -696,6 +696,11 @@ object CorpusQueries {
     * Keeper = min doc_id per normalized group, extracted in the same agg
     * as a struct MIN — no per-group window. */
   private val q133: Q = (s, d) => {
+    // canonicalization = the one-pass norm_ascii codegen kernel
+    // (functions/AsciiNormKernel, semantics == the lower/strip/collapse/
+    // trim regexp chain, pinned by NormAsciiSpec; the chain's four
+    // allocating passes were the dominant cost of this scan at sf1)
+    graft.functions.UnicodeKernels.register(s)
     val n = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), col("text"))
       .withColumn("m", when(col("doc_id") % 3 === 0, upper(col("text")))
@@ -705,8 +710,7 @@ object CorpusQueries {
       .withColumn("m", when(col("doc_id") % 5 === 0, expr("replace(m, ' ', '  ')"))
         .otherwise(col("m")))
       .select(col("doc_id"), col("source"), md5(col("m")).as("exact_fp"),
-        md5(trim(regexp_replace(regexp_replace(lower(col("m")),
-          "[^a-z0-9 ]", ""), " +", " "))).as("norm_fp"))
+        md5(expr("norm_ascii(m)")).as("norm_fp"))
     val perSource = n.groupBy(col("source")).agg(
       count(lit(1)).as("n_docs"),
       countDistinct(col("exact_fp")).as("n_exact_distinct"),
