@@ -62,6 +62,15 @@ case class NfcNormalize(child: Expression)
   * output buffer, which matters because normalization-dedup (q133) runs it
   * over every byte of the corpus — the chain was the dominant cost of the
   * q133 scan at sf1.
+  *
+  * LOCALE: this kernel lowercases per-character with the locale-independent
+  * `Character.toLowerCase` — matching DuckDB's locale-independent `lower()`,
+  * which is the behavior the cross-engine hash compare needs. The Spark
+  * chain above lowercases via the JVM DEFAULT locale (`String.toLowerCase`),
+  * so the kernel==chain equivalence contract assumes a Locale.ROOT-like
+  * default (on a Turkish-locale JVM the chain turns 'I' into dotless 'ı',
+  * which this kernel keeps as 'i'). NormAsciiSpec pins Locale.ROOT for the
+  * equivalence check; the kernel side is the canonical behavior.
   */
 object AsciiNormKernel {
   def normalize(s: UTF8String): UTF8String = {

@@ -51,6 +51,11 @@ object Audio {
 
   /** Canonical 44-byte PCM WAV container with n s16le mono samples. */
   def wavFor(docId: Long, nSamples: Int): Array[Byte] = {
+    // dataBytes = nSamples * 2 in Int: reject sizes that would wrap to a
+    // negative count and surface later as a confusing parseWav overrun
+    // (the Multimodal.scala explicit len.toInt overflow-handling contract).
+    require(nSamples >= 0 && nSamples <= (Int.MaxValue - 44) / 2,
+      s"audio object too large: $nSamples samples overflows the container size")
     val sr = sampleRateFor(docId)
     val dataBytes = nSamples * 2
     val b = new java.io.ByteArrayOutputStream(44 + dataBytes)
@@ -104,7 +109,13 @@ object Audio {
     docs.select(col("doc_id"), col("n_chars"))
       .filter(col("n_chars") >= 1)
       .as[(Long, Long)]
-      .mapPartitions(_.map { case (id, n) => AudioRecord(id, wavFor(id, n.toInt)) })
+      .mapPartitions(_.map { case (id, n) =>
+        // guard BEFORE the silent n.toInt truncation — a >2^31-char doc
+        // must fail loudly here, not wrap into a malformed container
+        require(n <= (Int.MaxValue - 44) / 2,
+          s"doc $id: $n chars exceeds the single-object WAV capacity")
+        AudioRecord(id, wavFor(id, n.toInt))
+      })
   }
 
   /** Decode + windowed energy: per object, total |amplitude| and the

@@ -28,12 +28,11 @@ import org.apache.spark.sql.functions._
   * Scale shape: one iteration = join(ranks, edges) on src (shuffle keyed
   * on the node id) + hash-aggregate on dst — the canonical distributed
   * PageRank step, 2 bounded-key shuffles per round, nothing driver-side.
-  * `edges` and the out-degree frame are computed once and localCheckpointed
-  * (the ConnectedComponents discipline: eager materialization so the k-th
-  * iteration's plan does not embed k join trees), each iteration's rank
-  * frame replaces the last, and every intermediate block this call pinned
-  * is unpersisted explicitly before returning — only the final rank
-  * frame's own checkpoint survives.
+  * `edges` and the node list are localCheckpointed LAZILY (plan truncation
+  * without a standalone materialization job — blocks fill in during the one
+  * convergence action), each iteration's rank frame replaces the last, and
+  * every intermediate block this call pinned is unpersisted explicitly
+  * before returning — only the final rank frame's own checkpoint survives.
   */
 object PageRankInt {
 
@@ -49,26 +48,41 @@ object PageRankInt {
   def run(edges: DataFrame, iters: Int, checkpointInterval: Int = 5): DataFrame = {
     require(iters >= 1, s"need >=1 iteration, got $iters")
     require(checkpointInterval >= 1, s"bad checkpointInterval $checkpointInterval")
-    // Track which block-manager entries THIS call creates, so every
-    // intermediate checkpoint (edge list, node list, mid-run rank frames)
-    // can be released explicitly before returning — the ConnectedComponents
-    // persist/unpersist discipline. Waiting for GC + ContextCleaner is not
-    // enough: sf1 honest benching measured back-to-back q126 passes
-    // degrading 5 s → 40 s as ~GBs of dead checkpoint blocks from earlier
-    // passes crowded the block manager before the cleaner caught up.
+    // Track EXACTLY which block-manager entries THIS call creates (delta of
+    // getPersistentRDDs around each localCheckpoint, not one global diff at
+    // the end), so every intermediate block (edge list, node list, mid-run
+    // rank frames) can be released explicitly before returning without ever
+    // touching an RDD some other computation on the shared context pinned.
+    // Waiting for GC + ContextCleaner is not enough: sf1 honest benching
+    // measured back-to-back q126 passes degrading 5 s → 40 s as ~GBs of
+    // dead checkpoint blocks crowded the block manager before the cleaner
+    // caught up.
     val sc = edges.sparkSession.sparkContext
-    val pinnedBefore = sc.getPersistentRDDs.keySet
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .localCheckpoint(true)
+    val mine = scala.collection.mutable.LinkedHashSet[Int]()
+    var lastCkpt: Set[Int] = Set.empty
+    // Lazy (eager = false) checkpoints: the plan is truncated to a
+    // LogicalRDD immediately (bounded plan depth + self-join safety), but
+    // materialization folds into whatever action consumes the frame — no
+    // standalone eager job per truncation. At q126's iteration count the
+    // whole run is therefore nodes.count() plus ONE convergence job (the
+    // final eager checkpoint); honest benching showed those extra eager
+    // materialization jobs, not the joins, dominating sf1 wall time.
+    def ckpt(df: DataFrame, eager: Boolean): DataFrame = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(eager)
+      lastCkpt = sc.getPersistentRDDs.keySet.diff(before).toSet
+      mine ++= lastCkpt
+      out
+    }
+    val e = ckpt(edges.select(col("src").cast("long"), col("dst").cast("long")), eager = false)
     // distinct column names per frame: the per-iteration plan re-joins
     // frames that all descend from `e`, and Spark's self-join ambiguity
     // check (correctly) rejects attribute-by-lineage references there.
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .select(col("src").as("deg_node"), col("outdeg"))
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
-    val n = nodes.count()
+    val nodes = ckpt(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct(), eager = false)
+    val n = nodes.count() // materializes the lazy `nodes` blocks as a side effect
     val base = (15L * 1000000000L / 100L) / n // both divisors exact: plan literal
     var ranks = nodes.select(col("node"), lit(1000000000L / n).as("rank_ppb"))
     for (it <- 1 to iters) {
@@ -85,17 +99,19 @@ object PageRankInt {
         .select(col("node"),
           (lit(base) + expr(s"(85 * coalesce(acc, 0L)) div 100")).as("rank_ppb"))
       ranks =
-        if (it % checkpointInterval == 0 || it == iters) next.localCheckpoint(true)
+        if (it % checkpointInterval == 0 || it == iters)
+          // only the FINAL checkpoint is eager — it is the convergence
+          // action, and computing it materializes every lazy intermediate
+          // checkpoint (e, nodes, mid-run ranks) within the same job.
+          ckpt(next, eager = it == iters)
         else next
     }
-    // `ranks` was checkpointed on the last iteration and is created last,
-    // so its blocks carry the HIGHEST new RDD id; release every other
-    // block this call pinned (single-threaded operator execution — no
-    // concurrent persists to misattribute).
-    val keep = sc.getPersistentRDDs.keySet.diff(pinnedBefore)
-      .reduceOption(_ max _)
-    sc.getPersistentRDDs.foreach { case (id, rdd) =>
-      if (!pinnedBefore.contains(id) && !keep.contains(id)) rdd.unpersist(false)
+    // Release every block this call pinned except the final ranks
+    // checkpoint (`lastCkpt` — recorded as the delta of that exact call,
+    // so a concurrent foreign persist is never misattributed or touched).
+    val persisted = sc.getPersistentRDDs
+    (mine.toSet -- lastCkpt).foreach { id =>
+      persisted.get(id).foreach(_.unpersist(false))
     }
     ranks
   }

@@ -709,7 +709,8 @@ object EventQueries {
 
   private val q139Sql =
     """WITH e AS (SELECT event_type, event_id,
-      |  CAST(CAST(value AS DECIMAL(15,2)) * 100 AS BIGINT) AS cents FROM events),
+      |  CAST(CAST(value AS DECIMAL(15,2)) * 100 AS BIGINT) AS cents FROM events
+      |  WHERE value IS NOT NULL AND event_id IS NOT NULL),
       |r AS (SELECT event_type, event_id, cents,
       |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents DESC, event_id) AS rank
       | FROM e)
