@@ -68,7 +68,7 @@ object Plans {
     "q139_grouped_topk" -> "grouped top-k: partial ObjectHashAggregate holds a k-pair heap - the exchange carries <=k pairs per (group x split), no window sort",
     "q140_join_skew_audit" -> "skew audit: two-level map-combinable hash aggregates per key column, 3-row report",
     "q142_rag_chunk_retrieval" -> "RAG retrieval: map-only chunk explosion, query-term postings only through the shuffle, TakeOrderedAndProject top-10",
-    "q145_copair_mining" -> "co-pair mining: frequent-singleton broadcast prune hits the token stream map-side; pair explode over <=16 kept words per doc",
+    "q145_copair_mining" -> "co-pair mining: vocabulary-adaptive frequent-singleton broadcast prune (k = 4*ceil(log2(vocab/64)), clamped [8,56]) hits the token stream map-side; pair explode over <=k kept words per doc",
     "q147_lsh_recall_eval" -> "recall eval: exact PPJoin truth + LSH detected pipelines, two bounded driver scalars, one-row report",
     "q149_cdc_merge_census" -> "CDC merge: full-outer join on the merge key (the one shape MERGE cannot broadcast), 3-row census downstream",
     "q150_curriculum_interleave" -> "curriculum: per-source bounded rank windows + CLOSED-FORM interleave position - no global sort anywhere",

@@ -161,6 +161,20 @@ object ScalingProbe {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("k"))
       .agg(coalesce(sum(expr("k * (k - 1) div 2")), lit(0L))).head().getLong(0)
 
+    // q157: the sampled-truth recall evaluator's expensive side — exact
+    // all-pairs candidate volume over the 25% md5 stratum. Bounded by the
+    // SAMPLE (≈ (0.25)²· the q86 full-corpus counter), not the corpus:
+    // this counter vs q86_cand is the operator's 100 TB claim in rows.
+    val q157SampleSets = Tables.documents(spark, sfDir)
+      .filter(graft.functions.PortableHash
+        .md5Bucket60(col("doc_id").cast("string")) % 100 < 25)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"),
+        array_distinct(expr("word_shingles(text, 3)")).as("sh"))
+    val q157SampleDocs = q157SampleSets.count()
+    val q157TruthCand = operators.SetSimilarityJoin
+      .candidatePairs(q157SampleSets, "doc_id", "sh", 0.5).count()
+
     println(s"""{"sf":"$sfDir","docs":$nDocs,"shingles":$totShingles,""" +
       s""""q86_cand":$q86Cand,"q86_pairs":$q86Pairs,""" +
       s""""q103_cand":$q103Cand,"q103_pairs":$q103Pairs,""" +
@@ -172,7 +186,8 @@ object ScalingProbe {
       s""""q113_pairvol":$q113PairVol,""" +
       s""""q120_chunks":$q120Chunks,"q121_scored":$q121Scored,""" +
       s""""q123_cand":$q123Cand,"q124_feats":$q124Feats,""" +
-      s""""q133_groups":$q133Groups,"q145_pairs":$q145Pairs}""")
+      s""""q133_groups":$q133Groups,"q145_pairs":$q145Pairs,""" +
+      s""""q157_sample_docs":$q157SampleDocs,"q157_truth_cand":$q157TruthCand}""")
     spark.stop()
   }
 }

@@ -1,7 +1,11 @@
 package graft.multimodal
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** One audio object: a REAL RIFF/WAVE container (canonical 44-byte PCM
   * header + s16le samples) carried as an opaque binary column. */
@@ -109,35 +113,111 @@ object Audio {
     docs.select(col("doc_id"), col("n_chars"))
       .filter(col("n_chars") >= 1)
       .as[(Long, Long)]
-      .mapPartitions(_.map { case (id, n) =>
-        // guard BEFORE the silent n.toInt truncation — a >2^31-char doc
-        // must fail loudly here, not wrap into a malformed container
-        require(n <= (Int.MaxValue - 44) / 2,
-          s"doc $id: $n chars exceeds the single-object WAV capacity")
-        AudioRecord(id, wavFor(id, n.toInt))
-      })
+      .mapPartitions(_.map { case (id, n) => AudioRecord(id, wavForL(id, n)) })
+  }
+
+  /** Long-armed synthesis guard shared by [[toAudio]] and the `wav_for`
+    * expression: validate BEFORE the silent toInt truncation. */
+  def wavForL(docId: Long, nChars: Long): Array[Byte] = {
+    require(nChars >= 1 && nChars <= (Int.MaxValue - 44) / 2,
+      s"doc $docId: $nChars chars outside the single-object WAV capacity")
+    wavFor(docId, nChars.toInt)
+  }
+
+  /** Decode + windowed-energy fold as ONE kernel call (parse the container,
+    * fold |amplitude| per WindowSamples window) — the body of the
+    * `wav_energy` codegen expression; returns the feature struct as an
+    * InternalRow. */
+  def energy(wav: Array[Byte]): InternalRow = {
+    val (sr, samples) = parseWav(wav)
+    var tot = 0L; var winAbs = 0L; var maxWin = 0L
+    var i = 0
+    while (i < samples.length) {
+      val a = math.abs(samples(i).toLong)
+      tot += a; winAbs += a
+      if ((i + 1) % WindowSamples == 0 || i == samples.length - 1) {
+        if (winAbs > maxWin) maxWin = winAbs
+        winAbs = 0L
+      }
+      i += 1
+    }
+    val nw = (samples.length + WindowSamples - 1) / WindowSamples
+    new GenericInternalRow(Array[Any](
+      sr.toLong, samples.length.toLong, nw.toLong, tot, maxWin))
   }
 
   /** Decode + windowed energy: per object, total |amplitude| and the
-    * hottest WindowSamples-sample window's |amplitude| mass. */
+    * hottest WindowSamples-sample window's |amplitude| mass. Implemented
+    * over the `wav_energy` codegen expression (round-8 conversion from
+    * mapPartitions — the advisor-flagged encoder boundary: the
+    * deserialize-whole-row cost before the parse is gone; only the typed
+    * output encoder remains for callers who want Dataset[AudioFeatures]).
+    * The all-expression hot path is q152's direct
+    * `wav_energy(wav_for(...))` projection. */
   def features(audio: Dataset[AudioRecord])(
       implicit spark: SparkSession): Dataset[AudioFeatures] = {
     import spark.implicits._
-    audio.mapPartitions(_.map { r =>
-      val (sr, samples) = parseWav(r.wav)
-      var tot = 0L; var winAbs = 0L; var maxWin = 0L
-      var i = 0
-      while (i < samples.length) {
-        val a = math.abs(samples(i).toLong)
-        tot += a; winAbs += a
-        if ((i + 1) % WindowSamples == 0 || i == samples.length - 1) {
-          if (winAbs > maxWin) maxWin = winAbs
-          winAbs = 0L
-        }
-        i += 1
-      }
-      val nw = (samples.length + WindowSamples - 1) / WindowSamples
-      AudioFeatures(r.doc_id, sr.toLong, samples.length.toLong, nw.toLong, tot, maxWin)
-    })
+    AudioKernels.register(spark)
+    audio.toDF()
+      .select(col("doc_id"), expr("wav_energy(wav)").as("f"))
+      .select(col("doc_id"), col("f.sample_rate").as("sample_rate"),
+        col("f.n_samples").as("n_samples"), col("f.n_windows").as("n_windows"),
+        col("f.tot_abs").as("tot_abs"), col("f.max_win_abs").as("max_win_abs"))
+      .as[AudioFeatures]
+  }
+}
+
+/** `wav_for(doc_id, n_chars) -> binary`: the canonical PCM WAV container
+  * (one s16le sample per text char). */
+case class WavFor(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "wav_for"
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    Audio.wavForL(l.asInstanceOf[Long], r.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) =>
+      s"${ev.value} = graft.multimodal.Audio.wavForL($x, $y);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WavFor =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `wav_energy(bin) -> struct`: container parse + windowed-energy fold. */
+case class WavEnergy(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("sample_rate", LongType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("n_windows", LongType, nullable = false),
+    StructField("tot_abs", LongType, nullable = false),
+    StructField("max_win_abs", LongType, nullable = false)))
+  override def prettyName: String = "wav_energy"
+
+  override def nullSafeEval(input: Any): Any =
+    Audio.energy(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.multimodal.Audio.energy($x);")
+
+  override protected def withNewChildInternal(newChild: Expression): WavEnergy =
+    copy(child = newChild)
+}
+
+object AudioKernels {
+  /** Register `wav_for` / `wav_energy` for expr()/SQL use. */
+  def register(spark: SparkSession): Unit = {
+    graft.functions.RegisterOnce(spark, "wav_for") {
+      case Seq(id, n) => WavFor(id, n)
+    }
+    graft.functions.RegisterOnce(spark, "wav_energy") {
+      case Seq(b) => WavEnergy(b)
+    }
   }
 }

@@ -713,7 +713,10 @@ object DedupQueries {
     * in exact integer ppm. The two pair sets are each oracle-replayed
     * end-to-end (the q66 CTE and the brute-force witness), so the recall
     * number itself is cross-engine-verified. Both counts are bounded
-    * driver scalars (the KMeans-centroid class of collect). */
+    * driver scalars (the KMeans-centroid class of collect). At 100 TB the
+    * full-corpus truth side is the wrong tool for a RECURRING monitor —
+    * that posture is [[q157]] (md5-stratified sampled truth); this stays
+    * as the exact witness that calibrates it. */
   private val q147: Q = (s, d) => {
     import s.implicits._
     val sets = withShingles(Tables.documents(s, d), "text")
@@ -739,7 +742,61 @@ object DedupQueries {
        |      ELSE n_detected * 1000000 // n_true END AS BIGINT) AS recall_ppm
        |FROM c""".stripMargin
 
+  // ---------------------------------------------------------------- q157
+  /** Sampled-truth recall evaluation — q147's 100 TB posture. q147's
+    * ground truth is the exact all-pairs join over the WHOLE corpus:
+    * legitimate as an oracle witness, but as a recurring recall monitor
+    * at 100 TB you run truth on a sample. The sample is a deterministic
+    * 25% md5 stratum of doc_id (the q97 split discipline — stable under
+    * re-partitioning, re-ordering, and incremental re-runs, unlike any
+    * row_number or RNG sample), so BOTH engines re-derive the identical
+    * sample from the data alone. Truth = exact Jaccard ≥ 0.5 all-pairs
+    * (lossless PPJoin pruning) over sampled docs only — the expensive
+    * side's work is bounded by the sample (ScalingProbe `q157_truth_cand`
+    * counts its candidate volume); detected = the PRODUCTION full-corpus
+    * LSH pipeline restricted to sampled-endpoint pairs, a map-side
+    * predicate (membership is a pure hash of doc_id — no join). Detected
+    * ⊆ truth by construction, so recall_ppm ≤ 10⁶ and estimates the
+    * corpus recall q147 measures exactly. */
+  private val q157: Q = (s, d) => {
+    import s.implicits._
+    def inSample(c: Column): Column =
+      graft.functions.PortableHash.md5Bucket60(c.cast("string")) % 100 < 25
+    val sample = Tables.documents(s, d).filter(inSample(col("doc_id")))
+    val nSample = sample.count()
+    val sets = withShingles(sample, "text").select(col("doc_id"), col("sh"))
+    val nTrue = graft.operators.SetSimilarityJoin
+      .jaccardJoin(sets, "doc_id", "sh", 0.5).count()
+    val nDet = lshVerifiedPairs(s, d)
+      .filter(inSample(col("id_a")) && inSample(col("id_b"))).count()
+    val recall = if (nTrue == 0) 0L else nDet * 1000000L / nTrue
+    Seq((nSample, nTrue, nDet, nTrue - nDet, recall))
+      .toDF("n_sample_docs", "n_true", "n_detected", "n_missed", "recall_ppm")
+  }
+
+  private val q157Sql =
+    s"""WITH $lshPairsCte,
+       |samp AS (SELECT doc_id FROM documents
+       | WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 25),
+       |brute AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b
+       | FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+       | WHERE x.doc_id IN (SELECT doc_id FROM samp)
+       |   AND y.doc_id IN (SELECT doc_id FROM samp)
+       |   AND CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+       |       len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5),
+       |det AS (SELECT * FROM p
+       | WHERE CAST(('0x' || substr(md5(CAST(id_a AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 25
+       |   AND CAST(('0x' || substr(md5(CAST(id_b AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 25),
+       |c AS (SELECT CAST((SELECT COUNT(*) FROM samp) AS BIGINT) AS n_sample_docs,
+       |             CAST((SELECT COUNT(*) FROM brute) AS BIGINT) AS n_true,
+       |             CAST((SELECT COUNT(*) FROM det) AS BIGINT) AS n_detected)
+       |SELECT n_sample_docs, n_true, n_detected, n_true - n_detected AS n_missed,
+       | CAST(CASE WHEN n_true = 0 THEN 0
+       |      ELSE n_detected * 1000000 // n_true END AS BIGINT) AS recall_ppm
+       |FROM c""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q157_sampled_recall_eval" -> q157,
     "q147_lsh_recall_eval" -> q147,
     "q123_embedding_neardup" -> q123,
     "q122_incremental_dedup" -> q122,
@@ -766,6 +823,7 @@ object DedupQueries {
     "q38_simhash_hamming" -> q38)
 
   val oracle: Map[String, String] = Map(
+    "q157_sampled_recall_eval" -> q157Sql,
     "q147_lsh_recall_eval" -> q147Sql,
     "q123_embedding_neardup" -> q123Sql,
     "q122_incremental_dedup" -> q122Sql,

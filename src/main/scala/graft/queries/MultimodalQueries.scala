@@ -95,14 +95,19 @@ object MultimodalQueries {
     * function of (doc_id, index), so the oracle replays the energy math
     * arithmetically while Spark must EARN it through the byte parse (a
     * wrong endianness or data offset fails this hash compare — the q63
-    * contract, audio edition). Map-only: synthesis, parse, and the
-    * window fold all happen per object with no shuffle before the
-    * presentation ordering. */
+    * contract, audio edition). Map-only, and since round 8 ALL-EXPRESSION
+    * (`wav_energy(wav_for(...))` codegen kernels, the q159 discipline):
+    * scan → one WholeStageCodegen projection → sort, no mapPartitions
+    * encoder boundary anywhere in the plan. */
   private val q152: Q = (s, d) => {
-    implicit val spark: SparkSession = s
-    graft.multimodal.Audio.features(
-      graft.multimodal.Audio.toAudio(Tables.documents(s, d)))
-      .toDF()
+    graft.multimodal.AudioKernels.register(s)
+    Tables.documents(s, d)
+      .filter(col("n_chars") >= 1)
+      .select(col("doc_id"),
+        expr("wav_energy(wav_for(doc_id, n_chars))").as("f"))
+      .select(col("doc_id"), col("f.sample_rate").as("sample_rate"),
+        col("f.n_samples").as("n_samples"), col("f.n_windows").as("n_windows"),
+        col("f.tot_abs").as("tot_abs"), col("f.max_win_abs").as("max_win_abs"))
       .orderBy(col("doc_id"))
   }
 
@@ -120,15 +125,59 @@ object MultimodalQueries {
       | agg.tot_abs, agg.max_win_abs
       |FROM t JOIN agg ON agg.doc_id = t.doc_id ORDER BY t.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q159
+  /** Video container index walk (graft.multimodal.AviKernel): every
+    * document becomes a REAL RIFF/AVI — 'avih' main header, 'movi' frame
+    * chunks, trailing 'idx1' — and the feature row is EARNED by walking
+    * the index: each 16-byte entry is followed back into 'movi' and
+    * checked against that frame chunk's own fourcc and declared size
+    * before its bytes count (a wrong list size, endianness, or offset
+    * convention fails this hash compare; the oracle replays the
+    * deterministic frame geometry arithmetically). Completes the
+    * multimodal triad (image chunk walk, WAV sample decode, AVI index
+    * walk). Unlike the earlier legs, synthesis AND parse are codegen
+    * expressions, so the plan is scan → one WholeStageCodegen projection →
+    * sort: no mapPartitions encoder boundary, nothing per-row but the
+    * kernel call. */
+  private val q159: Q = (s, d) => {
+    graft.multimodal.VideoKernels.register(s)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("avi_index(avi_for(doc_id, n_chars))").as("f"))
+      .select(col("doc_id"),
+        col("f.n_frames").as("n_frames"), col("f.width").as("width"),
+        col("f.height").as("height"), col("f.n_keyframes").as("n_keyframes"),
+        col("f.tot_frame_bytes").as("tot_frame_bytes"),
+        col("f.max_frame_bytes").as("max_frame_bytes"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q159Sql =
+    """WITH t AS (SELECT doc_id, 1 + least(n_chars // 256, 23) AS n FROM documents),
+      |f AS (SELECT doc_id, n, UNNEST(range(n)) AS i FROM t),
+      |sz AS (SELECT doc_id, n, i, 64 + 2 * ((doc_id * 7 + i * 13) % 96) AS fs FROM f),
+      |agg AS (SELECT doc_id,
+      |        CAST(COUNT(*) FILTER (WHERE i % 4 = 0) AS BIGINT) AS n_keyframes,
+      |        CAST(SUM(fs) AS BIGINT) AS tot_frame_bytes,
+      |        CAST(MAX(fs) AS BIGINT) AS max_frame_bytes
+      |        FROM sz GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(t.n AS BIGINT) AS n_frames,
+      | CAST(160 + (t.doc_id * 17) % 481 AS BIGINT) AS width,
+      | CAST(120 + (t.doc_id * 13) % 241 AS BIGINT) AS height,
+      | agg.n_keyframes, agg.tot_frame_bytes, agg.max_frame_bytes
+      |FROM t JOIN agg ON agg.doc_id = t.doc_id ORDER BY t.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q63_multimodal_features" -> q63,
     "q64_multimodal_meta_agg" -> q64,
     "q79_frame_sample" -> q79,
-    "q152_audio_energy" -> q152)
+    "q152_audio_energy" -> q152,
+    "q159_video_index_walk" -> q159)
 
   val oracle: Map[String, String] = Map(
     "q63_multimodal_features" -> q63Sql,
     "q64_multimodal_meta_agg" -> q64Sql,
     "q79_frame_sample" -> q79Sql,
-    "q152_audio_energy" -> q152Sql)
+    "q152_audio_energy" -> q152Sql,
+    "q159_video_index_walk" -> q159Sql)
 }

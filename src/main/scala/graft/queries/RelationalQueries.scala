@@ -898,6 +898,51 @@ object RelationalQueries {
       |       WHERE l2.l_partkey = p_partkey)
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
+  // ---------------------------------------------------------------- q158
+  /** TPC-H Q21-shaped multi-existence chain — EXISTS and NOT EXISTS over
+    * the SAME child relation, each correlated on an equality (l_orderkey)
+    * AND a non-equality (l_suppkey <>) against the outer row: "suppliers
+    * whose returned item was the ONLY return in a multi-supplier order".
+    * This is the decorrelation shape q70 (independent EXISTS/NOT EXISTS
+    * children) and q107 (correlated scalar aggregate) don't cover: two
+    * existence predicates over one child must become one LeftSemi and one
+    * LeftAnti join keyed on l_orderkey with the inequality as a residual
+    * join condition — NO per-row re-execution and NO subquery expression
+    * may survive optimization (QueryInventorySpec pins both, plus the
+    * semi+anti pair mechanically). At 100 TB the decorrelated form is
+    * three orderkey-keyed shuffles of the lineitem scan; the naive form
+    * is |l1| probe queries. */
+  private val q158: Q = (s, d) => {
+    Tables.supplier(s, d).createOrReplaceTempView("supplier_mw")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_mw")
+    Tables.orders(s, d).createOrReplaceTempView("orders_mw")
+    s.sql(
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM supplier_mw
+        | JOIN lineitem_mw l1 ON s_suppkey = l1.l_suppkey
+        | JOIN orders_mw ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem_mw l2
+        |       WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem_mw l3
+        |       WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |         AND l3.l_returnflag = 'R')
+        |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin)
+  }
+
+  private val q158Sql =
+    """SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+      |FROM supplier
+      | JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      | JOIN orders ON o_orderkey = l1.l_orderkey
+      |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |       WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |       WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |         AND l3.l_returnflag = 'R')
+      |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin
+
   // ---------------------------------------------------------------- q126
   /** Integer-exact PageRank ([[graft.operators.PageRankInt]]) over the
     * symmetrized customer↔supplier transaction multigraph (an edge per
@@ -1084,6 +1129,7 @@ object RelationalQueries {
     "q49_sort_merge_join" -> q49,
     "q70_correlated_subqueries" -> q70,
     "q107_correlated_agg_predicate" -> q107,
+    "q158_semi_anti_chain" -> q158,
     "q71_distribution_windows" -> q71,
     "q72_collection_funcs" -> q72,
     "q73_hash_bucket_sample" -> q73,
@@ -1126,6 +1172,7 @@ object RelationalQueries {
     "q48_supplier_region_join" -> q48Sql,
     "q49_sort_merge_join" -> q49Sql,
     "q70_correlated_subqueries" -> q70Sql,
+    "q158_semi_anti_chain" -> q158Sql,
     "q107_correlated_agg_predicate" -> q107Sql,
     "q71_distribution_windows" -> q71Sql,
     "q72_collection_funcs" -> q72Sql,

@@ -805,26 +805,51 @@ object TextQueries {
   // ---------------------------------------------------------------- q145
   /** Frequent co-occurring word pairs — the A-Priori first join step
     * (association mining over documents as baskets): only words frequent
-    * as SINGLETONS (top-16 by document frequency, the monotone A-Priori
+    * as SINGLETONS (top-k by document frequency with k derived from the
+    * corpus vocabulary, [[adaptiveFrequentK]] — the monotone A-Priori
     * prune) are eligible, each document contributes its sorted distinct
     * frequent-word pairs once, and pairs rank by support. Scale shape:
-    * the prune list is a 16-row broadcast hitting the exploded token
-    * stream map-side, so the pair explosion runs over ≤16 kept words per
-    * doc — O(docs · k²) with k bounded by the prune, never vocab². The
-    * pair generator is an index-lambda transform over the kept array (no
+    * the prune list is a ≤56-row broadcast hitting the exploded token
+    * stream map-side, so the pair explosion runs over ≤k kept words per
+    * doc — O(docs · k²) with k = O(log vocab), never vocab². The pair
+    * generator is an index-lambda transform over the kept array (no
     * self-join); the oracle's doc-level self-join is the quadratic
     * witness proving result-invariance. */
+  /** Vocabulary-adaptive frequent-singleton count: k = 4·p where p is the
+    * smallest with 64·2^p ≥ vocab, clamped to [8, 56] — i.e. k grows
+    * ~4·log2(vocab/64). Pure integer arithmetic (the
+    * [[graft.operators.CosineLshJoin.adaptivePlanes]] probe shape — no
+    * float log2, whose engine-specific rounding at powers of two would
+    * desync the engines); the oracle re-derives it from COUNT(DISTINCT w)
+    * with a VALUES probe. Why adaptive: a FIXED top-16 list thins under
+    * vocabulary drift — the round-7 probe measured the kept-pair volume
+    * SHRINKING 381,200 → 19,302 at 10× salted data as 16 words captured a
+    * vanishing corpus share — while a log-scaled k keeps capture stable
+    * and the pair volume Σ_docs C(k_d,2) ≤ docs·C(k,2) quasi-linear
+    * (k² = O(log² vocab)). */
+  def adaptiveFrequentK(vocab: Long): Int = {
+    val fit = (1 to 14).find(p => (64L << p) >= vocab).getOrElse(14)
+    math.min(56, math.max(8, 4 * fit))
+  }
+
   /** q145's kept-token stream — distinct words per doc, filtered to the
     * top-`k` document-frequency singletons (the A-Priori prune, broadcast
-    * map-side). PUBLIC and shared with [[graft.ScalingProbe]] so the
-    * probed pair volume is derived from the query's own pipeline rather
-    * than a copy that could silently drift from it. */
-  def frequentTokenStream(docs: DataFrame, k: Int = 16): DataFrame = {
+    * map-side); `k ≤ 0` (the default) derives k from the corpus vocabulary
+    * via [[adaptiveFrequentK]] (one vocabulary-bounded count, the q123
+    * adaptivePlanes class of driver scalar). PUBLIC and shared with
+    * [[graft.ScalingProbe]] so the probed pair volume is derived from the
+    * query's own pipeline rather than a copy that could silently drift
+    * from it. */
+  def frequentTokenStream(docs: DataFrame, k: Int = 0): DataFrame = {
     val toks = docs.select(col("doc_id"),
       array_distinct(expr("filter(split(text, ' '), x -> x <> '')")).as("ws"))
+    val kk =
+      if (k > 0) k
+      else adaptiveFrequentK(toks.select(explode(col("ws")).as("w"))
+        .agg(count_distinct(col("w"))).head().getLong(0))
     val fw = toks.select(explode(col("ws")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("df"))
-      .orderBy(col("df").desc, col("w")).limit(k)
+      .orderBy(col("df").desc, col("w")).limit(kk)
       .select(col("w"))
     toks.select(col("doc_id"), explode(col("ws")).as("w"))
       .join(broadcast(fw), Seq("w"))
@@ -845,8 +870,12 @@ object TextQueries {
       |  list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS ws
       | FROM documents),
       |w AS (SELECT doc_id, UNNEST(ws) AS w FROM t),
-      |fw AS (SELECT w FROM (SELECT w, COUNT(*) AS df FROM w GROUP BY w
-      |       ORDER BY df DESC, w LIMIT 16)),
+      |np AS (SELECT GREATEST(8, LEAST(56, 4 * COALESCE(MIN(c.p), 14))) AS k
+      |       FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9),(10),(11),(12),(13),(14)) c(p)
+      |       WHERE 64 * (1 << c.p) >= (SELECT COUNT(DISTINCT w) FROM w)),
+      |df AS (SELECT w, COUNT(*) AS df FROM w GROUP BY w),
+      |rk AS (SELECT w, ROW_NUMBER() OVER (ORDER BY df DESC, w) AS rn FROM df),
+      |fw AS (SELECT rk.w FROM rk, np WHERE rk.rn <= np.k),
       |k AS (SELECT w.doc_id, w.w FROM w JOIN fw ON fw.w = w.w)
       |SELECT a.w AS a, b.w AS b, CAST(COUNT(*) AS BIGINT) AS support
       |FROM k a JOIN k b ON a.doc_id = b.doc_id AND a.w < b.w

@@ -74,6 +74,24 @@ class QueryInventorySpec extends AnyFunSuite {
       "plus the final group-by in the optimized plan")
   }
 
+  test("q158's EXISTS/NOT-EXISTS chain decorrelates to one LeftSemi + one LeftAnti join") {
+    import org.apache.spark.sql.catalyst.plans.{LeftSemi, LeftAnti}
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val qe = SparkEntry.queries("q158_semi_anti_chain")(spark, dir).queryExecution
+    // Same no-surviving-subquery contract as q107 — here over TWO existence
+    // predicates correlated on (equality, inequality) against one child.
+    val subqueries = qe.optimizedPlan.collect {
+      case p if p.expressions.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])) => p
+    }
+    assert(subqueries.isEmpty,
+      s"q158 kept per-row subqueries:\n${qe.optimizedPlan.treeString.take(2000)}")
+    val joinTypes = qe.optimizedPlan.collect { case j: Join => j.joinType }
+    assert(joinTypes.contains(LeftSemi) && joinTypes.contains(LeftAnti),
+      s"expected the Q21 semi+anti pair, got joins: $joinTypes\n" +
+        qe.optimizedPlan.treeString.take(2000))
+  }
+
   test("no query plans a global (partition-less) window") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.optimizedPlan
