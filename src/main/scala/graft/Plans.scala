@@ -68,11 +68,15 @@ object Plans {
     "q139_grouped_topk" -> "grouped top-k: partial ObjectHashAggregate holds a k-pair heap - the exchange carries <=k pairs per (group x split), no window sort",
     "q140_join_skew_audit" -> "skew audit: two-level map-combinable hash aggregates per key column, 3-row report",
     "q142_rag_chunk_retrieval" -> "RAG retrieval: map-only chunk explosion, query-term postings only through the shuffle, TakeOrderedAndProject top-10",
-    "q145_copair_mining" -> "co-pair mining: vocabulary-adaptive frequent-singleton broadcast prune (k = 4*ceil(log2(vocab/64)), clamped [8,56]) hits the token stream map-side; pair explode over <=k kept words per doc",
+    "q145_copair_mining" -> "co-pair mining: DF-quantile frequent-singleton broadcast prune (top half of the vocabulary by DF rank, clamped [8,4096]) hits the token stream map-side; pair explode over min(doc_len, k) kept words per doc",
     "q147_lsh_recall_eval" -> "recall eval: exact PPJoin truth + LSH detected pipelines, two bounded driver scalars, one-row report",
     "q149_cdc_merge_census" -> "CDC merge: full-outer join on the merge key (the one shape MERGE cannot broadcast), 3-row census downstream",
     "q150_curriculum_interleave" -> "curriculum: per-source bounded rank windows + CLOSED-FORM interleave position - no global sort anywhere",
-    "q151_matryoshka_energy" -> "matryoshka audit: map-only prefix dot_l self-products, one bounded-key agg")
+    "q151_matryoshka_energy" -> "matryoshka audit: map-only prefix dot_l self-products, one bounded-key agg",
+    "q152_audio_energy" -> "audio energy: all-expression wav_energy(wav_for(...)) - scan, ONE WholeStageCodegen projection, sort; no mapPartitions encoder boundary",
+    "q157_sampled_recall_eval" -> "sampled recall: exact truth join runs on the 25% md5 stratum only (pushable hash predicate); detected side filters the production LSH pairs map-side",
+    "q158_semi_anti_chain" -> "Q21 chain: EXISTS/NOT EXISTS decorrelated to LeftSemi + LeftAnti joins keyed on l_orderkey with the <> residual - no per-row subqueries",
+    "q159_video_index_walk" -> "video index walk: avi_for/avi_index codegen kernels in one projection stage; no shuffle before the presentation ordering")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

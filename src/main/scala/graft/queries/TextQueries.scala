@@ -805,32 +805,36 @@ object TextQueries {
   // ---------------------------------------------------------------- q145
   /** Frequent co-occurring word pairs — the A-Priori first join step
     * (association mining over documents as baskets): only words frequent
-    * as SINGLETONS (top-k by document frequency with k derived from the
-    * corpus vocabulary, [[adaptiveFrequentK]] — the monotone A-Priori
-    * prune) are eligible, each document contributes its sorted distinct
-    * frequent-word pairs once, and pairs rank by support. Scale shape:
-    * the prune list is a ≤56-row broadcast hitting the exploded token
-    * stream map-side, so the pair explosion runs over ≤k kept words per
-    * doc — O(docs · k²) with k = O(log vocab), never vocab². The pair
+    * as SINGLETONS (document-frequency rank in the top half of the
+    * vocabulary, [[adaptiveFrequentK]] — the monotone A-Priori prune as a
+    * scale-free DF quantile) are eligible, each document contributes its
+    * sorted distinct frequent-word pairs once, and pairs rank by support.
+    * Scale shape: the prune list is a ≤4096-row broadcast hitting the
+    * exploded token stream map-side, so the pair explosion runs over
+    * min(doc length, k) kept words per doc — linear in docs, never
+    * vocab². The pair
     * generator is an index-lambda transform over the kept array (no
     * self-join); the oracle's doc-level self-join is the quadratic
     * witness proving result-invariance. */
-  /** Vocabulary-adaptive frequent-singleton count: k = 4·p where p is the
-    * smallest with 64·2^p ≥ vocab, clamped to [8, 56] — i.e. k grows
-    * ~4·log2(vocab/64). Pure integer arithmetic (the
-    * [[graft.operators.CosineLshJoin.adaptivePlanes]] probe shape — no
-    * float log2, whose engine-specific rounding at powers of two would
-    * desync the engines); the oracle re-derives it from COUNT(DISTINCT w)
-    * with a VALUES probe. Why adaptive: a FIXED top-16 list thins under
-    * vocabulary drift — the round-7 probe measured the kept-pair volume
-    * SHRINKING 381,200 → 19,302 at 10× salted data as 16 words captured a
-    * vanishing corpus share — while a log-scaled k keeps capture stable
-    * and the pair volume Σ_docs C(k_d,2) ≤ docs·C(k,2) quasi-linear
-    * (k² = O(log² vocab)). */
-  def adaptiveFrequentK(vocab: Long): Int = {
-    val fit = (1 to 14).find(p => (64L << p) >= vocab).getOrElse(14)
-    math.min(56, math.max(8, 4 * fit))
-  }
+  /** Vocabulary-adaptive frequent-singleton count: a DF-QUANTILE cutoff —
+    * keep the words whose document frequency ranks in the top HALF of the
+    * vocabulary (k = V div 2, clamped [8, 4096]; pure integer division,
+    * re-derived identically by the oracle from COUNT(DISTINCT w)).
+    *
+    * Why a quantile and not an absolute (or log-scaled) k: a fixed top-16
+    * list collapsed under vocabulary drift — the round-7 probe measured
+    * kept pairs SHRINKING 381,200 → 19,302 at 10× salted data — and a
+    * log-scaled k still shrank ×0.07, because DataGen's drift is
+    * vocabulary SHARDING (every copy's words are salted `word_cN`, so 10×
+    * data = 10 disjoint vocabulary shards). Any absolute k splits across
+    * the shards; a rank-quantile set allocates each shard its
+    * proportional share, so per-document capture is growth-mode-invariant
+    * — measured pair volume 333,837 → 3,575,185 at 10× data (10.7×,
+    * linear; BASELINE round-8 section). Volume stays bounded: kept words
+    * per doc ≤ min(doc length, k) with k ≤ 4096, and the ScalingProbe
+    * `q145_pairs` counter guards the Σ C(k_d,2) growth. */
+  def adaptiveFrequentK(vocab: Long): Int =
+    math.min(4096L, math.max(8L, vocab / 2L)).toInt
 
   /** q145's kept-token stream — distinct words per doc, filtered to the
     * top-`k` document-frequency singletons (the A-Priori prune, broadcast
@@ -870,9 +874,7 @@ object TextQueries {
       |  list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS ws
       | FROM documents),
       |w AS (SELECT doc_id, UNNEST(ws) AS w FROM t),
-      |np AS (SELECT GREATEST(8, LEAST(56, 4 * COALESCE(MIN(c.p), 14))) AS k
-      |       FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9),(10),(11),(12),(13),(14)) c(p)
-      |       WHERE 64 * (1 << c.p) >= (SELECT COUNT(DISTINCT w) FROM w)),
+      |np AS (SELECT GREATEST(8, LEAST(4096, COUNT(DISTINCT w) // 2)) AS k FROM w),
       |df AS (SELECT w, COUNT(*) AS df FROM w GROUP BY w),
       |rk AS (SELECT w, ROW_NUMBER() OVER (ORDER BY df DESC, w) AS rn FROM df),
       |fw AS (SELECT rk.w FROM rk, np WHERE rk.rn <= np.k),
