@@ -1,7 +1,12 @@
 package graft.multimodal
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** One media object: an opaque binary payload + typed metadata.
   *
@@ -216,6 +221,26 @@ object Multimodal {
     }
   }
 
+  /** Kernel body of the `media_for` expression: the [[toMedia]] container
+    * (format alternates by doc id, dims deterministic from payload size +
+    * id) built straight from the raw inputs — no Row decode. */
+  def mediaFor(docId: Long, text: UTF8String): Array[Byte] = {
+    val payload = text.getBytes
+    val fmt = if (docId % 2 == 0) "png" else "jpeg"
+    val w = 64 + (payload.length % 577)
+    val h = (64 + (docId * 31) % 417).toInt
+    headerFor(fmt, w, h) ++ payload
+  }
+
+  /** Kernel body of the `media_dims` expression: [[parseDims]] + the
+    * frame-count arithmetic as one struct row. */
+  def dimsRow(media: Array[Byte]): InternalRow = {
+    val (fmt, w, h) = parseDims(media)
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(fmt), w.toLong, h.toLong,
+      media.length.toLong, frameCount(media.length.toLong)))
+  }
+
   /** STUB RESIZE — deterministic fake: truncate or zero-pad the payload to
     * `targetBytes` and record the new size in the metadata sidecar. A real
     * deployment does pixel resampling here (per-partition codec session);
@@ -229,6 +254,63 @@ object Multimodal {
         val out = java.util.Arrays.copyOf(r.media, targetBytes)
         r.copy(media = out, meta = r.meta + ("resized_bytes" -> targetBytes.toString))
       }
+    }
+  }
+}
+
+/** `media_for(doc_id, text) -> binary`: the canonical PNG/JPEG container
+  * (the q159/q152 synthesis-kernel discipline for the image leg). */
+case class MediaFor(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType, StringType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "media_for"
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    Multimodal.mediaFor(l.asInstanceOf[Long], r.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) =>
+      s"${ev.value} = graft.multimodal.Multimodal.mediaFor($x, $y);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MediaFor =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `media_dims(bin) -> struct`: sniff + chunk/segment-walk the container
+  * ([[Multimodal.parseDims]]) and return (format, width, height, n_bytes,
+  * n_frames). */
+case class MediaDims(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("n_frames", LongType, nullable = false)))
+  override def prettyName: String = "media_dims"
+
+  override def nullSafeEval(input: Any): Any =
+    Multimodal.dimsRow(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.multimodal.Multimodal.dimsRow($x);")
+
+  override protected def withNewChildInternal(newChild: Expression): MediaDims =
+    copy(child = newChild)
+}
+
+object MediaKernels {
+  /** Register `media_for` / `media_dims` for expr()/SQL use. */
+  def register(spark: SparkSession): Unit = {
+    graft.functions.RegisterOnce(spark, "media_for") {
+      case Seq(id, t) => MediaFor(id, t)
+    }
+    graft.functions.RegisterOnce(spark, "media_dims") {
+      case Seq(b) => MediaDims(b)
     }
   }
 }

@@ -20,12 +20,20 @@ object MultimodalQueries {
   type Q = (SparkSession, String) => DataFrame
 
   // ---------------------------------------------------------------- q63
+  /** Image-container decode, since round 8 ALL-EXPRESSION like its audio
+    * (q152) and video (q159) siblings: `media_dims(media_for(...))` builds
+    * the real PNG/JPEG container and sniffs+walks it back in one
+    * WholeStageCodegen projection — the Dataset/mapPartitions decode path
+    * (Multimodal.extractFeatures) remains the API for callers that carry
+    * the metadata sidecar (q64/q79). */
   private val q63: Q = (s, d) => {
-    implicit val spark: SparkSession = s
-    Multimodal.extractFeatures(Multimodal.toMedia(Tables.documents(s, d)))
-      .toDF()
-      .select(col("doc_id"), col("n_bytes"), col("n_frames"),
-        col("width"), col("height"), col("format"))
+    graft.multimodal.MediaKernels.register(s)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("media_dims(media_for(doc_id, text))").as("f"))
+      .select(col("doc_id"), col("f.n_bytes").as("n_bytes"),
+        col("f.n_frames").as("n_frames"), col("f.width").as("width"),
+        col("f.height").as("height"), col("f.format").as("format"))
       .orderBy(col("doc_id"))
   }
 

@@ -85,4 +85,23 @@ class MultimodalSpec extends AnyFunSuite {
     negDim(16) = 0x80.toByte // width hi byte: 4 -> 0x80000004
     intercept[IllegalArgumentException](Multimodal.parseDims(negDim))
   }
+
+  test("media_for/media_dims expressions equal the Dataset decode path") {
+    import spark.implicits._
+    graft.multimodal.MediaKernels.register(spark)
+    val docs = Seq((2L, "even doc png"), (3L, "odd doc jpeg body"), (40L, ""))
+      .toDF("doc_id", "text")
+    val viaExpr = docs
+      .selectExpr("doc_id", "media_dims(media_for(doc_id, text)) AS f")
+      .selectExpr("doc_id", "f.format", "f.width", "f.height", "f.n_bytes", "f.n_frames")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq.sortBy(_._1)
+    val viaDs = Multimodal.extractFeatures(Multimodal.toMedia(
+      docs.withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+        .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+        .withColumn("n_chars", org.apache.spark.sql.functions.length(org.apache.spark.sql.functions.col("text")).cast("long"))))
+      .collect().map(f => (f.doc_id, f.format, f.width, f.height, f.n_bytes, f.n_frames))
+      .toSeq.sortBy(_._1)
+    assert(viaExpr == viaDs)
+  }
 }
