@@ -25,7 +25,10 @@ object SparkEntry {
       SimilarityQueries.queries ++
       TextQueries.queries ++
       MultimodalQueries.queries ++
-      CorpusQueries.queries
+      CorpusQueries.queries ++
+      GraphQueries.queries ++
+      WarehouseQueries.queries ++
+      CurationQueries.queries
 
   /** Bench-only queries: fast twins whose hash family (xxhash64) has no
     * DuckDB equivalent. Their algorithmic correctness is proven by the
@@ -43,5 +46,8 @@ object SparkEntry {
       SimilarityQueries.oracle ++
       TextQueries.oracle ++
       MultimodalQueries.oracle ++
-      CorpusQueries.oracle
+      CorpusQueries.oracle ++
+      GraphQueries.oracle ++
+      WarehouseQueries.oracle ++
+      CurationQueries.oracle
 }

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed triangle counting by degree-ordered wedge join — the
+  * MapReduce-era classic (Suri & Vassilvitskii, WWW'11, "Counting Triangles
+  * and the Curse of the Last Reducer"), which is still the right Spark shape
+  * because it kills the hub-node blowup that makes the naive wedge join
+  * quadratic in the max degree:
+  *
+  *  1. degree census — one hash aggregate over the edge list;
+  *  2. orient every undirected edge from its LOWER endpoint to its higher
+  *     one under the total order (degree, node): every out-neighborhood is
+  *     then O(√|E|), so total wedge volume is O(|E|^{3/2}) — without the
+  *     orientation a single hub of degree d contributes C(d,2) wedges and
+  *     its reducer is the job's straggler;
+  *  3. wedges — self-join oriented edges on the shared source (one shuffle
+  *     keyed by the apex node); each wedge's two heads are a candidate
+  *     closing edge;
+  *  4. close — join candidates against the canonical edge set. Each
+  *     triangle has exactly ONE apex that precedes both other corners in
+  *     the (degree, node) order, so every triangle is counted exactly once
+  *     with no /3 correction and no duplicate elimination.
+  *
+  * The reference (`/root/reference/lambda_function.py:1-148`) has no graph
+  * surface at all; this is engine-surface work mandated by the north star.
+  * Wedge and edge counts ride in-band as the operator's own scaling probe:
+  * they are exact functions of the data, immune to wall-clock noise.
+  */
+object TriangleCount {
+
+  /** `edges`: undirected edge list with long columns `u`, `v` (any order,
+    * duplicates allowed — canonicalized and deduplicated here, self-loops
+    * dropped). Returns one row:
+    * (n_nodes, n_edges, n_wedges, n_triangles). */
+  def census(edges: DataFrame): DataFrame = {
+    val canon = edges
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("x"),
+        greatest(col("u"), col("v")).as("y"))
+      .distinct()
+
+    // Degree census. The degree table is |V| rows — shuffle-joined by node
+    // key below, never broadcast: at 100 TB |V| can be billions.
+    val deg = canon.select(col("x").as("node"))
+      .unionAll(canon.select(col("y").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+
+    // Orient by the (deg, node) total order. Two node-keyed shuffle joins;
+    // AQE is free to pick broadcast when the graph is actually small.
+    val oriented = canon
+      .join(deg.select(col("node").as("x"), col("deg").as("dx")), Seq("x"))
+      .join(deg.select(col("node").as("y"), col("deg").as("dy")), Seq("y"))
+      .select(
+        when(col("dx") < col("dy") ||
+          (col("dx") === col("dy") && col("x") < col("y")), col("x"))
+          .otherwise(col("y")).as("src"),
+        when(col("dx") < col("dy") ||
+          (col("dx") === col("dy") && col("x") < col("y")), col("y"))
+          .otherwise(col("x")).as("dst"))
+
+    // Wedges: both heads of an apex's out-neighborhood, ordered dst1 < dst2
+    // so each unordered head pair appears once.
+    val wedges = oriented.as("a")
+      .join(oriented.as("b"),
+        col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
+      .select(col("a.dst").as("x"), col("b.dst").as("y"))
+
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = canon.agg(count(lit(1)).as("n_edges"))
+    val nWedges = wedges.agg(count(lit(1)).as("n_wedges"))
+    // Close the wedge against the canonical edge set. Inner join + count:
+    // (x, y) pairs are distinct per apex, and the edge set is distinct, so
+    // the join multiplicity IS the triangle multiplicity.
+    val nTri = wedges.join(canon, Seq("x", "y")).agg(count(lit(1)).as("n_triangles"))
+
+    nNodes.crossJoin(nEdges).crossJoin(nWedges).crossJoin(nTri)
+  }
+}

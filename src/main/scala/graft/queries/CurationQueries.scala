@@ -1,0 +1,128 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.PortableHash.md5Bucket60
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-curation selection operators beyond threshold filters: the Pareto
+  * frontier (multi-objective "keep the best tradeoffs" selection) and
+  * exact-size weighted sampling (sequential Poisson priority race). Both
+  * are deterministic and integer-exact, so the DuckDB oracle replays them
+  * bit-for-bit; both carry an explicit 100 TB shape argument in place of
+  * the quadratic / sort-the-world formulations the oracle uses as witness.
+  */
+object CurationQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- q166
+  /** Pareto-skyline curation: documents not dominated in the
+    * (lexical-diversity, length) plane — a dominates b when it is ≥ in
+    * both dimensions and > in at least one. Multi-objective selection is
+    * the principled form of "high quality AND long" curation cuts that
+    * single-score thresholds (q33/q116) flatten away.
+    *
+    * Scale shape — bucketed prefilter, exact finish (the skyline analogue
+    * of q86's prefix filter): diversity (integer ppm) is value-bucketed
+    * into ≤245 fixed cells (no stats pass); one hash aggregate takes each
+    * bucket's max length; a bounded 245-row window turns that into
+    * thr(bucket) = max length over strictly-higher buckets. Any document
+    * with length ≤ thr(its bucket) is PROVABLY dominated (the higher
+    * bucket's witness is strictly more diverse and no shorter), so the
+    * corpus-sized side is one scan + broadcast threshold filter; the exact
+    * dominance anti-join runs only among the survivors — empirically the
+    * skyline's close neighborhood (hundreds of rows at any SF, every
+    * skyline member provably among them), never corpus×corpus. The oracle
+    * is the brute-force NOT EXISTS over all documents — the quadratic
+    * witness proving the prune lossless. */
+  private val q166: Q = (s, d) => {
+    val dm = Tables.documents(s, d).select(
+      col("doc_id"), col("n_chars"),
+      expr("1000000L * size(array_distinct(split(text, ' '))) div size(split(text, ' '))")
+        .as("div_ppm"))
+    val buck = dm.withColumn("bx", expr("div_ppm div 4096"))
+    val thr = buck.groupBy("bx").agg(max(col("n_chars")).as("by"))
+      .withColumn("thr", max(col("by")).over(
+        Window.orderBy(col("bx").desc).rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("bx"), col("thr"))
+    val sv = buck.join(broadcast(thr), Seq("bx"))
+      .filter(col("thr").isNull || col("n_chars") > col("thr"))
+      .select(col("doc_id"), col("div_ppm"), col("n_chars"))
+    sv.as("b").join(broadcast(sv.as("a")),
+        col("a.div_ppm") >= col("b.div_ppm") &&
+          col("a.n_chars") >= col("b.n_chars") &&
+          (col("a.div_ppm") > col("b.div_ppm") ||
+            col("a.n_chars") > col("b.n_chars")),
+        "left_anti")
+      .select(col("b.doc_id").as("doc_id"), col("b.div_ppm").as("div_ppm"),
+        col("b.n_chars").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q166Sql =
+    """WITH dm AS (SELECT doc_id, n_chars,
+      |  1000000 * len(list_distinct(string_split(text, ' ')))
+      |    // len(string_split(text, ' ')) AS div_ppm
+      | FROM documents)
+      |SELECT doc_id, div_ppm, n_chars FROM dm b
+      |WHERE NOT EXISTS (SELECT 1 FROM dm a
+      |  WHERE a.div_ppm >= b.div_ppm AND a.n_chars >= b.n_chars
+      |    AND (a.div_ppm > b.div_ppm OR a.n_chars > b.n_chars))
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q167
+  /** Exact-k weighted sampling per stratum — sequential Poisson sampling
+    * (Ohlsson 1998; the integer-exact cousin of the Efraimidis–Spirakis
+    * priority race): every document draws the deterministic 60-bit md5
+    * uniform already used by q97's splitter, its priority is
+    * `hash div weight` (longer documents → smaller priorities → more
+    * likely sampled, ∝-size inclusion), and the k smallest priorities per
+    * source win. Unlike q91's Bernoulli mixing (random SIZE) or q102's
+    * unweighted strata, this yields an EXACTLY-k, weight-proportional,
+    * reproducible and resumable sample — the data-mixing primitive that
+    * lets a 100 TB pipeline re-draw the same sample on any cluster shape.
+    *
+    * Scale shape: the race rides q139's `topk_pair` bounded-heap
+    * aggregate — map-side combinable, each input split contributes ≤k
+    * survivors per stratum to the exchange; the oracle's ROW_NUMBER
+    * window (sort each stratum, keep k) is the shape it replaces.
+    * Priorities are integer division of two longs, so both engines rank
+    * identical values; ties (astronomically unlikely at 2⁶⁰/w distinct
+    * values, but pinned anyway) break by doc_id inside the aggregate's
+    * total order. */
+  private val q167: Q = (s, d) => {
+    graft.functions.TopKPairs.register(s)
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        expr("-(" +
+          "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as long)" +
+          " div n_chars)").as("neg_prio"))
+      .groupBy(col("source"))
+      .agg(expr("topk_pair(neg_prio, doc_id, 5)").as("top"))
+      .select(col("source"), posexplode(col("top")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rank"),
+        (-col("col.v")).as("priority"), col("col.id").as("doc_id"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  private val q167Sql =
+    """WITH p AS (SELECT source, doc_id,
+      |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      |    // n_chars AS priority
+      | FROM documents),
+      |r AS (SELECT source, doc_id, priority,
+      |  ROW_NUMBER() OVER (PARTITION BY source
+      |                     ORDER BY priority, doc_id) AS rank
+      | FROM p)
+      |SELECT source, CAST(rank AS BIGINT) AS rank, priority, doc_id
+      |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q166_pareto_skyline" -> q166,
+    "q167_priority_sample" -> q167)
+
+  val oracle: Map[String, String] = Map(
+    "q166_pareto_skyline" -> q166Sql,
+    "q167_priority_sample" -> q167Sql)
+}

@@ -1,0 +1,295 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Exact.money
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Warehouse-operations engine surface: the storage-layout, view-maintenance
+  * and reshaping operators a 100 TB deployment runs AROUND its queries —
+  * multi-dimensional z-order file layout, incremental aggregate (materialized
+  * view) maintenance, PIVOT, interval overlap joins, and mergeable-sketch
+  * rolling windows. The reference (`lambda_function.py:1-148`) has none of
+  * this; it is north-star engine-surface work. All arithmetic is exact
+  * integer so every query is DuckDB-hash-reproducible.
+  */
+object WarehouseQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- q160
+  /** Z-order (Morton) layout audit — the data-skipping argument for
+    * multi-dimensional clustering, quantified. Rows are assigned to 256
+    * "files" under three layouts: `zorder` (top 8 bits of the 16-bit
+    * Morton interleave of the two 8-bit key hashes — each file is a 16×16
+    * tile of the key grid), `xsort` (files cut along x alone — the
+    * single-column sort layout), and `hash` (an unrelated key — the
+    * unclustered witness). Per layout the audit reports file count, the
+    * mean per-file min/max width of BOTH dimensions (the zone-map width
+    * that decides skipping), and how many files a point probe on each
+    * dimension must touch. The expected shape: xsort is unbeatable on x
+    * and useless on y; zorder pays √ on both; hash skips nothing. At
+    * 100 TB this table IS the justification for `ZORDER BY (a, b)`
+    * maintenance jobs: zone-map width → files touched → bytes scanned.
+    *
+    * The Morton spread is the standard O(log bits) shift-mask ladder —
+    * plain integer expressions inside one WholeStageCodegen projection
+    * (no UDF, no kernel needed); the oracle replays the identical
+    * shift/mask arithmetic. File stats are one hash aggregate on
+    * (layout, file), then a 3-row summary. */
+  private def spread8(c: Column): Column = {
+    // 8-bit value -> its bits at even positions of a 16-bit lane.
+    val a = c.bitwiseOR(shiftleft(c, 4)).bitwiseAND(lit(0x0F0FL))
+    val b = a.bitwiseOR(shiftleft(a, 2)).bitwiseAND(lit(0x3333L))
+    b.bitwiseOR(shiftleft(b, 1)).bitwiseAND(lit(0x5555L))
+  }
+
+  private val q160: Q = (s, d) => {
+    val keyed = Tables.lineitem(s, d).select(
+      (col("l_partkey") % 256).cast("long").as("x"),
+      (col("l_suppkey") % 256).cast("long").as("y"),
+      (col("l_orderkey") % 256).cast("long").as("h"))
+    val z = spread8(col("x")).bitwiseOR(shiftleft(spread8(col("y")), 1))
+    val tagged = keyed
+      .withColumn("fz", shiftright(z, 8))
+      .selectExpr("x", "y",
+        "stack(3, 'zorder', fz, 'xsort', x, 'hash', h) AS (layout, fid)")
+    tagged.groupBy(col("layout"), col("fid"))
+      .agg(min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+      .groupBy(col("layout"))
+      .agg(count(lit(1)).as("n_files"),
+        expr("sum(max_x - min_x + 1) * 100 div count(1)").as("x_width_x100"),
+        expr("sum(max_y - min_y + 1) * 100 div count(1)").as("y_width_x100"),
+        sum(when(col("min_x") <= 123 && col("max_x") >= 123, 1L)
+          .otherwise(0L)).as("x_probe_files"),
+        sum(when(col("min_y") <= 45 && col("max_y") >= 45, 1L)
+          .otherwise(0L)).as("y_probe_files"))
+      .orderBy(col("layout"))
+  }
+
+  private val q160Sql =
+    """WITH k AS (SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y,
+      |                  l_orderkey % 256 AS h FROM lineitem),
+      |sp AS (SELECT x, y, h,
+      |  (((x | (x << 4)) & 3855) | (((x | (x << 4)) & 3855) << 2)) & 13107 AS xa,
+      |  (((y | (y << 4)) & 3855) | (((y | (y << 4)) & 3855) << 2)) & 13107 AS ya
+      | FROM k),
+      |z AS (SELECT x, y, h,
+      |  (((xa | (xa << 1)) & 21845) | (((ya | (ya << 1)) & 21845) << 1)) >> 8 AS fz
+      | FROM sp),
+      |st AS (SELECT 'zorder' AS layout, fz AS fid, x, y FROM z
+      |  UNION ALL SELECT 'xsort', x, x, y FROM z
+      |  UNION ALL SELECT 'hash', h, x, y FROM z),
+      |f AS (SELECT layout, fid, MIN(x) AS min_x, MAX(x) AS max_x,
+      |             MIN(y) AS min_y, MAX(y) AS max_y
+      |      FROM st GROUP BY layout, fid)
+      |SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+      | CAST(SUM(max_x - min_x + 1) * 100 // COUNT(*) AS BIGINT) AS x_width_x100,
+      | CAST(SUM(max_y - min_y + 1) * 100 // COUNT(*) AS BIGINT) AS y_width_x100,
+      | CAST(SUM(CASE WHEN min_x <= 123 AND max_x >= 123 THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS x_probe_files,
+      | CAST(SUM(CASE WHEN min_y <= 45 AND max_y >= 45 THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS y_probe_files
+      |FROM f GROUP BY layout ORDER BY layout""".stripMargin
+
+  // ---------------------------------------------------------------- q161
+  /** Incremental aggregate maintenance (materialized-view delta merge):
+    * the per-customer order aggregate is maintained as STATE (pre-1998
+    * history, aggregated once) merged with the partial aggregate of the
+    * DELTA (2001+ orders) — count and sum add, max takes the greater —
+    * and the merged view is checked key-for-key against a full recompute.
+    * The point at 100 TB: a refresh touches O(|keys| + |delta|) rows, not
+    * the corpus — the merge is one union of two aggregates re-aggregated
+    * on the key, because (count, sum, max) are commutative monoids (avg
+    * rides as sum/count; quantiles would need a mergeable sketch, q165).
+    * The n_mismatch column is the self-check — 0 by algebra on BOTH
+    * engines — and the oracle replays state, delta, merge, and recompute
+    * independently. */
+  private val q161: Q = (s, d) => {
+    val ord = Tables.orders(s, d).select(
+      col("o_custkey").as("k"),
+      (money(col("o_totalprice")) * 100).cast("long").as("cents"),
+      col("o_orderdate"))
+    def agg(df: DataFrame): DataFrame =
+      df.groupBy("k").agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+        max(col("cents")).as("m"))
+    val state = agg(ord.filter(col("o_orderdate") < "2001-01-01"))
+    val delta = agg(ord.filter(col("o_orderdate") >= "2001-01-01"))
+    val merged = state.unionByName(delta)
+      .groupBy("k").agg(sum(col("n")).as("n"), sum(col("s")).as("s"),
+        max(col("m")).as("m"))
+    val full = agg(ord)
+    val cmp = merged.withColumnRenamed("n", "mn").withColumnRenamed("s", "ms")
+      .withColumnRenamed("m", "mm")
+      .join(full, Seq("k"), "full_outer")
+      .agg(count(lit(1)).as("n_keys_merged"),
+        sum(when(col("mn").isNull || col("n").isNull ||
+          col("mn") =!= col("n") || col("ms") =!= col("s") ||
+          col("mm") =!= col("m"), 1L).otherwise(0L)).as("n_mismatch"),
+        sum(col("ms")).as("total_cents"))
+    state.agg(count(lit(1)).as("n_keys_state"))
+      .crossJoin(delta.agg(count(lit(1)).as("n_keys_delta")))
+      .crossJoin(cmp)
+  }
+
+  private val q161Sql =
+    """WITH ord AS (SELECT o_custkey AS k,
+      |  CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS cents,
+      |  o_orderdate FROM orders),
+      |state AS (SELECT k, COUNT(*) AS n, SUM(cents) AS s, MAX(cents) AS m
+      |          FROM ord WHERE o_orderdate < TIMESTAMP '2001-01-01' GROUP BY k),
+      |delta AS (SELECT k, COUNT(*) AS n, SUM(cents) AS s, MAX(cents) AS m
+      |          FROM ord WHERE o_orderdate >= TIMESTAMP '2001-01-01' GROUP BY k),
+      |merged AS (SELECT k, SUM(n) AS n, SUM(s) AS s, MAX(m) AS m FROM (
+      |             SELECT * FROM state UNION ALL SELECT * FROM delta)
+      |           GROUP BY k),
+      |full_r AS (SELECT k, COUNT(*) AS n, SUM(cents) AS s, MAX(cents) AS m
+      |           FROM ord GROUP BY k),
+      |cmp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys_merged,
+      |  CAST(SUM(CASE WHEN mg.n IS NULL OR fr.n IS NULL OR mg.n <> fr.n
+      |                  OR mg.s <> fr.s OR mg.m <> fr.m
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+      |  CAST(SUM(mg.s) AS BIGINT) AS total_cents
+      | FROM merged mg FULL OUTER JOIN full_r fr ON fr.k = mg.k)
+      |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM state) AS n_keys_state,
+      |       (SELECT CAST(COUNT(*) AS BIGINT) FROM delta) AS n_keys_delta,
+      |       n_keys_merged, n_mismatch, total_cents FROM cmp""".stripMargin
+
+  // ---------------------------------------------------------------- q163
+  /** PIVOT (long→wide reshaping, the partner of q82's unpivot): order
+    * value in cents per priority × status, statuses pivoted to columns.
+    * The pivot value list is EXPLICIT — with it the plan is a single
+    * static-schema hash aggregate; without it Spark first runs a separate
+    * distinct job to discover the columns, an extra corpus pass that also
+    * makes the output schema data-dependent (both wrong at 100 TB). Empty
+    * cells are NULL on both engines (SUM over an empty CASE domain). */
+  private val q163: Q = (s, d) => {
+    Tables.orders(s, d)
+      .select(col("o_orderpriority").as("pri"), col("o_orderstatus").as("st"),
+        (money(col("o_totalprice")) * 100).cast("long").as("cents"))
+      .groupBy("pri").pivot("st", Seq("F", "O", "P")).agg(sum(col("cents")))
+      .withColumnRenamed("F", "f_cents")
+      .withColumnRenamed("O", "o_cents")
+      .withColumnRenamed("P", "p_cents")
+      .orderBy(col("pri"))
+  }
+
+  private val q163Sql =
+    """SELECT o_orderpriority AS pri,
+      | CAST(SUM(CASE WHEN o_orderstatus = 'F'
+      |   THEN CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) END) AS BIGINT) AS f_cents,
+      | CAST(SUM(CASE WHEN o_orderstatus = 'O'
+      |   THEN CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) END) AS BIGINT) AS o_cents,
+      | CAST(SUM(CASE WHEN o_orderstatus = 'P'
+      |   THEN CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) END) AS BIGINT) AS p_cents
+      |FROM orders GROUP BY o_orderpriority ORDER BY pri""".stripMargin
+
+  // ---------------------------------------------------------------- q164
+  /** Interval OVERLAP join via a time grid — the interval×interval shape
+    * q52's point-in-range bucketing does not cover. Per-user-per-day
+    * activity spans (min..max event time) are joined against 120 synthetic
+    * 3-hour promo windows (4/day over January, derived in closed form so
+    * the oracle rebuilds them) on the predicate "intervals overlap".
+    *
+    * Scale shape ([[graft.operators.IntervalJoin]]): both sides explode to
+    * the fixed 3-hour grid cells they cover (a session spans ≤ 9 cells, a
+    * promo ≤ 2 — bounded fan-out), the join is an EQUI-join on the cell,
+    * and each qualifying pair is emitted exactly once — by the cell
+    * containing the overlap's START — so there is no distinct pass over
+    * pair space. Work is O(intervals · cells-per-interval), never
+    * |sessions|×|promos|, and the grid cell is the shuffle key. The oracle
+    * is the brute-force theta join — the quadratic witness proving
+    * result-invariance. Promos with zero overlaps survive via the left
+    * spine join. */
+  private val q164: Q = (s, d) => {
+    val cell = 10800000000L // 3 h in microseconds
+    val base = 1704067200000000L // 2024-01-01T00:00:00Z in microseconds
+    val sess = Tables.events(s, d)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(min(unix_micros(col("ts"))).as("ls"),
+        max(unix_micros(col("ts"))).as("le"))
+      .select(col("user_id"), col("ls"), col("le"))
+    val promos = s.range(120).select(
+      col("id").as("pid"),
+      (lit(base) + expr("id div 4") * 86400000000L +
+        (col("id") % 4) * 21600000000L + 5400000000L).as("rs"))
+      .withColumn("re", col("rs") + cell)
+    val pairs = graft.operators.IntervalJoin.overlapJoin(sess, promos, cell)
+    promos.join(
+        pairs.groupBy("pid").agg(count(lit(1)).as("hits")), Seq("pid"), "left")
+      .select(col("pid"), col("rs").as("p_start_us"),
+        coalesce(col("hits"), lit(0L)).as("n_sessions"))
+      .orderBy(col("pid"))
+  }
+
+  private val q164Sql =
+    """WITH sess AS (SELECT user_id, CAST(ts AS DATE) AS day,
+      |  MIN(epoch_us(ts)) AS ss, MAX(epoch_us(ts)) AS se
+      | FROM events GROUP BY user_id, CAST(ts AS DATE)),
+      |promos AS (SELECT i AS pid,
+      |  1704067200000000 + (i // 4) * 86400000000
+      |    + (i % 4) * 21600000000 + 5400000000 AS ps
+      | FROM range(120) t(i)),
+      |p2 AS (SELECT pid, ps, ps + 10800000000 AS pe FROM promos),
+      |hits AS (SELECT p.pid, COUNT(*) AS hits
+      | FROM p2 p JOIN sess s ON s.ss <= p.pe AND p.ps <= s.se
+      | GROUP BY p.pid)
+      |SELECT p.pid, p.ps AS p_start_us,
+      | CAST(COALESCE(h.hits, 0) AS BIGINT) AS n_sessions
+      |FROM p2 p LEFT JOIN hits h ON h.pid = p.pid ORDER BY p.pid""".stripMargin
+
+  // ---------------------------------------------------------------- q165
+  /** Mergeable-sketch rolling distinct — the reaggregation pattern that
+    * makes sketches load-bearing at 100 TB: ONE pass builds a per-day HLL
+    * sketch of active users (Spark's DataSketches `hll_sketch_agg`,
+    * lgConfigK=14 ≈ 0.8 % error), and any window after that merges
+    * day-sketches (`hll_union_agg` — register-max, order-insensitive,
+    * deterministic) instead of re-touching raw events: the trailing-7-day
+    * distinct-user curve costs 7 sketch merges per day, not 7 days of
+    * re-scanned events. The exact trailing-7-day count (computed here via
+    * the day-spine range join — what the sketch path replaces) rides along
+    * as the witness, with the q44-pattern in-band tolerance boolean; the
+    * oracle replays the exact side and pins the band TRUE. */
+  private val q165: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val daily = ev.groupBy("day")
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+    val spine = daily.select(col("day").as("d"))
+    val est = spine.join(daily,
+        col("day").between(date_sub(col("d"), 6), col("d")))
+      .groupBy("d")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    val exact = spine.join(ev,
+        col("day").between(date_sub(col("d"), 6), col("d")))
+      .groupBy("d").agg(countDistinct(col("user_id")).as("exact_u7"))
+    exact.join(est, Seq("d"))
+      .select(col("d").as("day"), col("exact_u7"),
+        (abs(col("est") - col("exact_u7")) <= col("exact_u7") * 0.05)
+          .as("in_band"))
+      .orderBy(col("day"))
+  }
+
+  private val q165Sql =
+    """WITH ev AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+      |spine AS (SELECT DISTINCT day AS d FROM ev)
+      |SELECT s.d AS day,
+      | CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS exact_u7,
+      | TRUE AS in_band
+      |FROM spine s JOIN ev e ON e.day BETWEEN s.d - 6 AND s.d
+      |GROUP BY s.d ORDER BY day""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q160_zorder_layout_audit" -> q160,
+    "q161_incremental_agg_merge" -> q161,
+    "q163_pivot_wide" -> q163,
+    "q164_interval_overlap_join" -> q164,
+    "q165_sketch_rolling_distinct" -> q165)
+
+  val oracle: Map[String, String] = Map(
+    "q160_zorder_layout_audit" -> q160Sql,
+    "q161_incremental_agg_merge" -> q161Sql,
+    "q163_pivot_wide" -> q163Sql,
+    "q164_interval_overlap_join" -> q164Sql,
+    "q165_sketch_rolling_distinct" -> q165Sql)
+}
