@@ -943,6 +943,40 @@ object RelationalQueries {
       |         AND l3.l_returnflag = 'R')
       |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin
 
+  // ---------------------------------------------------------------- q168
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT — the "top-k rows
+    * per outer row" SQL surface (TPC-DS-style per-group drill-down; the
+    * declarative twin of q76's top-1 and q139's aggregate top-k). Both
+    * engines accept the IDENTICAL statement. What makes it engine-surface
+    * work rather than sugar: Catalyst decorrelates the per-row LIMIT into
+    * WindowGroupLimit — executed plan (PLANS.md) shows a map-side partial
+    * WindowGroupLimit BEFORE the exchange (each input split forwards ≤k
+    * rows per nation), the final group-limit after, and a broadcast join
+    * back to nation — i.e. the engine turns "run a sorted LIMIT query per
+    * outer row" into one bounded-exchange pass; a naive evaluator would
+    * re-sort customer |nation| times. Money exact (cents). */
+  private val q168: Q = (s, d) => {
+    Tables.nation(s, d).createOrReplaceTempView("nation_lat")
+    Tables.customer(s, d).createOrReplaceTempView("customer_lat")
+    s.sql(
+      """SELECT n.n_name, c.c_name,
+        |       CAST(CAST(c.c_acctbal AS DECIMAL(15,2)) * 100 AS BIGINT) AS acctbal_cents
+        |FROM nation_lat n,
+        | LATERAL (SELECT c_name, c_acctbal FROM customer_lat
+        |          WHERE c_nationkey = n.n_nationkey
+        |          ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+        |ORDER BY n_name, acctbal_cents DESC, c_name""".stripMargin)
+  }
+
+  private val q168Sql =
+    """SELECT n.n_name, c.c_name,
+      | CAST(CAST(c.c_acctbal AS DECIMAL(15,2)) * 100 AS BIGINT) AS acctbal_cents
+      |FROM nation n,
+      | LATERAL (SELECT c_name, c_acctbal FROM customer
+      |          WHERE c_nationkey = n.n_nationkey
+      |          ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+      |ORDER BY n_name, acctbal_cents DESC, c_name""".stripMargin
+
   // ---------------------------------------------------------------- q126
   /** Integer-exact PageRank ([[graft.operators.PageRankInt]]) over the
     * symmetrized customer↔supplier transaction multigraph (an edge per
@@ -1130,6 +1164,7 @@ object RelationalQueries {
     "q70_correlated_subqueries" -> q70,
     "q107_correlated_agg_predicate" -> q107,
     "q158_semi_anti_chain" -> q158,
+    "q168_lateral_topk" -> q168,
     "q71_distribution_windows" -> q71,
     "q72_collection_funcs" -> q72,
     "q73_hash_bucket_sample" -> q73,
@@ -1173,6 +1208,7 @@ object RelationalQueries {
     "q49_sort_merge_join" -> q49Sql,
     "q70_correlated_subqueries" -> q70Sql,
     "q158_semi_anti_chain" -> q158Sql,
+    "q168_lateral_topk" -> q168Sql,
     "q107_correlated_agg_predicate" -> q107Sql,
     "q71_distribution_windows" -> q71Sql,
     "q72_collection_funcs" -> q72Sql,

@@ -38,18 +38,24 @@ final case class KinesisRecord(shardId: String, partitionKey: String,
   * already connector-shaped and does not change — which is the same
   * plug-compatibility contract the sink transports keep.
   *
-  * Auth note: requests are sent unsigned. A production deployment wraps
-  * [[request]] with a SigV4 signer exactly where the auth headers are
-  * set; signing is orthogonal to the wire protocol under test. */
-final case class KinesisHttpClient(endpoint: String, timeoutMillis: Int = 12000) {
+  * Auth note: requests are SigV4-signed when `auth` is given
+  * ([[graft.streaming.SigV4]], applied exactly where the headers are
+  * set); None keeps the unsigned loopback/testing behavior — signing is
+  * orthogonal to the wire protocol under test. */
+final case class KinesisHttpClient(endpoint: String, timeoutMillis: Int = 12000,
+    auth: Option[graft.streaming.SigV4.AwsAuth] = None) {
   private val mapper = new ObjectMapper()
   private val nodes = JsonNodeFactory.instance
 
   private def request(target: String, body: JsonNode): JsonNode = {
+    val payload = mapper.writeValueAsBytes(body)
+    val baseHeaders = Seq("Content-Type" -> "application/x-amz-json-1.1",
+      "X-Amz-Target" -> s"Kinesis_20131202.$target")
+    val authHeaders = auth.toSeq.flatMap(a => graft.streaming.SigV4.sign("POST",
+      java.net.URI.create(endpoint), baseHeaders, payload, a,
+      graft.streaming.SigV4.nowAmzDate()))
     val (status, resp) = HttpTransports.post(endpoint,
-      mapper.writeValueAsBytes(body), timeoutMillis,
-      Seq("Content-Type" -> "application/x-amz-json-1.1",
-        "X-Amz-Target" -> s"Kinesis_20131202.$target"))
+      payload, timeoutMillis, baseHeaders ++ authHeaders)
     if (status < 200 || status >= 300)
       throw new java.io.IOException(
         s"Kinesis $target returned HTTP $status: ${new String(resp, StandardCharsets.UTF_8).take(200)}")

@@ -12,9 +12,11 @@ import java.nio.charset.StandardCharsets
   * Completes the network-edge set next to [[HttpHec]]/[[HttpBulk]] and
   * `graft.sources.KinesisHttpClient`: JDK HTTP + Spark's Jackson, no new
   * dependencies, exercised against a loopback protocol server in
-  * AwsHttpProtocolSpec. Unsigned requests — a deployment wraps the call
-  * with SigV4 where the headers are set (orthogonal to the protocol). */
-final case class SecretsHttpClient(endpoint: String, timeoutMillis: Int = 12000) {
+  * AwsHttpProtocolSpec. Requests are SigV4-signed when `auth` is given
+  * ([[SigV4]] — the IAM identity the Lambda runtime supplies implicitly);
+  * None keeps the unsigned loopback/testing behavior. */
+final case class SecretsHttpClient(endpoint: String, timeoutMillis: Int = 12000,
+    auth: Option[SigV4.AwsAuth] = None) {
   private val mapper = new ObjectMapper()
 
   /** Fetch + parse one secret: the flat string-valued JSON object the
@@ -23,10 +25,13 @@ final case class SecretsHttpClient(endpoint: String, timeoutMillis: Int = 12000)
     * parse (`splunk_disabled == "true"`) applies downstream unchanged. */
   def getSecretValue(secretId: String): Map[String, String] = {
     val body = JsonNodeFactory.instance.objectNode().put("SecretId", secretId)
+    val payload = mapper.writeValueAsBytes(body)
+    val baseHeaders = Seq("Content-Type" -> "application/x-amz-json-1.1",
+      "X-Amz-Target" -> "secretsmanager.GetSecretValue")
+    val authHeaders = auth.toSeq.flatMap(a => SigV4.sign("POST",
+      java.net.URI.create(endpoint), baseHeaders, payload, a, SigV4.nowAmzDate()))
     val (status, resp) = HttpTransports.post(endpoint,
-      mapper.writeValueAsBytes(body), timeoutMillis,
-      Seq("Content-Type" -> "application/x-amz-json-1.1",
-        "X-Amz-Target" -> "secretsmanager.GetSecretValue"))
+      payload, timeoutMillis, baseHeaders ++ authHeaders)
     if (status < 200 || status >= 300)
       throw new java.io.IOException(
         s"GetSecretValue returned HTTP $status: ${new String(resp, StandardCharsets.UTF_8).take(200)}")

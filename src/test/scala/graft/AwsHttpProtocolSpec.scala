@@ -39,12 +39,21 @@ class AwsHttpProtocolSpec extends AnyFunSuite with BeforeAndAfterAll {
     "shardId-000000000000" -> (1 to 5).map(i => b64(recJson(i))),
     "shardId-000000000001" -> (6 to 8).map(i => b64(recJson(i))))
   private val getRecordsCalls = new AtomicInteger(0)
+  private val lastSigned =
+    new java.util.concurrent.atomic.AtomicReference[(Map[String, String], Array[Byte])]()
 
   override def beforeAll(): Unit = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/", (ex: HttpExchange) => {
       val target = ex.getRequestHeaders.getFirst("X-Amz-Target")
-      val body = mapper.readTree(HttpTransports.readAll(ex.getRequestBody))
+      val raw = HttpTransports.readAll(ex.getRequestBody)
+      val body = mapper.readTree(raw)
+      // capture the signed-request wire data for the SigV4 verifier test
+      if (ex.getRequestHeaders.getFirst("Authorization") != null) {
+        val h = Map.newBuilder[String, String]
+        ex.getRequestHeaders.forEach((k, vs) => h += k.toLowerCase -> vs.get(0))
+        lastSigned.set((h.result(), raw))
+      }
       def reply(status: Int, json: String): Unit = {
         val bytes = json.getBytes(StandardCharsets.UTF_8)
         ex.sendResponseHeaders(status, bytes.length)
@@ -134,5 +143,54 @@ class AwsHttpProtocolSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(iam.esAuthMode == AuthMode.SigV4 && !iam.splunkDisabled)
     intercept[java.io.IOException](
       SecretsHttpClient(endpoint).getSecretValue("missing"))
+  }
+
+  test("SigV4-signed drain: signature verifies over the exact bytes on the wire") {
+    import graft.streaming.SigV4
+    val secret = "verify-secret-key"
+    val creds = SigV4.Credentials("AKIDTEST", secret, Some("SESSION-TOKEN-1"))
+    lastSigned.set(null)
+    val client = KinesisHttpClient(endpoint,
+      auth = Some(SigV4.AwsAuth(creds, "us-east-1", "kinesis")))
+    assert(client.listShards("audit-stream").nonEmpty)
+    val (headers, rawBody) = lastSigned.get()
+
+    // Independent wire-level verifier: recompute the signature from what
+    // actually crossed the socket (captured headers + body bytes), using
+    // an inline implementation of the published algorithm — any drift
+    // between "bytes signed" and "bytes sent" (wrong payload, missing
+    // header, date mismatch) fails here even though client and spec share
+    // no code path.
+    def hmac(key: Array[Byte], s: String): Array[Byte] = {
+      val m = javax.crypto.Mac.getInstance("HmacSHA256")
+      m.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+      m.doFinal(s.getBytes(StandardCharsets.UTF_8))
+    }
+    def hex(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02x").mkString
+    def sha(b: Array[Byte]): String =
+      hex(java.security.MessageDigest.getInstance("SHA-256").digest(b))
+
+    val authHeader = headers("authorization")
+    val cred = authHeader.split("Credential=")(1).split(",")(0)
+    val Array(akid, date, region, service, term) = cred.split("/")
+    assert(akid == "AKIDTEST" && region == "us-east-1" &&
+      service == "kinesis" && term == "aws4_request")
+    val signedNames = authHeader.split("SignedHeaders=")(1).split(",")(0).trim
+    assert(signedNames ==
+      "content-type;host;x-amz-date;x-amz-security-token;x-amz-target")
+    val gotSig = authHeader.split("Signature=")(1).trim
+
+    val canonicalHeaders = signedNames.split(";")
+      .map(n => s"$n:${headers(n).trim}\n").mkString
+    val creq = Seq("POST", "/", "", canonicalHeaders, signedNames, sha(rawBody))
+      .mkString("\n")
+    val sts = Seq("AWS4-HMAC-SHA256", headers("x-amz-date"),
+      s"$date/$region/$service/aws4_request", sha(creq.getBytes(StandardCharsets.UTF_8)))
+      .mkString("\n")
+    val key = hmac(hmac(hmac(hmac(s"AWS4$secret".getBytes(StandardCharsets.UTF_8),
+      date), region), service), "aws4_request")
+    assert(hex(hmac(key, sts)) == gotSig,
+      "wire signature does not verify against the captured request")
+    assert(headers("x-amz-security-token") == "SESSION-TOKEN-1")
   }
 }
