@@ -175,6 +175,36 @@ object ScalingProbe {
     val q157TruthCand = operators.SetSimilarityJoin
       .candidatePairs(q157SampleSets, "doc_id", "sh", 0.5).count()
 
+    // q162: edge and wedge volumes of the co-purchase triangle census —
+    // the oriented wedge join's exact work. Degree is bounded by
+    // co-purchase frequency, so wedges must track edges (~linearly),
+    // never degree² — the counter IS the "curse of the last reducer"
+    // check. Both ride in the query's own result row.
+    val q162Row = SparkEntry.queries("q162_triangle_census")(spark, sfDir).head()
+    val (q162Edges, q162Wedges) =
+      (q162Row.getAs[Long]("n_edges"), q162Row.getAs[Long]("n_wedges"))
+
+    // q164: grid fan-out — the exploded session-side cell rows (the only
+    // corpus-sized input to the equi-join; bounded by sessions × ≤9 cells)
+    // plus the emitted overlap pairs. Linear growth in both = the grid
+    // join never degenerates toward |sessions|×|promos|.
+    val q164Cells = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(min(unix_micros(col("ts"))).as("ls"),
+        max(unix_micros(col("ts"))).as("le"))
+      .select(explode(expr("sequence(ls div 10800000000L, le div 10800000000L)")))
+      .count()
+    val q164Pairs = SparkEntry.queries("q164_interval_overlap_join")(spark, sfDir)
+      .agg(coalesce(sum(col("n_sessions")), lit(0L))).head().getLong(0)
+
+    // q166: survivors of the bucketed prefilter — the exact dominance
+    // finish's input (shared helper with the query). The skyline itself
+    // grows ~logarithmically on random data; survivors must stay a small
+    // multiple of it, never a corpus fraction.
+    val q166Survivors = queries.CurationQueries
+      .skylineSurvivors(Tables.documents(spark, sfDir)).count()
+    val q166Skyline = SparkEntry.queries("q166_pareto_skyline")(spark, sfDir).count()
+
     println(s"""{"sf":"$sfDir","docs":$nDocs,"shingles":$totShingles,""" +
       s""""q86_cand":$q86Cand,"q86_pairs":$q86Pairs,""" +
       s""""q103_cand":$q103Cand,"q103_pairs":$q103Pairs,""" +
@@ -187,7 +217,10 @@ object ScalingProbe {
       s""""q120_chunks":$q120Chunks,"q121_scored":$q121Scored,""" +
       s""""q123_cand":$q123Cand,"q124_feats":$q124Feats,""" +
       s""""q133_groups":$q133Groups,"q145_pairs":$q145Pairs,""" +
-      s""""q157_sample_docs":$q157SampleDocs,"q157_truth_cand":$q157TruthCand}""")
+      s""""q157_sample_docs":$q157SampleDocs,"q157_truth_cand":$q157TruthCand,""" +
+      s""""q162_edges":$q162Edges,"q162_wedges":$q162Wedges,""" +
+      s""""q164_cells":$q164Cells,"q164_pairs":$q164Pairs,""" +
+      s""""q166_survivors":$q166Survivors,"q166_skyline":$q166Skyline}""")
     spark.stop()
   }
 }

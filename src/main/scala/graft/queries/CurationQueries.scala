@@ -36,8 +36,11 @@ object CurationQueries {
     * skyline member provably among them), never corpus×corpus. The oracle
     * is the brute-force NOT EXISTS over all documents — the quadratic
     * witness proving the prune lossless. */
-  private val q166: Q = (s, d) => {
-    val dm = Tables.documents(s, d).select(
+  /** The bucketed-prefilter survivors (the exact dominance finish's input)
+    * — shared with ScalingProbe so the counter measures exactly what q166
+    * runs (the q145 shared-helper discipline). */
+  private[graft] def skylineSurvivors(docs: DataFrame): DataFrame = {
+    val dm = docs.select(
       col("doc_id"), col("n_chars"),
       expr("1000000L * size(array_distinct(split(text, ' '))) div size(split(text, ' '))")
         .as("div_ppm"))
@@ -46,9 +49,13 @@ object CurationQueries {
       .withColumn("thr", max(col("by")).over(
         Window.orderBy(col("bx").desc).rowsBetween(Window.unboundedPreceding, -1)))
       .select(col("bx"), col("thr"))
-    val sv = buck.join(broadcast(thr), Seq("bx"))
+    buck.join(broadcast(thr), Seq("bx"))
       .filter(col("thr").isNull || col("n_chars") > col("thr"))
       .select(col("doc_id"), col("div_ppm"), col("n_chars"))
+  }
+
+  private val q166: Q = (s, d) => {
+    val sv = skylineSurvivors(Tables.documents(s, d))
     sv.as("b").join(broadcast(sv.as("a")),
         col("a.div_ppm") >= col("b.div_ppm") &&
           col("a.n_chars") >= col("b.n_chars") &&
@@ -118,11 +125,70 @@ object CurationQueries {
       |SELECT source, CAST(rank AS BIGINT) AS rank, priority, doc_id
       |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q169
+  /** Deterministic negative mining for contrastive training — for every
+    * embedding, two pseudo-random negatives drawn by modular stride
+    * (neg = (id·p + 13) mod n for two large primes, bumped one slot when
+    * it lands on the anchor): the fixed-fan-out negative-sampling pass a
+    * contrastive curriculum runs over the corpus, with the false-negative
+    * audit (negatives sharing the anchor's label) that decides whether
+    * in-batch negatives need label filtering. The modular stride is the
+    * point: negatives come from an EQUI-join on a computed unique key —
+    * one key-shuffle (or broadcast under AQE), never a random shuffle or
+    * a cross join — and the draw is reproducible on any cluster shape.
+    * Dots are exact integer `dot_l` over the ×10⁴-quantized vectors
+    * (KMeansLloyd discipline); output is the 2-prime × same/diff-label
+    * census, so both engines reduce to 4 rows of exact longs. */
+  private val q169: Q = (s, d) => {
+    graft.functions.VectorOps.register(s)
+    val emb = Tables.embeddings(s, d)
+    val n = emb.count()
+    val q = emb.select(col("vec_id"), col("label"),
+      graft.operators.KMeansLloyd.quantize("embedding").as("qvec"))
+    val anchors = q.select(col("vec_id").as("a_id"), col("label").as("a_label"),
+      col("qvec").as("a_vec"))
+    val withNeg = anchors.select(col("a_id"), col("a_label"), col("a_vec"),
+        explode(array(lit(7919L), lit(104729L))).as("p"))
+      .withColumn("raw", (col("a_id") * col("p") + 13) % n)
+      .withColumn("neg_id",
+        when(col("raw") === col("a_id"), (col("raw") + 1) % n)
+          .otherwise(col("raw")))
+    withNeg.join(q.select(col("vec_id").as("neg_id"),
+        col("label").as("n_label"), col("qvec").as("n_vec")), Seq("neg_id"))
+      .select(col("p").as("prime"),
+        (col("a_label") === col("n_label")).as("same_label"),
+        expr("dot_l(a_vec, n_vec)").as("dot"))
+      .groupBy(col("prime"), col("same_label"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("dot")).as("sum_dot"))
+      .orderBy(col("prime"), col("same_label"))
+  }
+
+  private val q169Sql =
+    """WITH q AS (SELECT vec_id, label, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)) AS qvec
+      |  FROM embeddings),
+      |n AS (SELECT COUNT(*) AS n FROM q),
+      |pairs AS (SELECT a.vec_id AS a_id, a.label AS a_label, a.qvec AS a_vec,
+      |    p.p AS prime,
+      |    CASE WHEN (a.vec_id * p.p + 13) % n.n = a.vec_id
+      |         THEN ((a.vec_id * p.p + 13) % n.n + 1) % n.n
+      |         ELSE (a.vec_id * p.p + 13) % n.n END AS neg_id
+      |  FROM q a CROSS JOIN n CROSS JOIN (VALUES (7919), (104729)) p(p)),
+      |scored AS (SELECT pr.prime, (pr.a_label = b.label) AS same_label,
+      |    (SELECT SUM(x * y) FROM (SELECT UNNEST(pr.a_vec) AS x,
+      |                                    UNNEST(b.qvec) AS y)) AS dot
+      |  FROM pairs pr JOIN q b ON b.vec_id = pr.neg_id)
+      |SELECT CAST(prime AS BIGINT) AS prime, same_label,
+      | CAST(COUNT(*) AS BIGINT) AS n_pairs, CAST(SUM(dot) AS BIGINT) AS sum_dot
+      |FROM scored GROUP BY prime, same_label ORDER BY prime, same_label""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q166_pareto_skyline" -> q166,
-    "q167_priority_sample" -> q167)
+    "q167_priority_sample" -> q167,
+    "q169_negative_mining" -> q169)
 
   val oracle: Map[String, String] = Map(
     "q166_pareto_skyline" -> q166Sql,
-    "q167_priority_sample" -> q167Sql)
+    "q167_priority_sample" -> q167Sql,
+    "q169_negative_mining" -> q169Sql)
 }

