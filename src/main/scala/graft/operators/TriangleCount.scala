@@ -67,14 +67,21 @@ object TriangleCount {
         col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
       .select(col("a.dst").as("x"), col("b.dst").as("y"))
 
-    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
-    val nEdges = canon.agg(count(lit(1)).as("n_edges"))
-    val nWedges = wedges.agg(count(lit(1)).as("n_wedges"))
-    // Close the wedge against the canonical edge set. Inner join + count:
-    // (x, y) pairs are distinct per apex, and the edge set is distinct, so
-    // the join multiplicity IS the triangle multiplicity.
-    val nTri = wedges.join(canon, Seq("x", "y")).agg(count(lit(1)).as("n_triangles"))
+    // Node and edge counts ride ONE pass over the degree table (handshake
+    // lemma: Σdeg = 2|E|), and wedge + triangle counts ride ONE left join
+    // of the wedges against the canonical edge set — each wedge row is
+    // counted, and it closes a triangle iff the edge marker matched.
+    // (Wedge (x, y) pairs are distinct per apex and the edge set is
+    // distinct, so join multiplicity IS triangle multiplicity.) Two
+    // aggregate branches total, instead of the naive four census passes
+    // that would re-derive the edge list four times.
+    val nodeEdge = deg.agg(count(lit(1)).as("n_nodes"),
+      (sum(col("deg")) / 2).cast("long").as("n_edges"))
+    val wedgeTri = wedges
+      .join(canon.withColumn("hit", lit(1L)), Seq("x", "y"), "left")
+      .agg(count(lit(1)).as("n_wedges"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_triangles"))
 
-    nNodes.crossJoin(nEdges).crossJoin(nWedges).crossJoin(nTri)
+    nodeEdge.crossJoin(wedgeTri)
   }
 }
