@@ -28,7 +28,8 @@ object SparkEntry {
       CorpusQueries.queries ++
       GraphQueries.queries ++
       WarehouseQueries.queries ++
-      CurationQueries.queries
+      CurationQueries.queries ++
+      DriftQueries.queries
 
   /** Bench-only queries: fast twins whose hash family (xxhash64) has no
     * DuckDB equivalent. Their algorithmic correctness is proven by the
@@ -49,5 +50,6 @@ object SparkEntry {
       CorpusQueries.oracle ++
       GraphQueries.oracle ++
       WarehouseQueries.oracle ++
-      CurationQueries.oracle
+      CurationQueries.oracle ++
+      DriftQueries.oracle
 }

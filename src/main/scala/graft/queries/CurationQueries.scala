@@ -3,7 +3,6 @@ package graft.queries
 import graft.Tables
 import graft.functions.PortableHash.md5Bucket60
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-curation selection operators beyond threshold filters: the Pareto
@@ -26,8 +25,9 @@ object CurationQueries {
     * Scale shape — bucketed prefilter, exact finish (the skyline analogue
     * of q86's prefix filter): diversity (integer ppm) is value-bucketed
     * into ≤245 fixed cells (no stats pass); one hash aggregate takes each
-    * bucket's max length; a bounded 245-row window turns that into
-    * thr(bucket) = max length over strictly-higher buckets. Any document
+    * bucket's max length; a ≤245²-pair broadcast self-join turns that
+    * into thr(bucket) = max length over strictly-higher buckets (suffix
+    * max WITHOUT a partition-less window). Any document
     * with length ≤ thr(its bucket) is PROVABLY dominated (the higher
     * bucket's witness is strictly more diverse and no shorter), so the
     * corpus-sized side is one scan + broadcast threshold filter; the exact
@@ -45,10 +45,14 @@ object CurationQueries {
       expr("1000000L * size(array_distinct(split(text, ' '))) div size(split(text, ' '))")
         .as("div_ppm"))
     val buck = dm.withColumn("bx", expr("div_ppm div 4096"))
-    val thr = buck.groupBy("bx").agg(max(col("n_chars")).as("by"))
-      .withColumn("thr", max(col("by")).over(
-        Window.orderBy(col("bx").desc).rowsBetween(Window.unboundedPreceding, -1)))
-      .select(col("bx"), col("thr"))
+    // Suffix-max over the ≤245-row bucket table as a broadcast theta
+    // self-join (thr(b) = max length of any strictly-higher bucket) — the
+    // repo bans partition-less windows outright (QueryInventorySpec), and
+    // at ≤245² pairs the join is cheaper than an exchange anyway.
+    val bk = buck.groupBy("bx").agg(max(col("n_chars")).as("by"))
+    val thr = bk.as("a")
+      .join(broadcast(bk.as("b")), col("b.bx") > col("a.bx"), "left")
+      .groupBy(col("a.bx").as("bx")).agg(max(col("b.by")).as("thr"))
     buck.join(broadcast(thr), Seq("bx"))
       .filter(col("thr").isNull || col("n_chars") > col("thr"))
       .select(col("doc_id"), col("div_ppm"), col("n_chars"))

@@ -1,0 +1,151 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Exact.money
+import graft.functions.PortableHash.md5Bucket60
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift monitors — what a continuous 100 TB ingest pipeline
+  * runs per batch to notice that today's data no longer looks like the
+  * reference window before a silent quality regression poisons training:
+  * the banker's PSI (binned, ln-weighted) and the exact two-sample
+  * Kolmogorov–Smirnov distance. Both reduce to hash aggregates plus
+  * bounded windows and replay exactly in DuckDB (PSI via the repo's
+  * floor-ln micro-nat discipline, KS in pure integers).
+  */
+object DriftQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- q171
+  /** Population Stability Index per source: the reference population is
+    * the deterministic md5 half of each source's documents (the q97 split
+    * discipline — in production, last week's snapshot), the current
+    * population the other half; lengths are binned into the FIXED value
+    * domain `n_chars div 64` ∈ [0, 9] (no stats pass, same bins at every
+    * scale) with add-one smoothing over the full spine so empty bins
+    * cannot produce ln(0). PSI = Σ (p−q)·ln(p/q) is assembled in exact
+    * integer micro-nats: each term is
+    * `diff_num · ln_micro div denom` where diff_num = (a+1)(Nb+B) −
+    * (b+1)(Na+B), denom = (Na+B)(Nb+B), and ln_micro = floor(1e6·ln of
+    * the identical double ratio) — the q121/q124 floor-ln rule, so both
+    * engines truncate the same values and the order-free integer sum
+    * hash-matches. Work: one corpus scan → (source, bin, side) hash agg
+    * (≤ sources·10·2 rows); everything after is spine-sized. Long bound:
+    * diff_num·ln_micro peaks ~N²·2·10⁶ — promote to DECIMAL(38) past
+    * ~10⁹ docs per source (q143's documented fallback). */
+  private val q171: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("source"),
+      expr("n_chars div 64").as("bin"),
+      (md5Bucket60(col("doc_id").cast("string")) % 100 < 50).as("is_ref"))
+    val counts = docs.groupBy("source", "bin")
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("a"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("b"))
+    val spine = Tables.documents(s, d).select(col("source")).distinct()
+      .crossJoin(s.range(10).select(col("id").as("bin")))
+    val filled = spine.join(counts, Seq("source", "bin"), "left")
+      .select(col("source"), col("bin"),
+        (coalesce(col("a"), lit(0L)) + 1).as("a1"),
+        (coalesce(col("b"), lit(0L)) + 1).as("b1"))
+    val totals = filled.groupBy("source")
+      .agg(sum(col("a1")).as("na"), sum(col("b1")).as("nb"))
+    filled.join(totals, Seq("source"))
+      .select(col("source"), col("na"), col("nb"),
+        (col("a1") * col("nb") - col("b1") * col("na")).as("diff_num"),
+        expr("CAST(floor(1000000.0 * ln((CAST(a1 AS DOUBLE) * CAST(nb AS DOUBLE)) / " +
+          "(CAST(b1 AS DOUBLE) * CAST(na AS DOUBLE)))) AS BIGINT)").as("ln_micro"))
+      .groupBy(col("source"))
+      .agg(min(col("na") - 10).as("n_ref"), min(col("nb") - 10).as("n_cur"),
+        sum(expr("diff_num * ln_micro div (na * nb)")).as("psi_micro"))
+      .orderBy(col("source"))
+  }
+
+  private val q171Sql =
+    """WITH docs AS (SELECT source, n_chars // 64 AS bin,
+      |  (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 50)
+      |    AS is_ref
+      | FROM documents),
+      |counts AS (SELECT source, bin,
+      |   SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS a,
+      |   SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS b
+      | FROM docs GROUP BY source, bin),
+      |spine AS (SELECT DISTINCT d.source, r.bin
+      |          FROM documents d, (SELECT UNNEST(range(10)) AS bin) r),
+      |filled AS (SELECT s.source, s.bin,
+      |   COALESCE(c.a, 0) + 1 AS a1, COALESCE(c.b, 0) + 1 AS b1
+      | FROM spine s LEFT JOIN counts c ON c.source = s.source AND c.bin = s.bin),
+      |tot AS (SELECT source, SUM(a1) AS na, SUM(b1) AS nb FROM filled GROUP BY source),
+      |terms AS (SELECT f.source, t.na, t.nb,
+      |   f.a1 * t.nb - f.b1 * t.na AS diff_num,
+      |   CAST(floor(1000000.0 * ln((CAST(f.a1 AS DOUBLE) * CAST(t.nb AS DOUBLE)) /
+      |     (CAST(f.b1 AS DOUBLE) * CAST(t.na AS DOUBLE)))) AS BIGINT) AS ln_micro
+      | FROM filled f JOIN tot t ON t.source = f.source)
+      |SELECT source, CAST(MIN(na) - 10 AS BIGINT) AS n_ref,
+      | CAST(MIN(nb) - 10 AS BIGINT) AS n_cur,
+      | CAST(SUM(diff_num * ln_micro // (na * nb)) AS BIGINT) AS psi_micro
+      |FROM terms GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q172
+  /** Exact two-sample Kolmogorov–Smirnov distance per event type, between
+    * the first and second half of the month — the non-parametric drift
+    * test that needs no binning choice, in PURE integer arithmetic (no
+    * ln, no doubles): at every observed value point v,
+    * D(v) = |cumA(v)·N_B − cumB(v)·N_A|, and
+    * KS_ppm = 10⁶·max_v D(v) div (N_A·N_B). One hash aggregate collapses
+    * the corpus to (type, cents) → (a, b) counts; the running CDFs are a
+    * per-type window over DISTINCT VALUE POINTS (bounded by the value
+    * domain, the q81 bounded-group caveat — unbounded domains would swap
+    * in q129's histogram refinement with identical rank arithmetic).
+    * Long bound: cum·N ≤ N², ×10⁶ — exact to ~3·10⁶ rows per type side;
+    * DECIMAL(38) past that. */
+  private val q172: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(col("event_type"),
+      (money(col("value")) * 100).cast("long").as("cents"),
+      (dayofmonth(col("ts")) <= 15).as("is_a"))
+    val pts = ev.groupBy("event_type", "cents")
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("a"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("b"))
+    val w = Window.partitionBy(col("event_type"))
+    val cum = pts
+      .withColumn("ca", sum(col("a")).over(w.orderBy(col("cents"))))
+      .withColumn("cb", sum(col("b")).over(w.orderBy(col("cents"))))
+      .withColumn("na", sum(col("a")).over(w))
+      .withColumn("nb", sum(col("b")).over(w))
+    cum.groupBy(col("event_type"))
+      .agg(min(col("na")).as("n_a"), min(col("nb")).as("n_b"),
+        max(abs(col("ca") * col("nb") - col("cb") * col("na"))).as("d_max"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        expr("d_max * 1000000 div (n_a * n_b)").as("ks_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q172Sql =
+    """WITH ev AS (SELECT event_type,
+      |  CAST(CAST(value AS DECIMAL(15,2)) * 100 AS BIGINT) AS cents,
+      |  (EXTRACT(day FROM ts) <= 15) AS is_a
+      | FROM events),
+      |pts AS (SELECT event_type, cents,
+      |   SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS a,
+      |   SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS b
+      | FROM ev GROUP BY event_type, cents),
+      |cum AS (SELECT event_type, cents,
+      |   SUM(a) OVER (PARTITION BY event_type ORDER BY cents) AS ca,
+      |   SUM(b) OVER (PARTITION BY event_type ORDER BY cents) AS cb,
+      |   SUM(a) OVER (PARTITION BY event_type) AS na,
+      |   SUM(b) OVER (PARTITION BY event_type) AS nb
+      | FROM pts)
+      |SELECT event_type, CAST(MIN(na) AS BIGINT) AS n_a,
+      | CAST(MIN(nb) AS BIGINT) AS n_b,
+      | CAST(MAX(abs(ca * nb - cb * na)) * 1000000 // (MIN(na) * MIN(nb)) AS BIGINT)
+      |   AS ks_ppm
+      |FROM cum GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q171_psi_drift" -> q171,
+    "q172_ks_drift" -> q172)
+
+  val oracle: Map[String, String] = Map(
+    "q171_psi_drift" -> q171Sql,
+    "q172_ks_drift" -> q172Sql)
+}
