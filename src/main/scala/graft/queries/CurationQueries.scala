@@ -186,13 +186,117 @@ object CurationQueries {
       | CAST(COUNT(*) AS BIGINT) AS n_pairs, CAST(SUM(dot) AS BIGINT) AS sum_dot
       |FROM scored GROUP BY prime, same_label ORDER BY prime, same_label""".stripMargin
 
+  // ---------------------------------------------------------------- q173
+  /** Record linkage with multi-key blocking — the entity-resolution
+    * pipeline (Fellegi–Sunter shape): a deterministic "dirty" copy of
+    * every 4th customer (balance +7¢ always; last name char corrupted
+    * when custkey ≡ 0 mod 3) is linked back against the clean registry.
+    * Neither blocking key alone suffices — block₁ (nation, name tail)
+    * misses the name-corrupted copies, block₂ (segment, $1 balance
+    * bucket) misses the ~7 % of copies whose +7¢ crossed a bucket edge —
+    * which is exactly why production linkage runs a UNION of blocks.
+    *
+    * Scale shape: candidates come only from within-block pairs (never a
+    * record cross product), and the union is DEDUP-FREE by the
+    * first-matching-block rule (a pair in both blocks is emitted from
+    * block₂ only if its block₁ keys differ — decided per-pair from
+    * carried attributes, no distinct pass; q164's grid-join discipline).
+    * Block granularity is the knob that keeps per-block membership
+    * bounded as the corpus grows (the q123 adaptive-planes precedent —
+    * here $1 buckets; a 100 TB registry narrows them). The matcher
+    * (levenshtein ≤ 1, |Δbalance| ≤ 10¢, same nation) then scores
+    * candidates only. Census: candidates, matches, ground-truth pairs,
+    * precision/recall ppm — all exact integers, oracle-replayed. */
+  private val q173: Q = (s, d) => {
+    val base = Tables.customer(s, d).select(
+      col("c_custkey").as("entity"), col("c_name").as("name"),
+      col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+      (graft.functions.Exact.money(col("c_acctbal")) * 100).cast("long").as("cents"))
+    val clean = base.select(col("entity"), col("entity").as("rec_id"),
+      col("name"), col("nat"), col("seg"), col("cents"))
+    val dirty = base.filter(col("entity") % 4 === 0)
+      .select(col("entity"), (-col("entity") - 1).as("rec_id"),
+        when(col("entity") % 3 === 0,
+          concat(expr("substring(name, 1, length(name) - 1)"), lit("X")))
+          .otherwise(col("name")).as("name"),
+        col("nat"), col("seg"), (col("cents") + 7).as("cents"))
+    val recs = clean.unionByName(dirty)
+      .withColumn("b1", concat_ws("|", col("nat"),
+        expr("substring(name, -4, 4)")))
+      .withColumn("b2", concat_ws("|", col("seg"), expr("cents div 100")))
+    def pairs(key: String) = recs.as("a").join(recs.as("b"),
+        col(s"a.$key") === col(s"b.$key") && col("a.rec_id") < col("b.rec_id"))
+      .select(col("a.entity").as("ea"), col("b.entity").as("eb"),
+        col("a.name").as("na"), col("b.name").as("nb"),
+        col("a.nat").as("nata"), col("b.nat").as("natb"),
+        col("a.cents").as("ca"), col("b.cents").as("cb"),
+        col("a.b1").as("b1a"), col("b.b1").as("b1b"))
+    val cand = pairs("b1")
+      .unionByName(pairs("b2").filter(col("b1a") =!= col("b1b")))
+    val scored = cand.withColumn("matched",
+      (levenshtein(col("na"), col("nb")) <= 1 &&
+        abs(col("ca") - col("cb")) <= 10 &&
+        col("nata") === col("natb")).cast("long"))
+    val census = scored.agg(count(lit(1)).as("n_cand"),
+      sum(col("matched")).as("n_matched"),
+      sum(when(col("matched") === 1 && col("ea") === col("eb"), 1L)
+        .otherwise(0L)).as("n_true_matched"))
+    val truth = dirty.agg(count(lit(1)).as("n_true"))
+    recs.agg(count(lit(1)).as("n_records")).crossJoin(census).crossJoin(truth)
+      .select(col("n_records"), col("n_cand"), col("n_matched"),
+        col("n_true_matched"), col("n_true"),
+        expr("n_true_matched * 1000000 div n_matched").as("precision_ppm"),
+        expr("n_true_matched * 1000000 div n_true").as("recall_ppm"))
+  }
+
+  private val q173Sql =
+    """WITH base AS (SELECT c_custkey AS entity, c_name AS name,
+      |  c_nationkey AS nat, c_mktsegment AS seg,
+      |  CAST(CAST(c_acctbal AS DECIMAL(15,2)) * 100 AS BIGINT) AS cents
+      | FROM customer),
+      |clean AS (SELECT entity, entity AS rec_id, name, nat, seg, cents FROM base),
+      |dirty AS (SELECT entity, -entity - 1 AS rec_id,
+      |   CASE WHEN entity % 3 = 0
+      |        THEN substr(name, 1, length(name) - 1) || 'X' ELSE name END AS name,
+      |   nat, seg, cents + 7 AS cents
+      | FROM base WHERE entity % 4 = 0),
+      |recs AS (SELECT *,
+      |   nat || '|' || substr(name, -4, 4) AS b1,
+      |   seg || '|' || (cents // 100) AS b2
+      | FROM (SELECT * FROM clean UNION ALL SELECT * FROM dirty)),
+      |cand AS (
+      | SELECT a.entity AS ea, b.entity AS eb, a.name AS na, b.name AS nb,
+      |        a.nat AS nata, b.nat AS natb, a.cents AS ca, b.cents AS cb
+      | FROM recs a JOIN recs b ON a.b1 = b.b1 AND a.rec_id < b.rec_id
+      | UNION ALL
+      | SELECT a.entity, b.entity, a.name, b.name, a.nat, b.nat, a.cents, b.cents
+      | FROM recs a JOIN recs b ON a.b2 = b.b2 AND a.rec_id < b.rec_id
+      |   AND a.b1 <> b.b1),
+      |scored AS (SELECT *,
+      |   CASE WHEN levenshtein(na, nb) <= 1 AND abs(ca - cb) <= 10
+      |             AND nata = natb THEN 1 ELSE 0 END AS matched
+      | FROM cand),
+      |census AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand,
+      |   CAST(SUM(matched) AS BIGINT) AS n_matched,
+      |   CAST(SUM(CASE WHEN matched = 1 AND ea = eb THEN 1 ELSE 0 END) AS BIGINT)
+      |     AS n_true_matched
+      | FROM scored),
+      |truth AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM dirty),
+      |nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_records FROM recs)
+      |SELECT n_records, n_cand, n_matched, n_true_matched, n_true,
+      | CAST(n_true_matched * 1000000 // n_matched AS BIGINT) AS precision_ppm,
+      | CAST(n_true_matched * 1000000 // n_true AS BIGINT) AS recall_ppm
+      |FROM nr, census, truth""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q166_pareto_skyline" -> q166,
     "q167_priority_sample" -> q167,
-    "q169_negative_mining" -> q169)
+    "q169_negative_mining" -> q169,
+    "q173_record_linkage" -> q173)
 
   val oracle: Map[String, String] = Map(
     "q166_pareto_skyline" -> q166Sql,
     "q167_priority_sample" -> q167Sql,
-    "q169_negative_mining" -> q169Sql)
+    "q169_negative_mining" -> q169Sql,
+    "q173_record_linkage" -> q173Sql)
 }
