@@ -141,11 +141,60 @@ object DriftQueries {
       |   AS ks_ppm
       |FROM cum GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q175
+  /** Benford first-digit audit on order totals — the classic forensic
+    * data-quality check (fabricated or unit-mangled monetary columns bend
+    * the leading-digit curve). Observed first-digit shares in exact ppm
+    * against the Benford expectation log10(1+1/d), whose nine values are
+    * UNIVERSAL constants carried as integer-ppm literals (301030, 176091,
+    * …, 45757) — no runtime log10, so both engines are bit-exact. One
+    * map-only projection (first char of the integer cents string) + a
+    * 9-key hash aggregate; deviation_ppm is the per-digit signed gap the
+    * monitor thresholds on. */
+  private val q175: Q = (s, d) => {
+    val expected = Map(1 -> 301030L, 2 -> 176091L, 3 -> 124939L,
+      4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L,
+      9 -> 45757L)
+    val expectedCol = expected.foldLeft(lit(0L)) { case (acc, (dd, p)) =>
+      when(col("digit") === dd.toLong, p).otherwise(acc)
+    }
+    val digits = Tables.orders(s, d)
+      .select((money(col("o_totalprice")) * 100).cast("long").as("cents"))
+      .filter(col("cents") > 0)
+      .select(expr("CAST(substring(CAST(cents AS STRING), 1, 1) AS BIGINT)").as("digit"))
+    val n = digits.count()
+    digits.groupBy("digit").agg(count(lit(1)).as("n_obs"))
+      .select(col("digit"), col("n_obs"),
+        expr(s"n_obs * 1000000 div ${n}L").as("observed_ppm"),
+        expectedCol.as("benford_ppm"))
+      .withColumn("deviation_ppm", col("observed_ppm") - col("benford_ppm"))
+      .orderBy(col("digit"))
+  }
+
+  private val q175Sql =
+    """WITH c AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT)
+      |             AS cents FROM orders),
+      |d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      |      FROM c WHERE cents > 0),
+      |n AS (SELECT COUNT(*) AS n FROM d),
+      |e AS (SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+      |        (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+      |        (9, 45757)) t(digit, benford_ppm))
+      |SELECT CAST(d.digit AS BIGINT) AS digit,
+      | CAST(COUNT(*) AS BIGINT) AS n_obs,
+      | CAST(COUNT(*) * 1000000 // n.n AS BIGINT) AS observed_ppm,
+      | CAST(e.benford_ppm AS BIGINT) AS benford_ppm,
+      | CAST(COUNT(*) * 1000000 // n.n - e.benford_ppm AS BIGINT) AS deviation_ppm
+      |FROM d, n, e WHERE e.digit = d.digit
+      |GROUP BY d.digit, n.n, e.benford_ppm ORDER BY digit""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q171_psi_drift" -> q171,
-    "q172_ks_drift" -> q172)
+    "q172_ks_drift" -> q172,
+    "q175_benford_audit" -> q175)
 
   val oracle: Map[String, String] = Map(
     "q171_psi_drift" -> q171Sql,
-    "q172_ks_drift" -> q172Sql)
+    "q172_ks_drift" -> q172Sql,
+    "q175_benford_audit" -> q175Sql)
 }

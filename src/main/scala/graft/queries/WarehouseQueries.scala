@@ -361,13 +361,60 @@ object WarehouseQueries {
       | est_self >= exact_self AS self_one_sided
       |FROM cnt, ej, es, xj, xs""".stripMargin
 
+  // ---------------------------------------------------------------- q174
+  /** Equi-depth histogram statistics — the other half of the planner-
+    * statistics family next to q170's CMS join estimates and q140's skew
+    * audit: 8 exact equal-depth boundaries over lineitem price cents
+    * (ranks ⌈i·n/8⌉) found by [[graft.operators.HistogramQuantiles]] —
+    * iterative histogram refinement, O(log_B range) scans, a
+    * ≤targets·1024-cell shuffle per scan, NO global sort and no
+    * single-task rank window — then one verification scan bucketing every
+    * row against the broadcast boundaries (per-bucket count + min/max,
+    * i.e. the zone-map-with-depth object a planner stores per column).
+    * Depths deviate from n/8 exactly where boundary values repeat
+    * (multiset semantics) — both engines see identical deviations. The
+    * oracle recomputes the same ranks with a ROW_NUMBER order-statistics
+    * CTE — the sort-the-world shape the operator replaces. */
+  private val q174: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select((money(col("l_extendedprice")) * 100).cast("long").as("cents"))
+    val n = li.count()
+    val ranks = (1 to 8).map(i => (i.toLong * n + 7L) / 8L)
+    val bounds = graft.operators.HistogramQuantiles
+      .orderStatistics(li, "cents", ranks)
+    val bucket = bounds.zipWithIndex.foldRight(lit(8L)) {
+      case ((b, i), rest) => when(col("cents") <= b, (i + 1).toLong).otherwise(rest)
+    }
+    li.select(col("cents"), bucket.as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"), min(col("cents")).as("lo_cents"),
+        max(col("cents")).as("hi_cents"))
+      .orderBy(col("bucket"))
+  }
+
+  private val q174Sql =
+    """WITH v AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * 100 AS BIGINT)
+      |             AS cents FROM lineitem),
+      |r AS (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn,
+      |             COUNT(*) OVER () AS n FROM v),
+      |b AS (SELECT i.i AS bucket, MIN(r.cents) AS ub FROM r,
+      |        (SELECT UNNEST(range(1, 9)) AS i) i
+      |      WHERE r.rn = (i.i * n + 7) // 8 GROUP BY i.i),
+      |assigned AS (SELECT v.cents,
+      |   COALESCE((SELECT MIN(bucket) FROM b WHERE v.cents <= b.ub), 8) AS bucket
+      | FROM v)
+      |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      | MIN(cents) AS lo_cents, MAX(cents) AS hi_cents
+      |FROM assigned GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q160_zorder_layout_audit" -> q160,
     "q161_incremental_agg_merge" -> q161,
     "q163_pivot_wide" -> q163,
     "q164_interval_overlap_join" -> q164,
     "q165_sketch_rolling_distinct" -> q165,
-    "q170_cms_join_estimate" -> q170)
+    "q170_cms_join_estimate" -> q170,
+    "q174_equidepth_histogram" -> q174)
 
   val oracle: Map[String, String] = Map(
     "q160_zorder_layout_audit" -> q160Sql,
@@ -375,5 +422,6 @@ object WarehouseQueries {
     "q163_pivot_wide" -> q163Sql,
     "q164_interval_overlap_join" -> q164Sql,
     "q165_sketch_rolling_distinct" -> q165Sql,
-    "q170_cms_join_estimate" -> q170Sql)
+    "q170_cms_join_estimate" -> q170Sql,
+    "q174_equidepth_histogram" -> q174Sql)
 }
