@@ -961,7 +961,57 @@ object EventQueries {
       |SELECT trigram, COUNT(*) AS n FROM tg GROUP BY trigram
       |ORDER BY n DESC, trigram LIMIT 25""".stripMargin
 
+  // ---------------------------------------------------------------- q176
+  /** Nearest-event temporal alignment (sensor-fusion semantics): every
+    * click matched to its CLOSEST purchase by the same user within ±2 h —
+    * backward or forward, whichever is nearer, ties to the earlier — via
+    * [[graft.operators.NearestEventJoin]]: the AsOfJoin union trick run in
+    * both directions over ONE user-keyed exchange (two per-partition
+    * sorts, running value per direction), never a per-key range join.
+    * Complements q130's backward-only attribution and q50's key as-of.
+    * Integer microseconds end to end; census per click day: clicks,
+    * matches, summed |Δt| — the oracle replays the match with a
+    * brute-force tolerance theta join + ROW_NUMBER pick (the quadratic
+    * witness proving the two-window formulation right, including the
+    * equidistant tie rule). */
+  private val q176: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("pt"), col("event_id"))
+      .groupBy("user_id", "pt").agg(min(col("event_id")).as("pid"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ct"), to_date(col("ts")).as("day"))
+    graft.operators.NearestEventJoin
+      .nearest(clicks, purchases, "user_id", "ct", "pt", "pid",
+        toleranceUs = 7200000000L)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_clicks"),
+        count(col("match_t")).as("n_matched"),
+        coalesce(sum(col("dt_us")), lit(0L)).as("sum_dt_us"))
+      .orderBy(col("day"))
+  }
+
+  private val q176Sql =
+    """WITH p AS (SELECT user_id, epoch_us(ts) AS pt, MIN(event_id) AS pid
+      |           FROM events WHERE event_type = 'purchase'
+      |           GROUP BY user_id, epoch_us(ts)),
+      |c AS (SELECT user_id, event_id, epoch_us(ts) AS ct, CAST(ts AS DATE) AS day
+      |      FROM events WHERE event_type = 'click'),
+      |m AS (SELECT c.event_id, p.pt, abs(p.pt - c.ct) AS adt,
+      |        ROW_NUMBER() OVER (PARTITION BY c.event_id
+      |                           ORDER BY abs(p.pt - c.ct), p.pt) AS rn
+      |      FROM c JOIN p ON p.user_id = c.user_id
+      |        AND abs(p.pt - c.ct) <= 7200000000),
+      |best AS (SELECT event_id, adt FROM m WHERE rn = 1)
+      |SELECT c.day AS day, CAST(COUNT(*) AS BIGINT) AS n_clicks,
+      | CAST(COUNT(b.adt) AS BIGINT) AS n_matched,
+      | CAST(COALESCE(SUM(b.adt), 0) AS BIGINT) AS sum_dt_us
+      |FROM c LEFT JOIN best b ON b.event_id = c.event_id
+      |GROUP BY c.day ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q176_nearest_event_join" -> q176,
     "q128_event_trigram_funnel" -> q128,
     "q129_quantiles_histogram" -> q129,
     "q130_last_touch_attribution" -> q130,
@@ -993,6 +1043,7 @@ object EventQueries {
     "q62_pipeline_daily_index_counts" -> q62)
 
   val oracle: Map[String, String] = Map(
+    "q176_nearest_event_join" -> q176Sql,
     "q128_event_trigram_funnel" -> q128Sql,
     "q129_quantiles_histogram" -> q129Sql,
     "q130_last_touch_attribution" -> q130Sql,
