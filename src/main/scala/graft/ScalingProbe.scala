@@ -205,6 +205,20 @@ object ScalingProbe {
       .skylineSurvivors(Tables.documents(spark, sfDir)).count()
     val q166Skyline = SparkEntry.queries("q166_pareto_skyline")(spark, sfDir).count()
 
+    // q173: candidate volume of the multi-block union (shared helpers with
+    // the query) plus the balance-block shape counters the adaptive width
+    // exists for: with bw = max(16, 2²¹/n) the per-block membership — and
+    // therefore Σ C(m,2) block pair work — must stay ~flat as the registry
+    // grows, where the old fixed $1 bucket let it scale linearly.
+    val q173Recs = queries.CurationQueries.linkageRecords(spark, sfDir)
+    val q173Cand = queries.CurationQueries.linkageCandidates(q173Recs).count()
+    val q173BlockStats = q173Recs.groupBy(col("b2"))
+      .agg(count(lit(1)).as("m"))
+      .agg(coalesce(max(col("m")), lit(0L)).as("mx"),
+        coalesce(sum(expr("m * (m - 1) div 2")), lit(0L)).as("pv")).head()
+    val (q173MaxBlock, q173B2PairVol) =
+      (q173BlockStats.getLong(0), q173BlockStats.getLong(1))
+
     println(s"""{"sf":"$sfDir","docs":$nDocs,"shingles":$totShingles,""" +
       s""""q86_cand":$q86Cand,"q86_pairs":$q86Pairs,""" +
       s""""q103_cand":$q103Cand,"q103_pairs":$q103Pairs,""" +
@@ -220,7 +234,9 @@ object ScalingProbe {
       s""""q157_sample_docs":$q157SampleDocs,"q157_truth_cand":$q157TruthCand,""" +
       s""""q162_edges":$q162Edges,"q162_wedges":$q162Wedges,""" +
       s""""q164_cells":$q164Cells,"q164_pairs":$q164Pairs,""" +
-      s""""q166_survivors":$q166Survivors,"q166_skyline":$q166Skyline}""")
+      s""""q166_survivors":$q166Survivors,"q166_skyline":$q166Skyline,""" +
+      s""""q173_cand":$q173Cand,"q173_b2_maxblock":$q173MaxBlock,""" +
+      s""""q173_b2_pairvol":$q173B2PairVol}""")
     spark.stop()
   }
 }

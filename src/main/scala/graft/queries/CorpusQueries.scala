@@ -923,16 +923,23 @@ object CorpusQueries {
     * holds verbatim when the "source" key is something unbounded (URL
     * domains, say).
     * Long-overflow bound (q110 discipline): exact while n·Σx·10⁶ < 2⁶³,
-    * i.e. total tokens ≤ ~4.6e11 at 20 sources; beyond that the same
-    * arithmetic runs in DECIMAL(38,0) unchanged. */
+    * i.e. total tokens ≤ ~4.6e11 at 20 sources — now ENFORCED by
+    * `Guard.require` (fails loudly instead of wrapping); beyond that the
+    * same arithmetic runs in DECIMAL(38,0) unchanged. */
   private val q143: Q = (s, d) => {
     val src = Tables.documents(s, d)
       .select(col("source"),
         size(expr("filter(split(text, ' '), x -> x <> '')")).cast("long").as("tok"))
       .groupBy(col("source")).agg(sum(col("tok")).as("x"))
-    graft.functions.GlobalIndex.withRowNumber(src, "i", col("x"), col("source"))
+    val sums = graft.functions.GlobalIndex
+      .withRowNumber(src, "i", col("x"), col("source"))
       .agg(count(lit(1)).as("n_sources"), sum(col("x")).as("total_tokens"),
         sum(col("i") * col("x")).as("six"))
+    graft.functions.Guard.require(sums,
+      expr("(n_sources + 1) * total_tokens") <=
+        expr("9223372036854775807L div 1000000L"),
+      "q143: integer-exact Gini bound exceeded (numerator * 1000000 would " +
+        "overflow Long) - promote the share arithmetic to DECIMAL(38)")
       .select(col("n_sources"), col("total_tokens"),
         expr("(2 * six - (n_sources + 1) * total_tokens) * 1000000" +
           " div (n_sources * total_tokens)").as("gini_micro"))

@@ -31,11 +31,13 @@ object CurationQueries {
     * with length ≤ thr(its bucket) is PROVABLY dominated (the higher
     * bucket's witness is strictly more diverse and no shorter), so the
     * corpus-sized side is one scan + broadcast threshold filter; the exact
-    * dominance anti-join runs only among the survivors — empirically the
-    * skyline's close neighborhood (hundreds of rows at any SF, every
-    * skyline member provably among them), never corpus×corpus. The oracle
-    * is the brute-force NOT EXISTS over all documents — the quadratic
-    * witness proving the prune lossless. */
+    * dominance finish then runs only among the survivors — empirically the
+    * skyline's close neighborhood (~2 % of the corpus at any SF, every
+    * skyline member provably among them) — as a bucket-PARTITIONED window
+    * pass (see q166 below), so nothing corpus-fraction-sized is ever
+    * broadcast and no pair join materializes. The oracle is the
+    * brute-force NOT EXISTS over all documents — the quadratic witness
+    * proving prune + finish lossless. */
   /** The bucketed-prefilter survivors (the exact dominance finish's input)
     * — shared with ScalingProbe so the counter measures exactly what q166
     * runs (the q145 shared-helper discipline). */
@@ -55,21 +57,41 @@ object CurationQueries {
       .groupBy(col("a.bx").as("bx")).agg(max(col("b.by")).as("thr"))
     buck.join(broadcast(thr), Seq("bx"))
       .filter(col("thr").isNull || col("n_chars") > col("thr"))
+      .select(col("bx"), col("doc_id"), col("div_ppm"), col("n_chars"))
+  }
+
+  /** Exact finish WITHOUT broadcasting a corpus-fraction frame: a
+    * survivor b can only be dominated from WITHIN its own diversity
+    * bucket. Proof: a dominator needs a.div_ppm ≥ b.div_ppm, so
+    * a.bx ≥ b.bx; and every document in a strictly-higher bucket has
+    * n_chars ≤ thr(b.bx) < b.n_chars (b survived the threshold filter),
+    * so it cannot dominate b. The dominance check therefore runs as one
+    * bucket-PARTITIONED window pass over the survivors (never an
+    * all-survivors broadcast, which at 100 TB is a corpus-fraction frame):
+    * within a bucket ordered by div_ppm DESC, b is in the skyline iff its
+    * length beats the running max over strictly-more-diverse rows (RANGE
+    * frame to -1 excludes div_ppm ties) AND it achieves the max length of
+    * its exact div_ppm group (equal-div longer rows dominate it). Exact
+    * (div, len) duplicates dominate neither way and are all kept — the
+    * NOT EXISTS semantics the brute-force oracle checks. One exchange on
+    * bx; per-bucket work is O(n log n) sort, not survivor². */
+  private[graft] def skylineFinish(svIn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sv = svIn.withColumn("neg_div", -col("div_ppm"))
+    val wPrev = Window.partitionBy(col("bx")).orderBy(col("neg_div"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wTie = Window.partitionBy(col("bx"), col("div_ppm"))
+    sv.withColumn("max_len_higher", max(col("n_chars")).over(wPrev))
+      .withColumn("max_len_tie", max(col("n_chars")).over(wTie))
+      .filter((col("max_len_higher").isNull ||
+          col("n_chars") > col("max_len_higher")) &&
+        col("n_chars") === col("max_len_tie"))
       .select(col("doc_id"), col("div_ppm"), col("n_chars"))
   }
 
-  private val q166: Q = (s, d) => {
-    val sv = skylineSurvivors(Tables.documents(s, d))
-    sv.as("b").join(broadcast(sv.as("a")),
-        col("a.div_ppm") >= col("b.div_ppm") &&
-          col("a.n_chars") >= col("b.n_chars") &&
-          (col("a.div_ppm") > col("b.div_ppm") ||
-            col("a.n_chars") > col("b.n_chars")),
-        "left_anti")
-      .select(col("b.doc_id").as("doc_id"), col("b.div_ppm").as("div_ppm"),
-        col("b.n_chars").as("n_chars"))
+  private val q166: Q = (s, d) =>
+    skylineFinish(skylineSurvivors(Tables.documents(s, d)))
       .orderBy(col("doc_id"))
-  }
 
   private val q166Sql =
     """WITH dm AS (SELECT doc_id, n_chars,
@@ -146,16 +168,19 @@ object CurationQueries {
   private val q169: Q = (s, d) => {
     graft.functions.VectorOps.register(s)
     val emb = Tables.embeddings(s, d)
-    val n = emb.count()
+    // Corpus size rides the plan as a broadcast 1-row aggregate (the q170
+    // one-action discipline) — never a driver-side count() pre-pass.
+    val nDf = emb.agg(count(lit(1)).as("n_corpus"))
     val q = emb.select(col("vec_id"), col("label"),
       graft.operators.KMeansLloyd.quantize("embedding").as("qvec"))
     val anchors = q.select(col("vec_id").as("a_id"), col("label").as("a_label"),
       col("qvec").as("a_vec"))
     val withNeg = anchors.select(col("a_id"), col("a_label"), col("a_vec"),
         explode(array(lit(7919L), lit(104729L))).as("p"))
-      .withColumn("raw", (col("a_id") * col("p") + 13) % n)
+      .crossJoin(broadcast(nDf))
+      .withColumn("raw", (col("a_id") * col("p") + 13) % col("n_corpus"))
       .withColumn("neg_id",
-        when(col("raw") === col("a_id"), (col("raw") + 1) % n)
+        when(col("raw") === col("a_id"), (col("raw") + 1) % col("n_corpus"))
           .otherwise(col("raw")))
     withNeg.join(q.select(col("vec_id").as("neg_id"),
         col("label").as("n_label"), col("qvec").as("n_vec")), Seq("neg_id"))
@@ -198,16 +223,26 @@ object CurationQueries {
     *
     * Scale shape: candidates come only from within-block pairs (never a
     * record cross product), and the union is DEDUP-FREE by the
-    * first-matching-block rule (a pair in both blocks is emitted from
-    * block₂ only if its block₁ keys differ — decided per-pair from
-    * carried attributes, no distinct pass; q164's grid-join discipline).
-    * Block granularity is the knob that keeps per-block membership
-    * bounded as the corpus grows (the q123 adaptive-planes precedent —
-    * here $1 buckets; a 100 TB registry narrows them). The matcher
-    * (levenshtein ≤ 1, |Δbalance| ≤ 10¢, same nation) then scores
-    * candidates only. Census: candidates, matches, ground-truth pairs,
-    * precision/recall ppm — all exact integers, oracle-replayed. */
-  private val q173: Q = (s, d) => {
+    * first-matching-block rule (a pair in N blocks is emitted from
+    * block_k only if every earlier block's keys differ — decided per-pair
+    * from carried attributes, no distinct pass; q164's grid-join
+    * discipline). Block granularity is ADAPTIVE (the q123 adaptive-planes
+    * / q145 quantile precedent): the balance-bucket width is derived from
+    * the registry cardinality IN-PLAN (bw = max(16, 2²¹ div n) cents,
+    * n = a broadcast 1-row count — the q170 one-action discipline), so
+    * per-block membership stays ~flat as the registry grows instead of
+    * scaling linearly inside fixed $1 buckets; the oracle re-derives bw
+    * from its own COUNT(*). Narrow buckets would reopen the edge-crossing
+    * recall hole, so the balance block is a two-offset CANOPY (buckets at
+    * offset 0 and bw/2): any pair within bw/2 − 1 ≥ 7 cents co-buckets in
+    * at least one grid — guaranteed recall at every width the floor
+    * allows. Both balance blocks also compound the nation key, which is
+    * LOSSLESS here because the matcher itself requires equal nation — the
+    * standard trick of folding matcher-implied attributes into blocking.
+    * The matcher (levenshtein ≤ 1, |Δbalance| ≤ 10¢, same nation) then
+    * scores candidates only. Census: candidates, matches, ground-truth
+    * pairs, precision/recall ppm — all exact integers, oracle-replayed. */
+  private[graft] def linkageRecords(s: SparkSession, d: String): DataFrame = {
     val base = Tables.customer(s, d).select(
       col("c_custkey").as("entity"), col("c_name").as("name"),
       col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
@@ -220,31 +255,51 @@ object CurationQueries {
           concat(expr("substring(name, 1, length(name) - 1)"), lit("X")))
           .otherwise(col("name")).as("name"),
         col("nat"), col("seg"), (col("cents") + 7).as("cents"))
+    val nBase = base.agg(count(lit(1)).as("n_base"))
     // Exact-dedup pre-pass BEFORE blocking — the standard linkage pipeline
     // order (verbatim duplicate records collapse to one representative,
     // identity = min entity). Without it, any corpus containing verbatim
     // copies pays C(copies, 2) per block: measured on the key-shifted
     // replica corpus (DataGen copies customer attributes verbatim),
     // candidates read 220× at 10× data before this pass and ~10× after.
-    val recs = clean.unionByName(dirty)
+    clean.unionByName(dirty)
       .groupBy("name", "nat", "seg", "cents")
       .agg(min(col("entity")).as("entity"), min(col("rec_id")).as("sgn"))
       .select(col("entity"),
         when(col("sgn") < 0, -col("entity") - 1).otherwise(col("entity"))
           .as("rec_id"),
         col("name"), col("nat"), col("seg"), col("cents"))
+      .crossJoin(broadcast(nBase))
+      .withColumn("bw", greatest(lit(16L), expr("2097152L div n_base")))
       .withColumn("b1", concat_ws("|", col("nat"),
         expr("substring(name, -4, 4)")))
-      .withColumn("b2", concat_ws("|", col("seg"), expr("cents div 100")))
+      .withColumn("b2", concat_ws("|", col("seg"), col("nat"),
+        expr("cents div bw")))
+      .withColumn("b3", concat_ws("|", col("seg"), col("nat"),
+        expr("(cents + bw div 2) div bw")))
+  }
+
+  /** The dedup-free multi-block candidate union — shared with
+    * ScalingProbe so the per-block volume counter measures exactly what
+    * q173 runs (the q145/q166 shared-helper discipline). */
+  private[graft] def linkageCandidates(recs: DataFrame): DataFrame = {
     def pairs(key: String) = recs.as("a").join(recs.as("b"),
         col(s"a.$key") === col(s"b.$key") && col("a.rec_id") < col("b.rec_id"))
       .select(col("a.entity").as("ea"), col("b.entity").as("eb"),
         col("a.name").as("na"), col("b.name").as("nb"),
         col("a.nat").as("nata"), col("b.nat").as("natb"),
         col("a.cents").as("ca"), col("b.cents").as("cb"),
-        col("a.b1").as("b1a"), col("b.b1").as("b1b"))
-    val cand = pairs("b1")
+        col("a.b1").as("b1a"), col("b.b1").as("b1b"),
+        col("a.b2").as("b2a"), col("b.b2").as("b2b"))
+    pairs("b1")
       .unionByName(pairs("b2").filter(col("b1a") =!= col("b1b")))
+      .unionByName(pairs("b3").filter(col("b1a") =!= col("b1b") &&
+        col("b2a") =!= col("b2b")))
+  }
+
+  private val q173: Q = (s, d) => {
+    val recs = linkageRecords(s, d)
+    val cand = linkageCandidates(recs)
     val scored = cand.withColumn("matched",
       (levenshtein(col("na"), col("nb")) <= 1 &&
         abs(col("ca") - col("cb")) <= 10 &&
@@ -277,10 +332,12 @@ object CurationQueries {
       |               ELSE MIN(entity) END AS rec_id
       |       FROM (SELECT * FROM clean UNION ALL SELECT * FROM dirty)
       |       GROUP BY name, nat, seg, cents),
-      |recs AS (SELECT *,
+      |nb AS (SELECT greatest(16, 2097152 // COUNT(*)) AS bw FROM base),
+      |recs AS (SELECT dd.*,
       |   nat || '|' || substr(name, -4, 4) AS b1,
-      |   seg || '|' || (cents // 100) AS b2
-      | FROM dd),
+      |   seg || '|' || nat || '|' || (cents // nb.bw) AS b2,
+      |   seg || '|' || nat || '|' || ((cents + nb.bw // 2) // nb.bw) AS b3
+      | FROM dd, nb),
       |cand AS (
       | SELECT a.entity AS ea, b.entity AS eb, a.name AS na, b.name AS nb,
       |        a.nat AS nata, b.nat AS natb, a.cents AS ca, b.cents AS cb
@@ -288,7 +345,11 @@ object CurationQueries {
       | UNION ALL
       | SELECT a.entity, b.entity, a.name, b.name, a.nat, b.nat, a.cents, b.cents
       | FROM recs a JOIN recs b ON a.b2 = b.b2 AND a.rec_id < b.rec_id
-      |   AND a.b1 <> b.b1),
+      |   AND a.b1 <> b.b1
+      | UNION ALL
+      | SELECT a.entity, b.entity, a.name, b.name, a.nat, b.nat, a.cents, b.cents
+      | FROM recs a JOIN recs b ON a.b3 = b.b3 AND a.rec_id < b.rec_id
+      |   AND a.b1 <> b.b1 AND a.b2 <> b.b2),
       |scored AS (SELECT *,
       |   CASE WHEN levenshtein(na, nb) <= 1 AND abs(ca - cb) <= 10
       |             AND nata = natb THEN 1 ELSE 0 END AS matched

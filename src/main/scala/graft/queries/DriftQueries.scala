@@ -32,12 +32,17 @@ object DriftQueries {
     * the identical double ratio) — the q121/q124 floor-ln rule, so both
     * engines truncate the same values and the order-free integer sum
     * hash-matches. Work: one corpus scan → (source, bin, side) hash agg
-    * (≤ sources·10·2 rows); everything after is spine-sized. Long bound:
-    * diff_num·ln_micro peaks ~N²·2·10⁶ — promote to DECIMAL(38) past
-    * ~10⁹ docs per source (q143's documented fallback). */
+    * (≤ sources·10·2 rows); everything after is spine-sized. The top bin
+    * is CLAMPED (`least(n_chars div 64, 9)`) so documents past the bin
+    * domain land in bin 9 instead of silently falling off the spine join
+    * — the same open-ended edge bin StreamingDrift uses, keeping the
+    * batch/stream parity number-for-number on long documents. Long bound:
+    * diff_num·ln_micro peaks ~N²·2·10⁶ — guarded by `Guard.require`
+    * (fails loudly past ~10⁹ docs per source instead of wrapping;
+    * DECIMAL(38) is the documented promotion). */
   private val q171: Q = (s, d) => {
     val docs = Tables.documents(s, d).select(col("source"),
-      expr("n_chars div 64").as("bin"),
+      expr("least(n_chars div 64, 9)").as("bin"),
       (md5Bucket60(col("doc_id").cast("string")) % 100 < 50).as("is_ref"))
     val counts = docs.groupBy("source", "bin")
       .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("a"),
@@ -50,11 +55,18 @@ object DriftQueries {
         (coalesce(col("b"), lit(0L)) + 1).as("b1"))
     val totals = filled.groupBy("source")
       .agg(sum(col("a1")).as("na"), sum(col("b1")).as("nb"))
-    filled.join(totals, Seq("source"))
+    val terms = filled.join(totals, Seq("source"))
       .select(col("source"), col("na"), col("nb"),
         (col("a1") * col("nb") - col("b1") * col("na")).as("diff_num"),
         expr("CAST(floor(1000000.0 * ln((CAST(a1 AS DOUBLE) * CAST(nb AS DOUBLE)) / " +
           "(CAST(b1 AS DOUBLE) * CAST(na AS DOUBLE)))) AS BIGINT)").as("ln_micro"))
+    // The documented Long-exactness cliff, now enforced: diff_num·ln_micro
+    // and na·nb must not wrap. Maximally permissive per-row bound.
+    graft.functions.Guard.require(terms,
+      col("na") <= 2000000000L && col("nb") <= 2000000000L &&
+        abs(col("diff_num")) <= expr("9223372036854775807L div (abs(ln_micro) + 1)"),
+      "q171: integer-exact PSI bound exceeded (diff_num * ln_micro would " +
+        "overflow Long) - promote the term arithmetic to DECIMAL(38)")
       .groupBy(col("source"))
       .agg(min(col("na") - 10).as("n_ref"), min(col("nb") - 10).as("n_cur"),
         sum(expr("diff_num * ln_micro div (na * nb)")).as("psi_micro"))
@@ -62,7 +74,7 @@ object DriftQueries {
   }
 
   private val q171Sql =
-    """WITH docs AS (SELECT source, n_chars // 64 AS bin,
+    """WITH docs AS (SELECT source, least(n_chars // 64, 9) AS bin,
       |  (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 50)
       |    AS is_ref
       | FROM documents),
@@ -97,8 +109,12 @@ object DriftQueries {
     * per-type window over DISTINCT VALUE POINTS (bounded by the value
     * domain, the q81 bounded-group caveat — unbounded domains would swap
     * in q129's histogram refinement with identical rank arithmetic).
-    * Long bound: cum·N ≤ N², ×10⁶ — exact to ~3·10⁶ rows per type side;
-    * DECIMAL(38) past that. */
+    * Long bound: cum·N ≤ N², ×10⁶ — enforced by `Guard.require` (fails
+    * loudly instead of wrapping; DECIMAL(38) is the promotion). A type
+    * observed in only ONE half would divide by zero — Spark's `div`
+    * yields NULL where DuckDB's `//` raises, so both engines emit an
+    * explicit NULL ks_ppm for that degenerate case and degrade
+    * identically. */
   private val q172: Q = (s, d) => {
     val ev = Tables.events(s, d).select(col("event_type"),
       (money(col("value")) * 100).cast("long").as("cents"),
@@ -112,11 +128,18 @@ object DriftQueries {
       .withColumn("cb", sum(col("b")).over(w.orderBy(col("cents"))))
       .withColumn("na", sum(col("a")).over(w))
       .withColumn("nb", sum(col("b")).over(w))
-    cum.groupBy(col("event_type"))
+    // Guard BEFORE the ca·nb / cb·na products: d_max ≤ na·nb and the
+    // final ×10⁶ require na·nb ≤ 9.2·10¹², i.e. ~3·10⁶ rows per side.
+    graft.functions.Guard.require(cum,
+      col("na") <= 3000000L && col("nb") <= 3000000L,
+      "q172: integer-exact KS bound exceeded (d_max * 1000000 would " +
+        "overflow Long past ~3e6 rows per side) - promote to DECIMAL(38)")
+      .groupBy(col("event_type"))
       .agg(min(col("na")).as("n_a"), min(col("nb")).as("n_b"),
         max(abs(col("ca") * col("nb") - col("cb") * col("na"))).as("d_max"))
       .select(col("event_type"), col("n_a"), col("n_b"),
-        expr("d_max * 1000000 div (n_a * n_b)").as("ks_ppm"))
+        when(col("n_a") === 0L || col("n_b") === 0L, lit(null).cast("long"))
+          .otherwise(expr("d_max * 1000000 div (n_a * n_b)")).as("ks_ppm"))
       .orderBy(col("event_type"))
   }
 
@@ -137,8 +160,9 @@ object DriftQueries {
       | FROM pts)
       |SELECT event_type, CAST(MIN(na) AS BIGINT) AS n_a,
       | CAST(MIN(nb) AS BIGINT) AS n_b,
-      | CAST(MAX(abs(ca * nb - cb * na)) * 1000000 // (MIN(na) * MIN(nb)) AS BIGINT)
-      |   AS ks_ppm
+      | CASE WHEN MIN(na) = 0 OR MIN(nb) = 0 THEN CAST(NULL AS BIGINT)
+      |      ELSE CAST(MAX(abs(ca * nb - cb * na)) * 1000000
+      |                  // (MIN(na) * MIN(nb)) AS BIGINT) END AS ks_ppm
       |FROM cum GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------- q175
@@ -150,7 +174,9 @@ object DriftQueries {
     * …, 45757) — no runtime log10, so both engines are bit-exact. One
     * map-only projection (first char of the integer cents string) + a
     * 9-key hash aggregate; deviation_ppm is the per-digit signed gap the
-    * monitor thresholds on. */
+    * monitor thresholds on. The corpus total rides the plan as a
+    * broadcast 1-row aggregate over the 9-row digit table (the q170
+    * one-action discipline) — never a driver-side count() pre-pass. */
   private val q175: Q = (s, d) => {
     val expected = Map(1 -> 301030L, 2 -> 176091L, 3 -> 124939L,
       4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L,
@@ -162,10 +188,11 @@ object DriftQueries {
       .select((money(col("o_totalprice")) * 100).cast("long").as("cents"))
       .filter(col("cents") > 0)
       .select(expr("CAST(substring(CAST(cents AS STRING), 1, 1) AS BIGINT)").as("digit"))
-    val n = digits.count()
-    digits.groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val grouped = digits.groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val total = grouped.agg(sum(col("n_obs")).as("n_total"))
+    grouped.crossJoin(broadcast(total))
       .select(col("digit"), col("n_obs"),
-        expr(s"n_obs * 1000000 div ${n}L").as("observed_ppm"),
+        expr("n_obs * 1000000 div n_total").as("observed_ppm"),
         expectedCol.as("benford_ppm"))
       .withColumn("deviation_ppm", col("observed_ppm") - col("benford_ppm"))
       .orderBy(col("digit"))

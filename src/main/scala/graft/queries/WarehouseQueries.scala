@@ -296,9 +296,10 @@ object WarehouseQueries {
     * counted pair lands in some shared cell; extra collisions only add) —
     * the in-band booleans pin the one-sidedness and the oracle replays
     * grid, estimate and exact sizes bit-for-bit. Long bound: the inner
-    * product is ≤ |A|·|B|, overflowing past ~3·10⁹ rows per side —
-    * there, promote the products to DECIMAL(38) (q143's documented
-    * fallback). */
+    * product is ≤ |A|·|B|, overflowing past ~3·10⁹ rows per side — now
+    * ENFORCED by `Guard.require` on the side counts (the job fails
+    * loudly instead of returning a wrapped estimate); there, promote the
+    * products to DECIMAL(38) (q143's documented fallback). */
   private val q170: Q = (s, d) => {
     val keyed = Tables.lineitem(s, d)
       .select(col("l_partkey").as("k"), col("l_quantity"))
@@ -322,8 +323,12 @@ object WarehouseQueries {
     val exactJoin = fa.join(fb.withColumnRenamed("f", "g"), Seq("k"))
       .agg(coalesce(sum(col("f") * col("g")), lit(0L)).as("exact_join"))
     val exactSelf = fa.agg(sum(col("f") * col("f")).as("exact_self"))
-    val counts = keyed.agg(count(lit(1)).as("n_rows_a"),
-      sum(when(col("l_quantity") >= 25, 1L).otherwise(0L)).as("n_rows_b"))
+    val counts = graft.functions.Guard.require(
+      keyed.agg(count(lit(1)).as("n_rows_a"),
+        sum(when(col("l_quantity") >= 25, 1L).otherwise(0L)).as("n_rows_b")),
+      col("n_rows_a") <= 3000000000L && col("n_rows_b") <= 3000000000L,
+      "q170: integer-exact CMS bound exceeded (inner product <= |A|*|B| " +
+        "would overflow Long past ~3e9 rows per side) - promote to DECIMAL(38)")
     counts.crossJoin(exactJoin).crossJoin(estJoin)
       .crossJoin(exactSelf).crossJoin(estSelf)
       .select(col("n_rows_a"), col("n_rows_b"),

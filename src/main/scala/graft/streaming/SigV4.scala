@@ -61,15 +61,21 @@ object SigV4 {
     sb.toString
   }
 
-  /** Canonical query string: encode names and values, sort by encoded name
-    * then encoded value. `query` is the raw query string (no leading '?'),
-    * or null/empty. */
+  /** Canonical query string: percent-DECODE each name/value from the raw
+    * query first ('+' form-decodes to space), then re-encode with AWS's
+    * uri-encode and sort by encoded name then encoded value. The decode
+    * step matters: `uri.getRawQuery` is already percent-encoded, so
+    * encoding it directly would double-encode every reserved character
+    * (`b%2Fc` → `b%252Fc`) and leave '+' unnormalized — both diverge from
+    * AWS's canonical form. `query` is the raw query string (no leading
+    * '?'), or null/empty. */
   private[graft] def canonicalQuery(query: String): String =
     if (query == null || query.isEmpty) ""
     else query.split("&").filter(_.nonEmpty).map { kv =>
       val i = kv.indexOf('=')
       val (k, v) = if (i < 0) (kv, "") else (kv.substring(0, i), kv.substring(i + 1))
-      (awsUriEncode(k, keepSlash = false), awsUriEncode(v, keepSlash = false))
+      (awsUriEncode(java.net.URLDecoder.decode(k, UTF_8), keepSlash = false),
+        awsUriEncode(java.net.URLDecoder.decode(v, UTF_8), keepSlash = false))
     }.sorted.map { case (k, v) => s"$k=$v" }.mkString("&")
 
   /** The derived signing key (step 3) — exposed for the spec's published
@@ -104,7 +110,18 @@ object SigV4 {
     require(amzDate.length == 16 && amzDate.charAt(8) == 'T' && amzDate.endsWith("Z"),
       s"amzDate must be YYYYMMDDTHHMMSSZ, got '$amzDate'")
     val date = amzDate.substring(0, 8)
-    val host = uri.getHost + (if (uri.getPort > 0) s":${uri.getPort}" else "")
+    // The signed host must match the Host line the HTTP stack sends: JDK
+    // HttpURLConnection omits an explicitly-given DEFAULT port (e.g.
+    // https://host:443) from its Host header, so signing "host:443" would
+    // yield SignatureDoesNotMatch from real AWS. Include the port only
+    // when it differs from the scheme default.
+    val defaultPort = uri.getScheme match {
+      case "https" => 443
+      case "http"  => 80
+      case _       => -1
+    }
+    val host = uri.getHost +
+      (if (uri.getPort > 0 && uri.getPort != defaultPort) s":${uri.getPort}" else "")
     val payloadSha = sha256Hex(payload)
     val tokenHeader = auth.credentials.sessionToken
       .map(t => "x-amz-security-token" -> t).toSeq

@@ -50,14 +50,9 @@ class CurationSpec extends AnyFunSuite {
     assert(brute.subsetOf(survivors),
       s"prefilter dropped skyline members: ${brute -- survivors}")
 
-    // rebuild the query's anti-join finish inline over the survivors
-    val sv = CurationQueries.skylineSurvivors(docs)
-    val got = sv.as("b").join(broadcast(sv.as("a")),
-        col("a.div_ppm") >= col("b.div_ppm") &&
-          col("a.n_chars") >= col("b.n_chars") &&
-          (col("a.div_ppm") > col("b.div_ppm") ||
-            col("a.n_chars") > col("b.n_chars")), "left_anti")
-      .select("b.doc_id").collect().map(_.getLong(0)).toSet
+    // the query's own bucket-partitioned window finish over the survivors
+    val got = CurationQueries.skylineFinish(CurationQueries.skylineSurvivors(docs))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(got == brute, s"skyline mismatch: extra=${got -- brute} missing=${brute -- got}")
     // the planted shapes actually exercise the operator
     assert((200L until 208L).forall(brute), "staircase must be on the frontier")

@@ -69,6 +69,28 @@ class SigV4Spec extends AnyFunSuite {
     assert(SigV4.canonicalQuery(null) == "")
   }
 
+  test("raw query is decoded before canonical re-encoding (no double-encode)") {
+    // an already-percent-encoded reserved char must come out single-encoded
+    assert(SigV4.canonicalQuery("a=b%2Fc") == "a=b%2Fc")
+    // '+' is form-encoding for space -> canonical %20
+    assert(SigV4.canonicalQuery("a=b+c") == "a=b%20c")
+    // mixed: decoded non-ASCII round-trips to uppercase percent form
+    assert(SigV4.canonicalQuery("a=%ce%b1") == "a=%CE%B1")
+  }
+
+  test("explicit scheme-default port is omitted from the signed host") {
+    def sig(u: String) = SigV4.sign("POST", URI.create(u),
+      Seq("content-type" -> "application/x-amz-json-1.1"),
+      "{}".getBytes(UTF_8), docAuth, "20260814T120000Z")
+      .collectFirst { case ("Authorization", v) => v }.get
+    // JDK HttpURLConnection sends "Host: host" for https://host:443, so
+    // the signature must match the bare-URL form
+    assert(sig("https://iam.amazonaws.com:443/") == sig("https://iam.amazonaws.com/"))
+    assert(sig("http://iam.amazonaws.com:80/") == sig("http://iam.amazonaws.com/"))
+    // ...but a genuinely non-default port stays in the signed host
+    assert(sig("https://iam.amazonaws.com:8443/") != sig("https://iam.amazonaws.com/"))
+  }
+
   test("session token is signed and returned; port lands in host") {
     val auth = SigV4.AwsAuth(
       SigV4.Credentials("AKID", "secret", Some("TOKEN123")), "us-west-2", "kinesis")

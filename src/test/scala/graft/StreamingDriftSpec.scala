@@ -63,6 +63,32 @@ class StreamingDriftSpec extends AnyFunSuite {
       s"same-distribution PSI must be ~0 micro-nats, got $psi")
   }
 
+  test("n_chars >= 640 lands in the clamped edge bin, batch/stream alike") {
+    import spark.implicits._
+    // the advisor's round-8 gap: the batch q171 used an unclamped
+    // `n_chars div 64` against a 10-bin spine, silently dropping every
+    // document past 640 chars from the census while the stream clamped
+    // them into bin 9. Both now clamp — pin the parity on the edge bin.
+    val long = docs(Seq(("web", 640L), ("web", 1000L), ("web", 64000L),
+      ("web", 100L)))
+    val hist = StreamingDrift.prepareReference(long)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(hist == Map(9L -> 3L, 1L -> 1L),
+      s"edge-bin clamp must capture all >=640-char docs: $hist")
+    // the batch query's binning expression agrees bin-for-bin
+    val batchBins = long.select(expr("least(n_chars div 64, 9)").as("bin"))
+      .groupBy("bin").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(batchBins == hist, "q171 batch binning diverged from the stream's")
+    // and a reference/current pair built purely of edge-bin docs scores 0
+    val psi = StreamingDrift.psiMicro(
+      StreamingDrift.prepareReference(long),
+      StreamingDrift.prepareReference(long))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(psi("web") >= 0L && psi("web") < 100L, s"identical edge-heavy " +
+      s"histograms must score ~0: $psi")
+  }
+
   test("a drifted stream registers, an in-distribution one does not") {
     val reference = StreamingDrift.prepareReference(docs(refRows))
     // web drifts to much longer documents; code stays on-profile
