@@ -138,6 +138,27 @@ object StreamingFanOut {
       }
       .start()
 
+  /** Start the full reference pipeline over the REAL Kinesis wire
+    * protocol: the [[graft.sources.KinesisMicroBatchSource]] DataSourceV2
+    * stream (per-shard sequence-number offsets in the checkpoint,
+    * executor-side record fetch) feeding the same dead-letter +
+    * dual-sink fan-out as [[startRaw]]. This is the reference's actual
+    * event-source contract (lambda_function.py:140-141: Kinesis
+    * re-invokes the Lambda per poll batch, redelivering unacknowledged
+    * records) carried by Spark's own checkpoint/replay machinery — the
+    * third interchangeable source next to KinesisFileSource and
+    * MemoryStream. */
+  def startKinesis(spark: org.apache.spark.sql.SparkSession,
+      endpoint: String, streamName: String,
+      esDir: String, splunkDir: String, deadLetterDir: String,
+      checkpointDir: String, config: PipelineConfig, metrics: SinkMetrics,
+      limitPerPoll: Int = 500, maxPollsPerShard: Int = 100): StreamingQuery = {
+    val raw = graft.sources.KinesisMicroBatchSource
+      .readStream(spark, endpoint, streamName, limitPerPoll, maxPollsPerShard)
+    startRaw(raw, "data", esDir, splunkDir, deadLetterDir, checkpointDir,
+      config, metrics)
+  }
+
   /** Start the streaming query over a RAW base64-payload stream, with the
     * dead-letter quarantine live: every micro-batch runs
     * [[processRawBatch]], so undecodable payloads land in `deadLetterDir`
