@@ -935,9 +935,13 @@ object CorpusQueries {
       .withRowNumber(src, "i", col("x"), col("source"))
       .agg(count(lit(1)).as("n_sources"), sum(col("x")).as("total_tokens"),
         sum(col("i") * col("x")).as("six"))
+    // Component-wise bound: dividing the Long ceiling by (n_sources + 1)
+    // FIRST cannot itself overflow, unlike guarding on the product
+    // (n+1)*total, which wraps negative ~10⁶× past the cliff and would
+    // wrongly pass.
     graft.functions.Guard.require(sums,
-      expr("(n_sources + 1) * total_tokens") <=
-        expr("9223372036854775807L div 1000000L"),
+      col("total_tokens") <=
+        expr("(9223372036854775807L div 1000000L) div (n_sources + 1)"),
       "q143: integer-exact Gini bound exceeded (numerator * 1000000 would " +
         "overflow Long) - promote the share arithmetic to DECIMAL(38)")
       .select(col("n_sources"), col("total_tokens"),

@@ -234,9 +234,10 @@ object CurationQueries {
     * scaling linearly inside fixed $1 buckets; the oracle re-derives bw
     * from its own COUNT(*). Narrow buckets would reopen the edge-crossing
     * recall hole, so the balance block is a two-offset CANOPY (buckets at
-    * offset 0 and bw/2): any pair within bw/2 − 1 ≥ 7 cents co-buckets in
-    * at least one grid — guaranteed recall at every width the floor
-    * allows. Both balance blocks also compound the nation key, which is
+    * offset 0 and bw/2): any pair within bw/2 − 1 cents co-buckets in at
+    * least one grid, and the floor bw ≥ 22 = 2·(tol+1) makes that
+    * guarantee cover the matcher's FULL |Δcents| ≤ 10 tolerance — no
+    * acceptable pair can be absent from candidates at any width. Both balance blocks also compound the nation key, which is
     * LOSSLESS here because the matcher itself requires equal nation — the
     * standard trick of folding matcher-implied attributes into blocking.
     * The matcher (levenshtein ≤ 1, |Δbalance| ≤ 10¢, same nation) then
@@ -270,7 +271,7 @@ object CurationQueries {
           .as("rec_id"),
         col("name"), col("nat"), col("seg"), col("cents"))
       .crossJoin(broadcast(nBase))
-      .withColumn("bw", greatest(lit(16L), expr("2097152L div n_base")))
+      .withColumn("bw", greatest(lit(22L), expr("2097152L div n_base")))
       .withColumn("b1", concat_ws("|", col("nat"),
         expr("substring(name, -4, 4)")))
       .withColumn("b2", concat_ws("|", col("seg"), col("nat"),
@@ -332,7 +333,7 @@ object CurationQueries {
       |               ELSE MIN(entity) END AS rec_id
       |       FROM (SELECT * FROM clean UNION ALL SELECT * FROM dirty)
       |       GROUP BY name, nat, seg, cents),
-      |nb AS (SELECT greatest(16, 2097152 // COUNT(*)) AS bw FROM base),
+      |nb AS (SELECT greatest(22, 2097152 // COUNT(*)) AS bw FROM base),
       |recs AS (SELECT dd.*,
       |   nat || '|' || substr(name, -4, 4) AS b1,
       |   seg || '|' || nat || '|' || (cents // nb.bw) AS b2,

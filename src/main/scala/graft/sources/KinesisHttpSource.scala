@@ -14,6 +14,19 @@ import java.nio.charset.StandardCharsets
 final case class KinesisRecord(shardId: String, partitionKey: String,
     sequenceNumber: String, data: String)
 
+/** One GetRecords response page. `millisBehindLatest` is the service's
+  * own tip-distance report: a real Kinesis stream may legally return an
+  * EMPTY page while records remain (`MillisBehindLatest > 0`), so
+  * "empty page" alone never means caught-up — callers must check the
+  * field (None on servers that omit it, treated as caught-up-when-empty,
+  * which is the loopback/test behavior). */
+final case class KinesisPage(records: Seq[KinesisRecord],
+    nextIterator: Option[String], millisBehindLatest: Option[Long]) {
+  /** True when this page proves the iterator reached the tip: nothing
+    * returned AND the service does not report distance-behind. */
+  def caughtUp: Boolean = records.isEmpty && millisBehindLatest.forall(_ <= 0L)
+}
+
 /** Minimal client for the REAL Kinesis wire protocol — JSON over HTTP
   * with `X-Amz-Target: Kinesis_20131202.<Op>` and
   * `Content-Type: application/x-amz-json-1.1`, the exact frames boto3
@@ -49,8 +62,15 @@ final case class KinesisHttpClient(endpoint: String, timeoutMillis: Int = 12000,
 
   private def request(target: String, body: JsonNode): JsonNode = {
     val payload = mapper.writeValueAsBytes(body)
+    // Origin marker: "task" when running inside a Spark task (executor
+    // side), "driver" otherwise. Purely observational — it lets the
+    // loopback spec PROVE on the wire that no payload-bearing GetRecords
+    // is ever issued from the driver process (the round-9 scale finding).
+    val origin =
+      if (org.apache.spark.TaskContext.get() != null) "task" else "driver"
     val baseHeaders = Seq("Content-Type" -> "application/x-amz-json-1.1",
-      "X-Amz-Target" -> s"Kinesis_20131202.$target")
+      "X-Amz-Target" -> s"Kinesis_20131202.$target",
+      "X-Graft-Origin" -> origin)
     val authHeaders = auth.toSeq.flatMap(a => graft.streaming.SigV4.sign("POST",
       java.net.URI.create(endpoint), baseHeaders, payload, a,
       graft.streaming.SigV4.nowAmzDate()))
@@ -83,9 +103,10 @@ final case class KinesisHttpClient(endpoint: String, timeoutMillis: Int = 12000,
     it
   }
 
-  /** One GetRecords page: (records, next iterator — None when the shard
-    * is closed/drained and the service returns null). */
-  def getRecords(shardIterator: String, limit: Int): (Seq[KinesisRecord], Option[String]) = {
+  /** One GetRecords page with the service's tip-distance report. The
+    * next iterator is None when the shard is closed/drained and the
+    * service returns null. */
+  def getRecordsPage(shardIterator: String, limit: Int): KinesisPage = {
     val body = nodes.objectNode()
       .put("ShardIterator", shardIterator).put("Limit", limit)
     val out = request("GetRecords", body)
@@ -100,7 +121,16 @@ final case class KinesisHttpClient(endpoint: String, timeoutMillis: Int = 12000,
         data = r.path("Data").asText())
     }
     val next = out.path("NextShardIterator")
-    (parsed, if (next.isMissingNode || next.isNull) None else Some(next.asText()))
+    val behind = out.path("MillisBehindLatest")
+    KinesisPage(parsed,
+      if (next.isMissingNode || next.isNull) None else Some(next.asText()),
+      if (behind.isMissingNode || behind.isNull) None else Some(behind.asLong()))
+  }
+
+  /** Legacy pair form of [[getRecordsPage]] (records, next iterator). */
+  def getRecords(shardIterator: String, limit: Int): (Seq[KinesisRecord], Option[String]) = {
+    val p = getRecordsPage(shardIterator, limit)
+    (p.records, p.nextIterator)
   }
 
   /** Drain every shard from TRIM_HORIZON: the Lambda-equivalent bounded
@@ -115,12 +145,14 @@ final case class KinesisHttpClient(endpoint: String, timeoutMillis: Int = 12000,
       var polls = 0
       var drained = false
       while (it.isDefined && polls < maxPollsPerShard && !drained) {
-        val (recs, next) = getRecords(it.get, limitPerPoll)
-        out ++= recs.map(r => if (r.shardId.isEmpty) r.copy(shardId = shard) else r)
-        // an empty page with a live iterator = caught up (the TRIM_HORIZON
-        // drain's stop condition; a tailing consumer would keep polling)
-        drained = recs.isEmpty
-        it = next
+        val page = getRecordsPage(it.get, limitPerPoll)
+        out ++= page.records
+          .map(r => if (r.shardId.isEmpty) r.copy(shardId = shard) else r)
+        // caught up = empty page AND the service reports no distance
+        // behind the tip (a real stream may return empty pages with
+        // MillisBehindLatest > 0 while records remain)
+        drained = page.caughtUp
+        it = page.nextIterator
         polls += 1
       }
       out.result()

@@ -29,19 +29,34 @@ import scala.jdk.CollectionConverters._
   *    at-least-once redelivery unit, which the `_id` idempotency key
   *    (lambda_function.py:81) then makes effectively exactly-once in the
   *    ES sink.
-  *  - **The driver only tracks positions.** `latestOffset` advances each
-  *    shard's tip with a bounded metadata probe (≤ maxPollsPerShard pages
-  *    of ≤ limitPerPoll records per trigger — the Lambda poll bound);
-  *    record PAYLOADS are fetched on EXECUTORS, one `InputPartition` per
-  *    shard, each opening its own HTTP client and resuming with
-  *    `AT_SEQUENCE_NUMBER`/`AFTER_SEQUENCE_NUMBER` iterators. Shards are
-  *    the parallelism unit, exactly as in the Kinesis service model; a
-  *    1000-shard stream fans out to 1000 parallel readers with no
-  *    driver-side data. (The probe does transfer one copy of the page
-  *    bodies to the driver and discards them — GetRecords is the only
-  *    tip-discovery operation the Kinesis API offers; production
-  *    connectors amortize this with executor-side prefetch caches, which
-  *    changes cost, not semantics.)
+  *  - **The driver only tracks positions — it never touches payload
+  *    bytes.** `latestOffset` runs one metadata call on the driver
+  *    (ListShards), then DISTRIBUTES the per-shard tip probe as a tiny
+  *    Spark job (one task per shard, ≤ maxPollsPerShard pages of ≤
+  *    limitPerPoll records each — the Lambda poll bound, so ReadLimit
+  *    stays allAvailable); each task returns only its shard's last
+  *    sequence number, a few dozen bytes. Record PAYLOADS are likewise
+  *    fetched on EXECUTORS, one `InputPartition` per shard, each opening
+  *    its own HTTP client and resuming with `AT_SEQUENCE_NUMBER`/
+  *    `AFTER_SEQUENCE_NUMBER` iterators. Shards are the parallelism
+  *    unit, exactly as in the Kinesis service model; a 1000-shard stream
+  *    fans out to 1000 parallel probes and 1000 parallel readers, and
+  *    per-trigger driver traffic is O(#shards × seq-number), never
+  *    O(stream bytes) — KinesisMicroBatchSpec proves on the loopback
+  *    server's wire log that no payload-bearing GetRecords ever carries
+  *    the driver origin marker. (GetRecords is the only tip-discovery
+  *    operation the Kinesis API offers, so the probe's page bodies are
+  *    still read once on the executors and discarded; production
+  *    connectors amortize that with prefetch caches, which changes
+  *    cost, not semantics.)
+  *  - **Empty pages are not end-of-data.** Against real AWS Kinesis,
+  *    GetRecords may legally return an empty page while records remain
+  *    (`MillisBehindLatest > 0`). Both the probe and the reader treat
+  *    "caught up" as empty page AND no reported distance behind the tip
+  *    ([[KinesisPage.caughtUp]]); the reader polls un-budgeted — the
+  *    (startSeq, endSeq] range already bounds the read — and fails
+  *    loudly only when the shard is genuinely closed or at-tip before
+  *    the checkpointed end.
   *  - **Replay is deterministic**: sequence numbers are monotone within a
   *    shard, so `planInputPartitions(start, end]` names an immutable
   *    record range; re-running a batch after a crash re-reads exactly the
@@ -86,6 +101,35 @@ object KinesisMicroBatchSource {
       graft.streaming.SigV4.Credentials(akid, secret, opts.get("sessiontoken")),
       region, "kinesis")
     KinesisHttpClient(opts("endpoint"), auth = auth)
+  }
+
+  /** One shard's tip probe — runs INSIDE a Spark task (one per shard):
+    * pages GetRecords from the start position, retaining only the last
+    * sequence number seen. Page bodies are read and discarded here, on
+    * the executor; the task's result is just `Option[seqNumber]`.
+    * Caught-up detection is MillisBehindLatest-aware: an empty page with
+    * reported distance behind the tip keeps polling (within the
+    * poll budget) instead of under-advancing the offset. */
+  private[sources] def probeShardTip(opts: Map[String, String],
+      streamName: String, shard: String, start: Option[String],
+      limitPerPoll: Int, maxPollsPerShard: Int): Option[String] = {
+    val c = clientFor(opts)
+    var pos = start
+    var it: Option[String] = Some(start match {
+      case Some(seq) =>
+        c.getShardIterator(streamName, shard, "AFTER_SEQUENCE_NUMBER", Some(seq))
+      case None => c.getShardIterator(streamName, shard, "TRIM_HORIZON")
+    })
+    var polls = 0
+    var caughtUp = false
+    while (it.isDefined && polls < maxPollsPerShard && !caughtUp) {
+      val page = c.getRecordsPage(it.get, limitPerPoll)
+      page.records.lastOption.foreach(r => pos = Some(r.sequenceNumber))
+      caughtUp = page.caughtUp
+      it = page.nextIterator
+      polls += 1
+    }
+    pos
   }
 }
 
@@ -171,25 +215,24 @@ final class KinesisMicroBatchStream(options: Map[String, String])
     case other => KinesisOffset.fromJson(other.json()).positions
   }
 
+  /** Distributed tip discovery: ListShards (metadata, bytes-small) is
+    * the ONLY wire call the driver makes; the per-shard GetRecords probe
+    * fans out as a one-task-per-shard Spark job whose results are bare
+    * sequence numbers. Driver traffic per trigger is O(#shards), not
+    * O(stream bytes). */
   private def reportLatest(start: Map[String, String]): Offset = {
-    val tips = client.listShards(streamName).map { shard =>
-      var pos = start.get(shard)
-      var it: Option[String] = Some(pos match {
-        case Some(seq) => client.getShardIterator(streamName, shard,
-          "AFTER_SEQUENCE_NUMBER", Some(seq))
-        case None => client.getShardIterator(streamName, shard, "TRIM_HORIZON")
-      })
-      var polls = 0
-      var caughtUp = false
-      while (it.isDefined && polls < maxPollsPerShard && !caughtUp) {
-        val (recs, next) = client.getRecords(it.get, limitPerPoll)
-        recs.lastOption.foreach(r => pos = Some(r.sequenceNumber))
-        caughtUp = recs.isEmpty
-        it = next
-        polls += 1
+    val shards = client.listShards(streamName)
+    if (shards.isEmpty) return KinesisOffset(Map.empty)
+    val spark = SparkSession.active
+    // capture plain values only — the closure ships to executors
+    val (opts, sn, lpp, mpps) = (options, streamName, limitPerPoll, maxPollsPerShard)
+    val work = shards.map(sh => (sh, start.get(sh)))
+    val tips = spark.sparkContext
+      .parallelize(work, work.size)
+      .map { case (sh, st) =>
+        sh -> KinesisMicroBatchSource.probeShardTip(opts, sn, sh, st, lpp, mpps)
       }
-      shard -> pos
-    }
+      .collect()
     KinesisOffset(tips.collect { case (s, Some(p)) => s -> p }.toMap)
   }
 
@@ -200,7 +243,7 @@ final class KinesisMicroBatchStream(options: Map[String, String])
       val startSeq = s.get(shard)
       if (startSeq.contains(endSeq)) None // shard unchanged this batch
       else Some(KinesisInputPartition(options("endpoint"), streamName, shard,
-        startSeq, endSeq, limitPerPoll, maxPollsPerShard,
+        startSeq, endSeq, limitPerPoll,
         options.filter { case (k, _) =>
           Set("region", "accesskeyid", "secretkey", "sessiontoken")(k) }))
     }.toArray[InputPartition]
@@ -221,12 +264,16 @@ final class KinesisMicroBatchStream(options: Map[String, String])
   * each reader opens its own HTTP client. */
 final case class KinesisInputPartition(endpoint: String, streamName: String,
     shardId: String, startSeqExclusive: Option[String], endSeqInclusive: String,
-    limitPerPoll: Int, maxPollsPerShard: Int,
-    authOpts: Map[String, String]) extends InputPartition
+    limitPerPoll: Int, authOpts: Map[String, String]) extends InputPartition
 
 final class KinesisPartitionReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new KinesisPartitionReader(partition.asInstanceOf[KinesisInputPartition])
+}
+
+object KinesisPartitionReader {
+  /** Backstop only — see the comment in [[KinesisPartitionReader.next]]. */
+  private[sources] val MaxTransientEmptyPolls = 100000
 }
 
 final class KinesisPartitionReader(p: KinesisInputPartition)
@@ -240,17 +287,41 @@ final class KinesisPartitionReader(p: KinesisInputPartition)
     case None => client.getShardIterator(p.streamName, p.shardId, "TRIM_HORIZON")
   })
   private var polls = 0
+  private var transientEmpty = 0
   private var buffer: Iterator[KinesisRecord] = Iterator.empty
   private var current: KinesisRecord = _
   private var finished = false
 
   override def next(): Boolean = {
     if (finished) return false
-    while (!buffer.hasNext && it.isDefined && polls < p.maxPollsPerShard + 1) {
-      val (recs, nextIt) = client.getRecords(it.get, p.limitPerPoll)
-      buffer = recs.iterator
-      it = nextIt
+    // No poll budget here: the (startSeq, endSeq] range already bounds the
+    // read, and against real Kinesis an empty page with
+    // MillisBehindLatest > 0 is a legal transient — budgeting polls would
+    // spuriously (and on retry, repeatedly) fail replay of a committed
+    // batch. The loop terminates when records arrive, the shard closes
+    // (null iterator), or the service reports at-tip with records missing
+    // (both loud-failure cases below). A generous cap on CONSECUTIVE
+    // transient-empty pages is kept purely as an infinite-loop backstop
+    // against a pathological service.
+    while (!buffer.hasNext && it.isDefined) {
+      val page = client.getRecordsPage(it.get, p.limitPerPoll)
+      buffer = page.records.iterator
+      it = page.nextIterator
       polls += 1
+      if (page.records.nonEmpty) transientEmpty = 0
+      else if (page.caughtUp) {
+        // at tip without reaching endSeq: the probe observed endSeq, so a
+        // committed range that cannot complete means trimmed/lost data —
+        // fall through to the loud failure rather than spinning
+        it = None
+      } else {
+        transientEmpty += 1
+        if (transientEmpty > KinesisPartitionReader.MaxTransientEmptyPolls)
+          throw new java.io.IOException(
+            s"Kinesis shard ${p.shardId}: ${transientEmpty} consecutive " +
+              s"empty pages with MillisBehindLatest > 0 before reaching " +
+              s"checkpointed end ${p.endSeqInclusive}")
+      }
     }
     if (buffer.hasNext) {
       current = buffer.next()
@@ -264,12 +335,13 @@ final class KinesisPartitionReader(p: KinesisInputPartition)
         true
       }
     } else {
-      // out of pages without reaching endSeq: a committed range must be
-      // fully readable (sequence numbers are monotone) — failing loudly
-      // beats silently dropping checkpointed records.
+      // shard closed (null iterator) or at-tip-empty without reaching
+      // endSeq: a committed range must be fully readable (sequence
+      // numbers are monotone) — failing loudly beats silently dropping
+      // checkpointed records.
       throw new java.io.IOException(
-        s"Kinesis shard ${p.shardId}: drained after $polls polls before " +
-          s"reaching checkpointed end ${p.endSeqInclusive}")
+        s"Kinesis shard ${p.shardId}: closed or at tip after $polls polls " +
+          s"before reaching checkpointed end ${p.endSeqInclusive}")
     }
   }
 

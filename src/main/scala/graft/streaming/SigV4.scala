@@ -68,14 +68,21 @@ object SigV4 {
     * encoding it directly would double-encode every reserved character
     * (`b%2Fc` → `b%252Fc`) and leave '+' unnormalized — both diverge from
     * AWS's canonical form. `query` is the raw query string (no leading
-    * '?'), or null/empty. */
+    * '?'), or null/empty. A token with MALFORMED percent-encoding (a raw
+    * '%' not followed by two hex digits) is signed as-is instead of
+    * crashing the signer: such a request is going to be rejected by the
+    * service either way, but the signer must never be the component that
+    * throws on caller input. */
   private[graft] def canonicalQuery(query: String): String =
     if (query == null || query.isEmpty) ""
     else query.split("&").filter(_.nonEmpty).map { kv =>
       val i = kv.indexOf('=')
       val (k, v) = if (i < 0) (kv, "") else (kv.substring(0, i), kv.substring(i + 1))
-      (awsUriEncode(java.net.URLDecoder.decode(k, UTF_8), keepSlash = false),
-        awsUriEncode(java.net.URLDecoder.decode(v, UTF_8), keepSlash = false))
+      def dec(s: String): String =
+        try java.net.URLDecoder.decode(s, UTF_8)
+        catch { case _: IllegalArgumentException => s }
+      (awsUriEncode(dec(k), keepSlash = false),
+        awsUriEncode(dec(v), keepSlash = false))
     }.sorted.map { case (k, v) => s"$k=$v" }.mkString("&")
 
   /** The derived signing key (step 3) — exposed for the spec's published

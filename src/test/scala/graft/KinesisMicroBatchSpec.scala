@@ -43,6 +43,14 @@ class KinesisMicroBatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     Map(shard0 -> ArrayBuffer.empty[String], shard1 -> ArrayBuffer.empty[String])
   /** (shardId, iteratorType, startingSequenceNumber) per GetShardIterator. */
   private val iteratorCalls = new ConcurrentLinkedQueue[(String, String, String)]()
+  /** X-Graft-Origin header of every payload-bearing GetRecords call —
+    * the wire evidence that tip discovery and reads run on executors. */
+  private val getRecordsOrigins = new ConcurrentLinkedQueue[String]()
+  /** When > 0, the next GetRecords calls return an EMPTY page with
+    * MillisBehindLatest > 0 and a same-position iterator — the legal
+    * real-Kinesis transient that must not stall tip discovery or fail
+    * the reader. */
+  private val hiccups = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private var server: HttpServer = _
   private def endpoint: String = s"http://127.0.0.1:${server.getAddress.getPort}/"
@@ -91,15 +99,25 @@ class KinesisMicroBatchSpec extends AnyFunSuite with BeforeAndAfterAll {
             else reply(200, s"""{"ShardIterator":"it|$shard|$pos"}""")
           }
         case "Kinesis_20131202.GetRecords" =>
+          getRecordsOrigins.add(
+            Option(ex.getRequestHeaders.getFirst("X-Graft-Origin"))
+              .getOrElse("unknown"))
           val Array(_, shard, posS) = body.path("ShardIterator").asText().split('|')
           val limit = body.path("Limit").asInt(500)
           val pos = posS.toInt
-          val recs = store(shard).synchronized(
-            store(shard).slice(pos, pos + limit).toIndexedSeq)
-          val items = recs.zipWithIndex.map { case (d, i) =>
-            s"""{"ShardId":"$shard","PartitionKey":"pk-${pos + i}","SequenceNumber":"${pos + i}","Data":"$d"}"""
-          }.mkString(",")
-          reply(200, s"""{"Records":[$items],"NextShardIterator":"it|$shard|${pos + recs.size}"}""")
+          if (hiccups.getAndUpdate(n => math.max(0, n - 1)) > 0) {
+            // transient empty page: same-position iterator, still behind
+            reply(200, s"""{"Records":[],"NextShardIterator":"it|$shard|$pos","MillisBehindLatest":5000}""")
+          } else {
+            val (recs, behind) = store(shard).synchronized {
+              val r = store(shard).slice(pos, pos + limit).toIndexedSeq
+              (r, math.max(0, store(shard).size - (pos + r.size)) * 1000L)
+            }
+            val items = recs.zipWithIndex.map { case (d, i) =>
+              s"""{"ShardId":"$shard","PartitionKey":"pk-${pos + i}","SequenceNumber":"${pos + i}","Data":"$d"}"""
+            }.mkString(",")
+            reply(200, s"""{"Records":[$items],"NextShardIterator":"it|$shard|${pos + recs.size}","MillisBehindLatest":$behind}""")
+          }
         case other => reply(400, s"""{"__type":"UnknownOperationException","target":"$other"}""")
       }
     })
@@ -201,6 +219,48 @@ class KinesisMicroBatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and nothing was lost or duplicated under the paging
     val s0 = buf.asScala.toSeq.filter(_._2 == shard0).map(_._3.toInt).sorted
     assert(s0 == (0 until store(shard0).size).toList)
+  }
+
+  test("tip discovery and payload reads run on executors — the driver issues no GetRecords") {
+    getRecordsOrigins.clear()
+    val buf = new ConcurrentLinkedQueue[(Long, String, String)]()
+    push(shard0, b64(recJson(40)), b64(recJson(41)))
+    val q = graft.sources.KinesisMicroBatchSource
+      .readStream(spark, endpoint, "audit-stream", limitPerPoll = 2)
+      .writeStream
+      .option("checkpointLocation", tmp("kinesis_ckpt_origin"))
+      .foreachBatch(collectTo(buf) _)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val origins = getRecordsOrigins.asScala.toSeq
+    assert(origins.nonEmpty, "the run must have issued GetRecords calls")
+    assert(origins.forall(_ == "task"),
+      s"a payload-bearing GetRecords came from the driver: $origins")
+    assert(buf.asScala.nonEmpty, "records were delivered")
+  }
+
+  test("empty pages with MillisBehindLatest > 0 neither stall the probe nor fail the reader") {
+    val buf = new ConcurrentLinkedQueue[(Long, String, String)]()
+    push(shard1, b64(recJson(50)), b64(recJson(51)))
+    hiccups.set(6) // next 6 GetRecords return empty pages, still behind tip
+    val q = graft.sources.KinesisMicroBatchSource
+      .readStream(spark, endpoint, "audit-stream", limitPerPoll = 2)
+      .writeStream
+      .option("checkpointLocation", tmp("kinesis_ckpt_hiccup"))
+      .foreachBatch(collectTo(buf) _)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    hiccups.set(0)
+    // despite the transient empties, the full shard history (fresh
+    // checkpoint = TRIM_HORIZON) arrives exactly once — the probe did not
+    // under-advance on the empty page, and the reader kept polling
+    val s1 = buf.asScala.toSeq.filter(_._2 == shard1).map(_._3.toInt).sorted
+    assert(s1 == (0 until store(shard1).size).toList,
+      s"shard1 history complete and unique, got $s1")
+    val all = buf.asScala.toSeq.map(t => (t._2, t._3))
+    assert(all.distinct.size == all.size, "no duplicates under hiccups")
   }
 
   test("end-to-end: wire source through both sinks; crash-before-commit redelivers idempotently") {
