@@ -60,14 +60,62 @@ releasePackage := {
        |  "draft": false,
        |  "prerelease": false,
        |  "artifact": "${jar.getName}",
+       |  "launch": "spark-submit --class <entry_point> ${jar.getName} <args>",
        |  "entry_points": {
        |    "verify": "graft.Verify <sfDir> <outDir>",
        |    "bench": "graft.Bench (env SPARK_GRAFT_SF_DIR)",
        |    "streaming": "graft.streaming.StreamingFanOut.startKinesis"
        |  }
        |}""".stripMargin)
+  // The jar deliberately ships ONLY this project's classes: Spark is the
+  // runtime, exactly as Lambda supplies the reference's Python, and the
+  // project adds zero non-Spark dependencies — so plain spark-submit from
+  // any Spark 4.x installation runs it with no --packages / assembly step.
+  // LAUNCH.md states the clean-machine commands; releasePackage smoke-runs
+  // the first one before zipping so the shipped instructions are proven,
+  // not aspirational.
+  val launch = dist / "LAUNCH.md"
+  IO.write(launch,
+    s"""# Running graft-spark v$v from this zip
+       |
+       |Requirements: a Spark 4.x installation (`spark-submit` on PATH or
+       |`$$SPARK_HOME/bin`). The jar has no dependencies outside Spark's own
+       |runtime — no assembly, no `--packages`, no extra classpath.
+       |
+       |```sh
+       |# correctness dump (writes one parquet dir per query + oracle_sql.json)
+       |spark-submit --class graft.Verify ${jar.getName} <sfDir> <outDir>
+       |
+       |# benchmark (one JSON line on stdout)
+       |SPARK_GRAFT_SF_DIR=<sfDir> spark-submit --class graft.Bench ${jar.getName}
+       |
+       |# executed-plan dump for a query at a scale factor
+       |spark-submit --class graft.ExecPlan ${jar.getName} <queryName> <sfDir>
+       |```
+       |
+       |`<sfDir>` is a directory of the ten parquet tables (region nation
+       |customer supplier part orders lineitem events documents embeddings).
+       |Streaming entry points (`graft.streaming.StreamingFanOut.startKinesis`
+       |et al.) are library API — call them from your own driver against your
+       |endpoints.
+       |""".stripMargin)
+  val sparkSubmit =
+    file(sys.env.getOrElse("SPARK_HOME", "/opt/spark")) / "bin" / "spark-submit"
+  val smokeSf = file("/root/testdata/sf0.001")
+  if (sparkSubmit.exists && smokeSf.exists) {
+    val smokeOut = IO.createTemporaryDirectory / "release_smoke"
+    val rc = scala.sys.process.Process(
+      Seq(sparkSubmit.getAbsolutePath, "--class", "graft.Verify",
+        jar.getAbsolutePath, smokeSf.getAbsolutePath, smokeOut.getAbsolutePath),
+      baseDirectory.value, "SPARK_GRAFT_ONLY" -> "q01_pricing_summary").!
+    require(rc == 0 && (smokeOut / "q01_pricing_summary").exists,
+      "release smoke failed: spark-submit --class graft.Verify on the shipped jar")
+    streams.value.log.info("release smoke: spark-submit graft.Verify OK")
+  } else streams.value.log.warn(
+    "release smoke skipped (spark-submit or sf0.001 testdata not present)")
   val zipFile = dist / s"graft-spark-$v.zip"
-  IO.zip(Seq(jar -> jar.getName, notes -> "release.json"), zipFile, None)
+  IO.zip(Seq(jar -> jar.getName, notes -> "release.json",
+    launch -> "LAUNCH.md"), zipFile, None)
   val digest = java.security.MessageDigest.getInstance("SHA-256")
     .digest(IO.readBytes(zipFile)).map(b => f"$b%02x").mkString
   IO.write(dist / s"${zipFile.getName}.sha256", s"$digest  ${zipFile.getName}\n")

@@ -217,6 +217,95 @@ object EventQueries {
       | (ROW_NUMBER() OVER (ORDER BY event_id) - 1) // 500 AS batch_no, value
       |FROM events ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q177
+  /** The wire-source delivery contract, oracle-verified: a bounded fixture
+    * derived from `events` (`event_id % 97 = 0`, ~1% of rows) is
+    * JSON-encoded IN-PLAN, base64'd and served through
+    * [[graft.sources.LoopbackKinesisServer]] speaking the real Kinesis
+    * protocol; the DataSourceV2 [[graft.sources.KinesisMicroBatchSource]]
+    * consumes it (checkpointed per-shard offsets, executor-side reads,
+    * distributed tip probe), the reference decode path runs on what came
+    * off the wire, and the result is compared row-for-row — shard
+    * assignment AND per-shard sequence numbers included — against DuckDB
+    * replaying the same derivation from the parquet table. Exactly-once,
+    * in-shard-order delivery becomes a hash-green oracle row instead of
+    * spec-only coverage. The driver-side collects here seed the fixture
+    * server and drain the bounded result — test harness, not data path;
+    * the wire reads themselves run in Spark tasks. */
+  private val q177: Q = (s, d) => {
+    import scala.jdk.CollectionConverters._
+    val fix = Tables.events(s, d)
+      .filter(col("event_id") % 97 === 0)
+      .select(col("event_id"),
+        (col("event_id") % 2).cast("int").as("shard"),
+        to_json(struct(
+          date_format(col("ts"), IsoSec).as("datetime"),
+          concat(lit("ev-"), col("event_id")).as("random_id"),
+          (col("event_id") % 7).as("kind_id"),
+          col("user_id").as("account_id"),
+          when(col("value") < 5, "").otherwise(
+            concat(lit("10."), (col("user_id") % 256).cast("string"),
+              lit(".0.1"))).as("ip"))).as("json"))
+      .orderBy(col("event_id"))
+      .collect()
+    val enc = java.util.Base64.getEncoder
+    val shards = (0 until 2).map { i =>
+      f"shardId-$i%012d" -> fix.filter(_.getInt(1) == i)
+        .map(r => enc.encodeToString(r.getString(2).getBytes("UTF-8")))
+        .toIndexedSeq
+    }
+    val server = new graft.sources.LoopbackKinesisServer("audit-wire", shards)
+    val endpoint = server.start()
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, String)]()
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("q177_ckpt").toString
+      val q = graft.sources.KinesisMicroBatchSource
+        .readStream(s, endpoint, "audit-wire")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.select("shard_id", "sequence_number", "data").collect()
+            .foreach(r => buf.add((r.getString(0), r.getString(1).toLong, r.getString(2))))
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally server.stop()
+    import s.implicits._
+    val wire = buf.asScala.toSeq.toDF("shard_id", "seq", "data")
+    val dec = wire
+      .withColumn("_rec", from_json(unbase64(col("data")).cast("string"),
+        AuditPipeline.auditSchema))
+      .select(col("shard_id"), col("seq"), col("_rec.*"))
+    AuditPipeline.withRoutingKeys(
+        AuditPipeline.skipNulls(AuditPipeline.enrich(dec)), "audit-")
+      .select(col("shard_id"), col("seq"), col("random_id"), col("kind_id"),
+        col("account_id"), col("ip"), col("datetime"), col("@timestamp"),
+        col("_index"), col("_id"))
+      .orderBy(col("shard_id"), col("seq"))
+  }
+
+  private val q177Sql =
+    """WITH fix AS (SELECT event_id, user_id, value, ts FROM events
+      |             WHERE event_id % 97 = 0),
+      |rec AS (SELECT
+      |   'shardId-00000000000' || CAST(event_id % 2 AS VARCHAR) AS shard_id,
+      |   CAST(ROW_NUMBER() OVER (PARTITION BY event_id % 2 ORDER BY event_id) - 1
+      |     AS BIGINT) AS seq,
+      |   'ev-' || CAST(event_id AS VARCHAR) AS random_id,
+      |   event_id % 7 AS kind_id,
+      |   user_id AS account_id,
+      |   CASE WHEN value < 5 THEN NULL
+      |        ELSE '10.' || CAST(user_id % 256 AS VARCHAR) || '.0.1' END AS ip,
+      |   strftime(ts, '%Y-%m-%dT%H:%M:%S') AS datetime,
+      |   ts
+      | FROM fix)
+      |SELECT shard_id, seq, random_id, kind_id, account_id, ip, datetime,
+      |  datetime AS "@timestamp",
+      |  'audit-' || strftime(ts, '%Y-%m-%d') AS _index,
+      |  random_id AS _id
+      |FROM rec ORDER BY shard_id, seq""".stripMargin
+
   // ---------------------------------------------------------------- q50
   /** As-of join: each purchase matched to the user's most recent click at or
     * before it (graft.operators.AsOfJoin — one shuffle on user_id, no pair
@@ -1039,6 +1128,7 @@ object EventQueries {
     "q50_asof_join" -> q50,
     "q52_range_join_bucketized" -> q52,
     "q60_pipeline_es_projection" -> q60,
+    "q177_wire_source_replay" -> q177,
     "q61_pipeline_splunk_envelope" -> q61,
     "q62_pipeline_daily_index_counts" -> q62)
 
@@ -1071,6 +1161,7 @@ object EventQueries {
     "q50_asof_join" -> q50Sql,
     "q52_range_join_bucketized" -> q52Sql,
     "q60_pipeline_es_projection" -> q60Sql,
+    "q177_wire_source_replay" -> q177Sql,
     "q61_pipeline_splunk_envelope" -> q61Sql,
     "q62_pipeline_daily_index_counts" -> q62Sql)
 }

@@ -498,7 +498,10 @@ object TextQueries {
     * one term 7.6M times, but a degenerate input could;
     * (2) term_score < 2.3e6 · N·10⁴/df needs N/df ≤ 4e8, i.e. any term
     * present in ≥1 doc per 400M. Corpora beyond either bound need the
-    * same arithmetic in DECIMAL. */
+    * same arithmetic in DECIMAL. Both bounds are now ENFORCED by
+    * `Guard.require` on the scored candidate rows (component-wise
+    * conditions that cannot themselves wrap — the q143 discipline), so
+    * an over-bound corpus fails loudly instead of wrapping silently. */
   private val q110: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
@@ -510,9 +513,15 @@ object TextQueries {
     val tf = tok.filter(col("w").isin("spark", "window", "merge"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    tf.join(dl, Seq("doc_id"))
+    val cand = tf.join(dl, Seq("doc_id"))
       .join(broadcast(df), Seq("w"))
       .crossJoin(broadcast(consts))
+    graft.functions.Guard.require(cand,
+      col("tf") <= expr("(9223372036854775807L div 22000000L) div greatest(a, 1L)") &&
+        col("dl") <= lit(9223372036854775807L / 9000L) &&
+        expr("n_docs div df") <= lit(400000000L),
+      "q110: integer-exact BM25 bound exceeded (tf*a or n_docs/df would " +
+        "overflow Long) - promote the score arithmetic to DECIMAL(38)")
       .select(col("doc_id"),
         expr("(22 * tf * a * 1000000 div (10 * tf * a + 3 * a + 9000 * dl))" +
           " * (n_docs * 10000 div df)").as("term_score"))

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
 
 /** Continuous nearest-event temporal alignment — the streaming twin of
   * [[graft.operators.NearestEventJoin]] (q176): for every LEFT event on a
@@ -41,14 +41,21 @@ class NearestAlignProcessor(toleranceUs: Long)
     extends StatefulProcessor[String, StreamingNearestAlign.In, StreamingNearestAlign.Out] {
   import StreamingNearestAlign.{In, Out}
 
-  @transient private var rights: ValueState[Vector[(Long, Long)]] = _
-  @transient private var lefts: ValueState[Vector[Long]] = _
+  // ListState, not ValueState[Vector]: arrivals APPEND (an O(1) RocksDB
+  // merge per event) instead of rewriting the whole buffer every batch;
+  // the only full rewrites are drain-time prune/partition, which run when
+  // state actually shrinks. Under a high arrival rate this is the
+  // difference between O(events) and O(events × window) bytes written
+  // per key per batch — the same shape the other twins keep.
+  @transient private var rights: ListState[(Long, Long)] = _
+  @transient private var lefts: ListState[Long] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-    rights = getHandle.getValueState[Vector[(Long, Long)]](
-      "rights", Encoders.kryo[Vector[(Long, Long)]], TTLConfig.NONE)
-    lefts = getHandle.getValueState[Vector[Long]](
-      "lefts", Encoders.kryo[Vector[Long]], TTLConfig.NONE)
+    rights = getHandle.getListState[(Long, Long)](
+      "rights", Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
+      TTLConfig.NONE)
+    lefts = getHandle.getListState[Long](
+      "lefts", Encoders.scalaLong, TTLConfig.NONE)
   }
 
   private def watermarkUs(tv: TimerValues): Long =
@@ -75,30 +82,35 @@ class NearestAlignProcessor(toleranceUs: Long)
   }
 
   /** Finalize every pending left the watermark covers; prune rights that
-    * no surviving left can reach. */
+    * no surviving left can reach. Scoring reads the PRE-prune right set
+    * (any pending left's reachable candidates survive the previous prune
+    * by the 2·tol margin); state is rewritten only when it shrinks. */
   private def drain(key: String, wmUs: Long): Iterator[Out] = {
-    val rs = if (rights.exists()) rights.get() else Vector.empty
-    val ls = if (lefts.exists()) lefts.get() else Vector.empty
+    val rs = rights.get().toVector
+    val keep = rs.filter { case (rt, _) => rt >= wmUs - 2 * toleranceUs }
+    if (keep.size != rs.size) {
+      if (keep.isEmpty) rights.clear() else rights.put(keep.toArray)
+    }
+    val ls = lefts.get().toVector
     val (ready, pending) = ls.partition(t => t + toleranceUs < wmUs)
-    lefts.update(pending)
-    rights.update(rs.filter { case (rt, _) => rt >= wmUs - 2 * toleranceUs })
+    if (ready.nonEmpty) {
+      if (pending.isEmpty) lefts.clear() else lefts.put(pending.toArray)
+    }
     ready.sorted.iterator.map(t => score(t, rs).copy(key = key))
   }
 
   override def handleInputRows(key: String, rows: Iterator[In],
       timerValues: TimerValues): Iterator[Out] = {
     val batch = rows.toVector
-    val rs = (if (rights.exists()) rights.get() else Vector.empty) ++
-      batch.filter(_.isRight).map(r => (r.tUs, r.payload))
-    val ls = (if (lefts.exists()) lefts.get() else Vector.empty) ++
-      batch.filterNot(_.isRight).map(_.tUs)
-    rights.update(rs.sortBy(_._1))
-    lefts.update(ls)
+    val newRights = batch.filter(_.isRight).map(r => (r.tUs, r.payload))
+    if (newRights.nonEmpty) rights.appendList(newRights.toArray)
+    val newLefts = batch.filterNot(_.isRight).map(_.tUs)
+    if (newLefts.nonEmpty) lefts.appendList(newLefts.toArray)
     // one event-time timer per new left at t + tol (the earliest moment
     // its match set is complete); +1ms because timers fire when the
     // watermark passes the registered time
-    batch.filterNot(_.isRight).foreach(l =>
-      getHandle.registerTimer((l.tUs + toleranceUs) / 1000L + 1L))
+    newLefts.foreach(l =>
+      getHandle.registerTimer((l + toleranceUs) / 1000L + 1L))
     // eager path: the watermark may already cover older lefts
     drain(key, watermarkUs(timerValues))
   }

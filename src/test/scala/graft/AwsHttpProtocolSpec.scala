@@ -176,8 +176,11 @@ class AwsHttpProtocolSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(akid == "AKIDTEST" && region == "us-east-1" &&
       service == "kinesis" && term == "aws4_request")
     val signedNames = authHeader.split("SignedHeaders=")(1).split(",")(0).trim
+    // x-graft-origin is the driver/task observability marker — signed like
+    // every header the client sends (unknown x- headers are legal in SigV4
+    // as long as they are covered by the signature)
     assert(signedNames ==
-      "content-type;host;x-amz-date;x-amz-security-token;x-amz-target")
+      "content-type;host;x-amz-date;x-amz-security-token;x-amz-target;x-graft-origin")
     val gotSig = authHeader.split("Signature=")(1).trim
 
     val canonicalHeaders = signedNames.split(";")

@@ -98,6 +98,54 @@ class StreamingNearestAlignSpec extends AnyFunSuite {
       Out("a", 50 * s, None, None, None))
   }
 
+  test("state stays O(rate x tolerance) under a many-batch flood") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val s = 1000000L
+    // 40 batches, each one second of stream time: 20 rights (every 50 ms)
+    // + 2 lefts per batch on one key. The tolerance window holds ~8 rights
+    // (2·tol = 400 ms at 20 rights/s) + ~2 pending lefts, so state must
+    // plateau within the first few batches and stay flat to batch 40 —
+    // growth with batch count would mean the buffers are not pruning.
+    val batches = (0 until 40).map { i =>
+      val base = (i + 10) * s
+      (0 until 20).map(j => In("k", base + j * 50000L, isRight = true,
+        payload = i * 100L + j)) ++
+        Seq(In("k", base + 310000L, isRight = false, payload = 0),
+          In("k", base + 710000L, isRight = false, payload = 0))
+    }
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[In]
+      val q = StreamingNearestAlign.align(stream.toDS(), tol)
+        .writeStream.format("memory").queryName("align_flood")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("align_flood").toString)
+        .outputMode("append")
+        .start()
+      val rowsTotal = batches.map { b =>
+        stream.addData(b: _*); q.processAllAvailable()
+        Option(q.lastProgress).map(_.stateOperators.map(_.numRowsTotal).sum)
+          .getOrElse(0L)
+      }
+      q.stop()
+      val early = rowsTotal(9)
+      val late = rowsTotal.last
+      assert(early > 0, s"state metric must be observable: $rowsTotal")
+      assert(late <= early * 2 && late <= 64,
+        s"state grew with batch count (batch10=$early batch40=$late): " +
+          s"the tolerance-window prune is not holding\n$rowsTotal")
+      // and the flood's answers are still exactly the batch operator's
+      val streamed = spark.table("align_flood").as[Out].collect().toSet
+      val all = batches.flatten
+      val finalized = runBatch(all)
+        .filter(o => o.leftT + tol < all.map(_.tUs).max) // wm never passed the tail
+      assert(finalized.subsetOf(streamed),
+        s"flood lost finalized lefts: ${finalized -- streamed}")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("every left finalizes exactly once across many small batches") {
     val s = 1000000L
     // rights every second, lefts 100 ms after each right, one event per
