@@ -40,4 +40,50 @@ class GuardSpec extends AnyFunSuite {
     assert(SparkEntry.queries("q171_psi_drift")(spark, sf).count() > 0)
     assert(SparkEntry.queries("q172_ks_drift")(spark, sf).count() > 0)
   }
+
+  test("component-wise bounds catch inputs where the product form breaks past the cliff") {
+    import spark.implicits._
+    // The advisor's q143 finding: a guard written as
+    //   (n + 1) * total <= Max div 1e6
+    // is itself unsound when n·total ≳ 9.2e18. Under non-ANSI Long
+    // arithmetic the product wraps NEGATIVE and wrongly passes; under
+    // this engine's ANSI mode (Spark 4 default) the guard predicate
+    // ITSELF throws a bare ARITHMETIC_OVERFLOW — the user sees an
+    // arithmetic crash from inside the guard, not the query's own
+    // diagnostic. Either way the guard fails at its one job. The
+    // component form divides the ceiling FIRST, cannot overflow, and
+    // always surfaces the query's message.
+    val n = 4L
+    val total = 2000000000000000000L // n*total ~ 1e19 > Long.MaxValue
+    val df = Seq((n, total)).toDF("n_sources", "total_tokens")
+    val productForm = (expr("(n_sources + 1) * total_tokens") <=
+      expr("9223372036854775807L div 1000000L"))
+    val componentForm = (col("total_tokens") <=
+      expr("(9223372036854775807L div 1000000L) div (n_sources + 1)"))
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    // the broken form really is broken: ANSI overflow from the guard
+    // predicate, no query diagnostic anywhere in the chain
+    val exProduct = intercept[Exception] {
+      Guard.require(df, productForm, "q143-shape: integer-exact bound exceeded")
+        .count()
+    }
+    assert(messages(exProduct).exists(_.contains("ARITHMETIC_OVERFLOW")))
+    assert(!messages(exProduct).exists(_.contains("integer-exact bound exceeded")))
+    // the shipped form evaluates cleanly and fails loudly with the message
+    val ex = intercept[Exception] {
+      Guard.require(df, componentForm,
+        "q143-shape: integer-exact bound exceeded").collect()
+    }
+    assert(messages(ex).exists(_.contains("integer-exact bound exceeded")))
+    assert(!messages(ex).exists(_.contains("ARITHMETIC_OVERFLOW")))
+  }
+
+  test("the guarded BM25 and Gini queries stay green on the test corpus") {
+    // q110 (round-10 guards: tf*a and n_docs/df cliffs) and q143
+    // (component-wise rewrite) must be invisible on in-bound data.
+    val sf = "/root/testdata/sf0.001"
+    assert(SparkEntry.queries("q110_bm25_retrieval")(spark, sf).count() > 0)
+    assert(SparkEntry.queries("q143_source_gini")(spark, sf).count() > 0)
+  }
 }
