@@ -108,6 +108,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("weighted_avg_cents",
         "weighted_avg_cents(cents, w) - exact weighted mean in currency units"),
       (es: Seq[Expression]) => WeightedAvgCents(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("vec_moments"),
+      info("vec_moments",
+        "vec_moments(arr) - one-pass [n, sum_0..d-1, gram_00..d-1d-1] exact moments"),
+      (es: Seq[Expression]) => VecMomentsAgg(es.head).toAggregateExpression()))
   }
 
   private def intLit(e: Expression): Int = e.eval(null) match {

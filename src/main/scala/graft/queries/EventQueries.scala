@@ -1099,7 +1099,68 @@ object EventQueries {
       |FROM c LEFT JOIN best b ON b.event_id = c.event_id
       |GROUP BY c.day ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q180
+  /** Per-user time-weighted average — the time-SERIES aggregation the
+    * event family still lacked (q129 aggregates values, q136 aggregates
+    * gaps; neither weights a VALUE by how long it was current). Each
+    * event's value is held until the user's next event (step
+    * interpolation, the observability/billing convention); the TWA is
+    * Σ value·Δt over Σ Δt. Values ride as exact cents
+    * (DECIMAL(15,2)·100, the [[graft.functions.Exact]] contract),
+    * durations as whole milliseconds (`µs div 1000` — the pre-scale that
+    * keeps cents·ms ≤ 10¹² per segment, so a user needs ~10⁶ segments
+    * before the Long sum even approaches the cliff), and the final TWA is
+    * one truncating div. Users with a single event — or all events on one
+    * timestamp — have zero held time and are excluded by the HAVING
+    * (there is nothing to average; emitting 0 would fabricate a value).
+    *
+    * Scale shape: one window (`lead` over the per-user event order — the
+    * user-keyed partition every event query here shuffles on) feeding one
+    * hash aggregate; output is one row per qualifying user. Ties on `ts`
+    * break by event_id in BOTH the window order and the lead, so the
+    * segment decomposition is a total order and the oracle replays it
+    * row-for-row. */
+  private val q180: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        expr("CAST(CAST(value AS DECIMAL(15,2)) * 100 AS BIGINT)").as("cents"))
+      .withColumn("t_us", unix_micros(col("ts")))
+      .withColumn("next_us", lead(col("t_us"), 1).over(w))
+      .filter(col("next_us").isNotNull)
+      .withColumn("dt_ms", expr("(next_us - t_us) div 1000"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("dt_ms")).as("held_ms"),
+        sum(expr("cents * dt_ms")).as("wsum"))
+      .filter(col("held_ms") > 0)
+      .select(col("user_id"), col("n_segments"), col("held_ms"),
+        expr("wsum div held_ms").as("twa_cents"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q180Sql =
+    """WITH e AS (SELECT user_id, event_id,
+      |    CAST(epoch_us(ts) AS BIGINT) AS t_us,
+      |    CAST(CAST(value AS DECIMAL(15,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |seg AS (SELECT user_id, cents,
+      |    (LEAD(t_us, 1) OVER (PARTITION BY user_id ORDER BY t_us, event_id)
+      |      - t_us) // 1000 AS dt_ms,
+      |    LEAD(t_us, 1) OVER (PARTITION BY user_id ORDER BY t_us, event_id)
+      |      AS next_us
+      |  FROM e)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+      |  CAST(SUM(dt_ms) AS BIGINT) AS held_ms,
+      |  CAST(CAST(SUM(cents * dt_ms) AS BIGINT) // CAST(SUM(dt_ms) AS BIGINT)
+      |    AS BIGINT) AS twa_cents
+      |FROM seg WHERE next_us IS NOT NULL
+      |GROUP BY user_id HAVING CAST(SUM(dt_ms) AS BIGINT) > 0
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q180_time_weighted_avg" -> q180,
     "q176_nearest_event_join" -> q176,
     "q128_event_trigram_funnel" -> q128,
     "q129_quantiles_histogram" -> q129,
@@ -1133,6 +1194,7 @@ object EventQueries {
     "q62_pipeline_daily_index_counts" -> q62)
 
   val oracle: Map[String, String] = Map(
+    "q180_time_weighted_avg" -> q180Sql,
     "q176_nearest_event_join" -> q176Sql,
     "q128_event_trigram_funnel" -> q128Sql,
     "q129_quantiles_histogram" -> q129Sql,

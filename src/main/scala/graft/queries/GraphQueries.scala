@@ -64,9 +64,85 @@ object GraphQueries {
       |        FROM ed e1 JOIN ed e2 ON e1.y = e2.x
       |                   JOIN ed e3 ON e3.x = e1.x AND e3.y = e2.y) AS n_triangles""".stripMargin
 
+  // ---------------------------------------------------------------- q179
+  /** Multi-source BFS distance census — the reachability-DEPTH operator
+    * completing the graph family (q101's connected components answer
+    * "same cluster?", q126's PageRank "how central?", q162's triangles
+    * "how clustered?"; this answers "how FAR from a seed set?"). Seeds
+    * are the p_size = 1 parts; the graph is q162's part co-purchase graph
+    * (same derivation, same l_linenumber ≤ 3 linear-growth bound, here
+    * symmetrized since distance is undirected). Three rounds of
+    * min-distance relaxation — dist_{r+1}(v) = min(dist_r(v),
+    * 1 + min over neighbors u of dist_r(u)) — then a census per distance:
+    * node count and the min/max part key as exact witnesses, with
+    * unreached parts in the −1 bucket (the part TABLE is the node
+    * universe, so isolated parts are counted, not silently dropped).
+    *
+    * Scale shape: each round is one shuffle join (frontier ⋈ edges, keyed
+    * on the node id) + one min-aggregate — the canonical distributed BFS
+    * step, state bounded by one (node, dist) row per node; nothing
+    * driver-side anywhere. A fixed round count is the portable contract
+    * (q126 precedent): 3 rounds = "within 3 hops", the decontamination
+    * radius a curation pipeline actually queries ("everything within k
+    * co-purchase hops of a poisoned part"). The oracle replays the rounds
+    * as unrolled CTEs over the same edge relation. */
+  private val q179: Q = (s, d) => {
+    val e0 = Tables.lineitem(s, d)
+      .filter(col("l_linenumber") <= 3)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    val ed = e0.as("a").join(e0.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("x"), col("b.p").as("y")).distinct()
+    val sym = ed.select(col("x"), col("y"))
+      .unionByName(ed.select(col("y").as("x"), col("x").as("y")))
+    val part = Tables.part(s, d)
+    var dist = part.filter(col("p_size") === 1)
+      .select(col("p_partkey").as("node"), lit(0L).as("dist"))
+    for (_ <- 1 to 3) {
+      val step = dist.join(sym, col("node") === col("x"))
+        .select(col("y").as("node"), (col("dist") + 1L).as("dist"))
+      dist = dist.unionByName(step).groupBy(col("node"))
+        .agg(min(col("dist")).as("dist"))
+    }
+    part.select(col("p_partkey").as("node"))
+      .join(dist, Seq("node"), "left")
+      .select(col("node"), coalesce(col("dist"), lit(-1L)).as("dist"))
+      .groupBy(col("dist"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("node")).as("min_part"), max(col("node")).as("max_part"))
+      .orderBy(col("dist"))
+  }
+
+  private val q179Sql = {
+    def round(prev: String, out: String): String =
+      s"""$out AS (SELECT node, MIN(dist) AS dist FROM (
+         |    SELECT node, dist FROM $prev
+         |    UNION ALL
+         |    SELECT sym.y AS node, $prev.dist + 1 AS dist
+         |    FROM $prev JOIN sym ON sym.x = $prev.node)
+         |  GROUP BY node)""".stripMargin
+    s"""WITH e0 AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
+       |            WHERE l_linenumber <= 3),
+       |ed AS (SELECT DISTINCT a.p AS x, b.p AS y
+       |       FROM e0 a JOIN e0 b ON a.o = b.o AND a.p < b.p),
+       |sym AS (SELECT x, y FROM ed UNION ALL SELECT y, x FROM ed),
+       |d0 AS (SELECT p_partkey AS node, CAST(0 AS BIGINT) AS dist
+       |       FROM part WHERE p_size = 1),
+       |${round("d0", "d1")},
+       |${round("d1", "d2")},
+       |${round("d2", "d3")}
+       |SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |       MIN(node) AS min_part, MAX(node) AS max_part
+       |FROM (SELECT p.p_partkey AS node, COALESCE(d3.dist, -1) AS dist
+       |      FROM part p LEFT JOIN d3 ON d3.node = p.p_partkey)
+       |GROUP BY dist ORDER BY dist""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
-    "q162_triangle_census" -> q162)
+    "q162_triangle_census" -> q162,
+    "q179_bfs_distance_census" -> q179)
 
   val oracle: Map[String, String] = Map(
-    "q162_triangle_census" -> q162Sql)
+    "q162_triangle_census" -> q162Sql,
+    "q179_bfs_distance_census" -> q179Sql)
 }

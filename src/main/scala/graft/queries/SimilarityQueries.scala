@@ -723,7 +723,124 @@ object SimilarityQueries {
       | CAST(CAST(SUM(e32) AS BIGINT) // COUNT(*) AS BIGINT) AS e32_ppm
       |FROM r GROUP BY label ORDER BY label""".stripMargin
 
+  // ---------------------------------------------------------------- q178
+  /** Embedding anisotropy audit — the "all-but-the-top" diagnostic (Mu &
+    * Viswanath, ICLR 2018): estimate the corpus covariance's dominant
+    * direction and how much variance it hoards. An embedding space whose
+    * top component explains a large share is anisotropic — cosine scores
+    * compress and ANN recall degrades — and the fix (subtract the top
+    * direction) needs exactly the vector this query emits.
+    *
+    * Exactness discipline: one [[graft.functions.VecMomentsAgg]] pass
+    * (count ⊕ component-sum ⊕ d² Gram in a single ~33 KB buffer, map-side
+    * combined — never a d²-exploded shuffle), then integer-exact math all
+    * the way: means `s div n`, covariance `G div n − m·mᵀ` (truncating
+    * toward zero in BOTH engines — Java `/`, Spark `div`, DuckDB `//`),
+    * THREE fixed power-iteration rounds re-normalized to max|v| = 10⁴
+    * each round (`w·10⁴ div max|w|` — deterministic, so the oracle replays
+    * the rounds as unrolled CTEs over the (j, k, cov) relation), a
+    * Rayleigh quotient with a documented ÷10⁴ pre-scale on both sides of
+    * the quotient (numerator terms peak at 6.4 × 10¹⁷ — inside Long ONLY
+    * after the pre-scale; the unscaled Σ v·C·v form would overflow at
+    * 4 × 10¹⁹), and the explained share as exact ppm of the trace.
+    *
+    * The d × d step itself runs driver-side on the collected moment buffer
+    * — the [[KMeansLloyd]] bounded-collect precedent (64 × 64 longs, size
+    * independent of corpus rows); every corpus-sized pass is the single
+    * aggregate. Power iteration from the all-ones start vector converges
+    * to the dominant eigenvector for any PSD-up-to-truncation matrix not
+    * orthogonal to it; 3 rounds is the FIXED portable contract (like
+    * q126's 3 PageRank rounds), not a convergence claim — both engines
+    * run the same 3 rounds bit-for-bit. */
+  private val q178: Q = (s, d) => {
+    graft.functions.VecMoments.register(s)
+    val mom = Tables.embeddings(s, d)
+      .select(KMeansLloyd.quantize("embedding").as("qvec"))
+      .agg(expr("vec_moments(qvec)").as("mom"))
+      .collect()(0).getSeq[Long](0).toArray
+    require(mom.length > 1, "q178: empty embeddings table")
+    val n = mom(0)
+    var dim = 0
+    while (1 + dim + dim.toLong * dim < mom.length) dim += 1
+    val mean = Array.tabulate(dim)(j => mom(1 + j) / n)
+    val cov = Array.tabulate(dim, dim) { (j, k) =>
+      Math.subtractExact(mom(1 + dim + j * dim + k) / n,
+        Math.multiplyExact(mean(j), mean(k)))
+    }
+    var v = Array.fill(dim)(10000L)
+    for (_ <- 1 to 3) {
+      val w = Array.tabulate(dim) { j =>
+        var acc = 0L; var k = 0
+        while (k < dim) {
+          acc = Math.addExact(acc, Math.multiplyExact(cov(j)(k), v(k))); k += 1
+        }
+        acc
+      }
+      val mx = w.map(math.abs).max
+      v = if (mx == 0L) w else w.map(x => Math.multiplyExact(x, 10000L) / mx)
+    }
+    val u = Array.tabulate(dim) { j =>
+      var acc = 0L; var k = 0
+      while (k < dim) {
+        acc = Math.addExact(acc, Math.multiplyExact(cov(j)(k), v(k))); k += 1
+      }
+      acc
+    }
+    val num = v.indices.map(j => Math.multiplyExact(v(j), u(j)) / 10000L)
+      .reduce(Math.addExact(_: Long, _: Long))
+    val den = v.map(x => x * x).reduce(Math.addExact(_: Long, _: Long)) / 10000L
+    require(den > 0, "q178: degenerate iteration (zero vector)")
+    val lambdaHat = num / den
+    val trace = (0 until dim).map(j => cov(j)(j))
+      .reduce(Math.addExact(_: Long, _: Long))
+    require(trace > 0, "q178: non-positive covariance trace")
+    val explPpm = Math.multiplyExact(lambdaHat, 1000000L) / trace
+    import s.implicits._
+    v.indices.map(j => (j + 1L, v(j), lambdaHat, trace, explPpm))
+      .toDF("j", "v", "lambda_hat", "trace_q", "expl_ppm")
+      .orderBy(col("j"))
+  }
+
+  private val q178Sql = {
+    // one power-iteration round as CTE text: w = cov·v, renormalize to
+    // max|v| = 10⁴ — EXACTLY the driver-side Scala round above.
+    def round(prev: String, i: Int): String =
+      s"""w$i AS (SELECT cov.j, CAST(SUM(cov.c * $prev.v) AS BIGINT) AS w
+         |  FROM cov JOIN $prev ON $prev.k = cov.k GROUP BY cov.j),
+         |x$i AS (SELECT MAX(ABS(w)) AS mx FROM w$i),
+         |v$i AS (SELECT j AS k,
+         |    CASE WHEN mx = 0 THEN w ELSE (w * 10000) // mx END AS v
+         |  FROM w$i CROSS JOIN x$i)""".stripMargin
+    s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)) AS qvec
+       |  FROM embeddings),
+       |u AS (SELECT vec_id, generate_subscripts(qvec, 1) AS j, UNNEST(qvec) AS x FROM q),
+       |nn AS (SELECT COUNT(*) AS n FROM q),
+       |mn AS (SELECT j, CAST(SUM(x) AS BIGINT) // nn.n AS m FROM u CROSS JOIN nn GROUP BY j, nn.n),
+       |g AS (SELECT a.j AS j, b.j AS k, CAST(SUM(a.x * b.x) AS BIGINT) AS g
+       |      FROM u a JOIN u b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+       |cov AS (SELECT g.j, g.k, CAST((g.g // nn.n) - mj.m * mk.m AS BIGINT) AS c
+       |        FROM g CROSS JOIN nn
+       |        JOIN mn mj ON mj.j = g.j JOIN mn mk ON mk.j = g.k),
+       |v0 AS (SELECT j AS k, CAST(10000 AS BIGINT) AS v FROM mn),
+       |${round("v0", 1)},
+       |${round("v1", 2)},
+       |${round("v2", 3)},
+       |uu AS (SELECT cov.j, CAST(SUM(cov.c * v3.v) AS BIGINT) AS uq
+       |       FROM cov JOIN v3 ON v3.k = cov.k GROUP BY cov.j),
+       |num AS (SELECT CAST(SUM((v3.v * uu.uq) // 10000) AS BIGINT) AS num
+       |        FROM uu JOIN v3 ON v3.k = uu.j),
+       |den AS (SELECT CAST(SUM(v * v) AS BIGINT) // 10000 AS den FROM v3),
+       |lam AS (SELECT CAST(num // den AS BIGINT) AS lambda_hat FROM num CROSS JOIN den),
+       |tr AS (SELECT CAST(SUM(c) AS BIGINT) AS trace_q FROM cov WHERE j = k)
+       |SELECT CAST(v3.k AS BIGINT) AS j, v3.v AS v, lam.lambda_hat AS lambda_hat,
+       |       tr.trace_q AS trace_q,
+       |       CAST((lam.lambda_hat * 1000000) // tr.trace_q AS BIGINT) AS expl_ppm
+       |FROM v3 CROSS JOIN lam CROSS JOIN tr ORDER BY j""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q178_embedding_anisotropy" -> q178,
     "q151_matryoshka_energy" -> q151,
     "q137_centroid_pseudolabel" -> q137,
     "q131_int8_quant_audit" -> q131,
@@ -741,6 +858,7 @@ object SimilarityQueries {
     "q108_semdedup" -> q108)
 
   val oracle: Map[String, String] = Map(
+    "q178_embedding_anisotropy" -> q178Sql,
     "q151_matryoshka_energy" -> q151Sql,
     "q137_centroid_pseudolabel" -> q137Sql,
     "q131_int8_quant_audit" -> q131Sql,
