@@ -97,6 +97,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "topk_pair(value, id, k) - k largest (value, id) pairs, bounded O(k) state"),
       ((es: Seq[Expression]) =>
         TopKPairsAgg(es(0), es(1), intLit(es(2))).toAggregateExpression())))
+    ext.injectFunction((FunctionIdentifier("kmv_sketch"),
+      info("kmv_sketch",
+        "kmv_sketch(hash60, k) - k smallest distinct hashes (bottom-k/theta sketch)"),
+      ((es: Seq[Expression]) =>
+        KmvSketchAgg(es(0), intLit(es(1))).toAggregateExpression())))
     ext.injectFunction((FunctionIdentifier("nfc_normalize"),
       info("nfc_normalize", "nfc_normalize(text) - Unicode canonical composition (NFC)"),
       (es: Seq[Expression]) => NfcNormalize(es.head)))

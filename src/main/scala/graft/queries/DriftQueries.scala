@@ -215,13 +215,90 @@ object DriftQueries {
       |FROM d, n, e WHERE e.digit = d.digit
       |GROUP BY d.digit, n.n, e.benford_ppm ORDER BY digit""".stripMargin
 
+  // ---------------------------------------------------------------- q183
+  /** Per-type OLS value trend — the TREND member of the drift family:
+    * q171 (PSI) and q172 (KS) detect that two distributions differ, but
+    * not the monitoring question "is this metric drifting, how fast, and
+    * does a line explain it?" — that is an ordinary-least-squares
+    * regression of value on time, per key. slope = (nΣxy−ΣxΣy)/(nΣx²−
+    * (Σx)²), intercept = (Σy − slope·Σx)/n, fit quality R².
+    *
+    * Exactness discipline: x = whole days since the corpus anchor
+    * 2024-01-01 (a plan-time constant — anchoring near the data keeps Σx²
+    * small instead of 19 700²-scale epoch days), y = exact cents. All
+    * five power sums and both normal-equation determinants live in
+    * DECIMAL(38,0) (Spark) ↔ HUGEINT (DuckDB) — no Long cliff anywhere:
+    * the largest term, num·Σx, stays under 10³⁶ past sf1000. slope
+    * (micro-cents/day) and intercept (cents) are truncating integer
+    * divisions; R² alone is a fixed-order double quotient (the q75 corr
+    * precedent). A single-day group has den = 0 and degrades to NULL
+    * slope/intercept/R² identically in both engines. One hash aggregation,
+    * partial+final, five output rows — nothing scales with n but the scan.
+    */
+  private val q183: Q = (s, d) => {
+    val e = Tables.events(s, d).select(col("event_type"),
+      datediff(to_date(col("ts")), lit("2024-01-01")).cast("long").as("x"),
+      (money(col("value")) * 100).cast("long").as("y"))
+    val xD = col("x").cast("decimal(19,0)")
+    val yD = col("y").cast("decimal(19,0)")
+    e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(xD).as("sx"), sum(yD).as("sy"),
+        sum(xD * xD).as("sxx"), sum(xD * yD).as("sxy"), sum(yD * yD).as("syy"))
+      .select(col("event_type"), col("n"), col("sx"), col("sy"),
+        expr("CAST(n AS DECIMAL(38,0)) * sxy - sx * sy").as("num"),
+        expr("CAST(n AS DECIMAL(38,0)) * sxx - sx * sx").as("den"),
+        expr("CAST(n AS DECIMAL(38,0)) * syy - sy * sy").as("deny"))
+      .select(col("event_type"), col("n"),
+        expr("""CASE WHEN den = 0 THEN NULL
+                ELSE CAST(CAST(1000000 AS DECIMAL(38,0)) * num div den AS BIGINT)
+                END""").as("slope_ucents_day"),
+        expr("""CASE WHEN den = 0 THEN NULL
+                ELSE CAST((sy - (num * sx div den)) div n AS BIGINT)
+                END""").as("icept_cents"),
+        expr("""CASE WHEN den = 0 OR deny = 0 THEN NULL
+                ELSE (CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+                     / (CAST(den AS DOUBLE) * CAST(deny AS DOUBLE))
+                END""").as("r2"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q183Sql =
+    """WITH e AS (SELECT event_type,
+      |    CAST(DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+      |    CAST(CAST(value AS DECIMAL(15,2)) * 100 AS BIGINT) AS y
+      |  FROM events),
+      |s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+      |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+      |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+      |    SUM(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM e GROUP BY event_type),
+      |f AS (SELECT event_type, n, sx, sy,
+      |    CAST(n AS HUGEINT) * sxy - sx * sy AS num,
+      |    CAST(n AS HUGEINT) * sxx - sx * sx AS den,
+      |    CAST(n AS HUGEINT) * syy - sy * sy AS deny
+      |  FROM s)
+      |SELECT event_type, n,
+      |  CASE WHEN den = 0 THEN NULL
+      |       ELSE CAST((1000000 * num) // den AS BIGINT) END AS slope_ucents_day,
+      |  CASE WHEN den = 0 THEN NULL
+      |       ELSE CAST((sy - ((num * sx) // den)) // CAST(n AS HUGEINT) AS BIGINT)
+      |  END AS icept_cents,
+      |  CASE WHEN den = 0 OR deny = 0 THEN NULL
+      |       ELSE (CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+      |            / (CAST(den AS DOUBLE) * CAST(deny AS DOUBLE)) END AS r2
+      |FROM f ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q171_psi_drift" -> q171,
     "q172_ks_drift" -> q172,
-    "q175_benford_audit" -> q175)
+    "q175_benford_audit" -> q175,
+    "q183_ols_trend" -> q183)
 
   val oracle: Map[String, String] = Map(
     "q171_psi_drift" -> q171Sql,
     "q172_ks_drift" -> q172Sql,
-    "q175_benford_audit" -> q175Sql)
+    "q175_benford_audit" -> q175Sql,
+    "q183_ols_trend" -> q183Sql)
 }

@@ -892,7 +892,63 @@ object TextQueries {
       |FROM k a JOIN k b ON a.doc_id = b.doc_id AND a.w < b.w
       |GROUP BY a.w, b.w ORDER BY support DESC, a, b LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- q181
+  /** Positional phrase search — the exact-PHRASE retrieval member the text
+    * family lacked: q110's BM25 is bag-of-words (it cannot distinguish
+    * "table hash" from "hash table"), while contamination/benchmark-leak
+    * audits and boilerplate mining need exact-adjacency matching. The
+    * classic engine: a positional inverted index (token, doc_id, pos) and
+    * phrase execution as a postings SELF-JOIN on (doc_id, pos+1).
+    *
+    * Scale shape: postings are corpus-sized, but BOTH join sides are
+    * filtered to the query phrases' token sets BEFORE any exchange — the
+    * join moves only the postings of the ≤ 6 queried tokens (in a real
+    * deployment the postings table is bucketed by token, making this a
+    * pruned scan). The phrase table itself is a broadcast of 3 rows, and
+    * a final left join back to it keeps zero-hit phrases in the census
+    * instead of silently dropping them. No window, no global sort; one
+    * hash aggregation per phrase.
+    */
+  private val q181: Q = (s, d) => {
+    import s.implicits._
+    val phrases = Seq(("table", "hash"), ("part", "filter"), ("merge", "group"))
+    val ph = phrases.toDF("t1", "t2")
+      .withColumn("phrase", concat_ws(" ", col("t1"), col("t2")))
+    val postings = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val left = postings.filter(col("tok").isin(phrases.map(_._1).distinct: _*))
+    val right = postings.filter(col("tok").isin(phrases.map(_._2).distinct: _*))
+      .select(col("doc_id").as("doc_id2"), col("pos").as("pos2"),
+        col("tok").as("tok2"))
+    val occ = left.join(right,
+        col("doc_id") === col("doc_id2") && col("pos2") === col("pos") + lit(1))
+      .join(broadcast(ph), col("tok") === col("t1") && col("tok2") === col("t2"))
+      .groupBy(col("phrase"))
+      .agg(countDistinct(col("doc_id")).as("d"), count(lit(1)).as("o"))
+    ph.select(col("phrase")).join(occ, Seq("phrase"), "left")
+      .select(col("phrase"),
+        coalesce(col("d"), lit(0L)).as("n_docs"),
+        coalesce(col("o"), lit(0L)).as("total_occ"))
+      .orderBy(col("phrase"))
+  }
+
+  private val q181Sql =
+    """WITH ph(phrase, t1, t2) AS (VALUES
+      |    ('table hash', 'table', 'hash'),
+      |    ('part filter', 'part', 'filter'),
+      |    ('merge group', 'merge', 'group')),
+      |d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |occ AS (SELECT ph.phrase, d.doc_id,
+      |    len(list_filter(range(1, len(w)),
+      |        i -> w[i] = ph.t1 AND w[i + 1] = ph.t2)) AS c
+      |  FROM d CROSS JOIN ph)
+      |SELECT phrase,
+      |  CAST(COUNT(CASE WHEN c > 0 THEN 1 END) AS BIGINT) AS n_docs,
+      |  CAST(SUM(c) AS BIGINT) AS total_occ
+      |FROM occ GROUP BY phrase ORDER BY phrase""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q181_phrase_search" -> q181,
     "q145_copair_mining" -> q145,
     "q138_bpe_merge_candidates" -> q138,
     "q121_bigram_lm_surprisal" -> q121,
@@ -915,6 +971,7 @@ object TextQueries {
     "q69_levenshtein_neardup" -> q69)
 
   val oracle: Map[String, String] = Map(
+    "q181_phrase_search" -> q181Sql,
     "q145_copair_mining" -> q145Sql,
     "q138_bpe_merge_candidates" -> q138Sql,
     "q121_bigram_lm_surprisal" -> q121Sql,

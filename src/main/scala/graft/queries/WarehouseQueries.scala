@@ -412,7 +412,125 @@ object WarehouseQueries {
       | MIN(cents) AS lo_cents, MAX(cents) AS hi_cents
       |FROM assigned GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  // ---------------------------------------------------------------- q182
+  /** KMV (bottom-k / theta) sketch audience overlap — the set-INTERSECTION
+    * sketch the warehouse family lacked: q44/q165's HLL registers union
+    * but cannot intersect, yet "how many distinct users do event types A
+    * and B share?" is the canonical audience-overlap question. A KMV
+    * sketch ([[graft.functions.KmvSketchAgg]]) is a uniform bottom-k
+    * sample of each type's distinct-hash set, so FIVE pre-aggregated
+    * 64-hash sketches answer all 10 pairwise overlaps without rescanning
+    * events: merged bottom-k per pair via array ops on two ≤64-element
+    * arrays, θ = k-th smallest of the union, |A∪B|̂ = (k−1)·2⁶⁰/θ,
+    * intersection sample = merged hashes present in BOTH sketches.
+    *
+    * Exactness: the sketch is an order statistic of md5-60bit hashes, so
+    * the oracle replays sketch AND estimators hash-exactly (ROW_NUMBER ≤ k
+    * over DISTINCT hashes — the q119/q170 replayed-grid discipline, not
+    * the q44 error band). (k−1)·2⁶⁰ ≈ 2⁶⁶ overflows Long — and so does
+    * (k−1)·(2⁶⁰ mod θ) whenever θ > 2⁶³/(k−1), i.e. exactly the
+    * small-corpus regime — so the estimator arithmetic runs in wide
+    * integers on BOTH sides: DECIMAL(38,0) with Spark's integral `div`,
+    * HUGEINT with DuckDB's `//`; identical exact integers, identical
+    * floors. `exact_inter` (a distinct self-join) rides along as the
+    * audit witness — it is exactly the second full pass the sketch path
+    * makes unnecessary at 100 TB.
+    */
+  private val q182: Q = (s, d) => {
+    graft.functions.KmvSketch.register(s)
+    val k = 64
+    val two60 = "1152921504606846976"
+    val users = Tables.events(s, d).select(col("event_type"), col("user_id"))
+    val sk = users
+      .withColumn("hv", expr(
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
+      .groupBy(col("event_type"))
+      .agg(expr(s"kmv_sketch(hv, $k)").as("sk"),
+        countDistinct(col("user_id")).as("nd"))
+    val a = sk.select(col("event_type").as("et_a"), col("sk").as("sk_a"),
+      col("nd").as("nd_a"))
+    val b = sk.select(col("event_type").as("et_b"), col("sk").as("sk_b"),
+      col("nd").as("nd_b"))
+    // exact pairwise overlap witness (the pass the sketch replaces)
+    val du = users.distinct()
+    val ex = du.as("x").join(du.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("et_a"), col("y.event_type").as("et_b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    a.join(b, col("et_a") < col("et_b"))           // 10 sketch-row pairs
+      .join(ex, Seq("et_a", "et_b"), "left")
+      .withColumn("mu", expr(s"slice(array_sort(array_union(sk_a, sk_b)), 1, $k)"))
+      .withColumn("msize", size(col("mu")).cast("long"))
+      .withColumn("theta", expr("element_at(mu, CAST(msize AS INT))"))
+      .withColumn("inter", expr(
+        "CAST(size(filter(mu, h -> array_contains(sk_a, h) AND array_contains(sk_b, h))) AS BIGINT)"))
+      .withColumn("est_union", expr(
+        s"""CASE WHEN msize < $k THEN msize
+           |ELSE CAST(CAST(${k - 1} AS DECIMAL(38,0)) * CAST($two60 AS DECIMAL(38,0))
+           |          div CAST(theta AS DECIMAL(38,0)) AS BIGINT)
+           |END""".stripMargin))
+      .withColumn("est_inter", expr(
+        "CAST(CAST(inter AS DECIMAL(38,0)) * CAST(est_union AS DECIMAL(38,0)) div CAST(msize AS DECIMAL(38,0)) AS BIGINT)"))
+      .withColumn("jacc_bp", expr("(inter * 10000) div msize"))
+      .select(col("et_a"), col("et_b"), col("nd_a"), col("nd_b"),
+        coalesce(col("exact_inter"), lit(0L)).as("exact_inter"),
+        col("theta"), col("est_union"), col("est_inter"), col("jacc_bp"))
+      .orderBy(col("et_a"), col("et_b"))
+  }
+
+  private val q182Sql =
+    """WITH h AS (SELECT DISTINCT event_type,
+      |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+      |  FROM events),
+      |r AS (SELECT event_type, hv,
+      |        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      |      FROM h),
+      |k AS (SELECT event_type, hv FROM r WHERE rn <= 64),
+      |nd AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS ndist
+      |       FROM events GROUP BY event_type),
+      |du AS (SELECT DISTINCT event_type, user_id FROM events),
+      |ex AS (SELECT x.event_type AS et_a, y.event_type AS et_b,
+      |         CAST(COUNT(*) AS BIGINT) AS exact_inter
+      |       FROM du x JOIN du y
+      |         ON x.user_id = y.user_id AND x.event_type < y.event_type
+      |       GROUP BY 1, 2),
+      |pairs AS (SELECT a.event_type AS et_a, a.ndist AS nd_a,
+      |            b.event_type AS et_b, b.ndist AS nd_b
+      |          FROM nd a JOIN nd b ON a.event_type < b.event_type),
+      |m AS (SELECT p.et_a, p.et_b, k.hv FROM pairs p
+      |      JOIN k ON k.event_type IN (p.et_a, p.et_b)
+      |      GROUP BY 1, 2, k.hv),
+      |mr AS (SELECT et_a, et_b, hv,
+      |         ROW_NUMBER() OVER (PARTITION BY et_a, et_b ORDER BY hv) AS rn
+      |       FROM m),
+      |mu AS (SELECT et_a, et_b, hv FROM mr WHERE rn <= 64),
+      |stats AS (SELECT mu.et_a, mu.et_b,
+      |    CAST(COUNT(*) AS BIGINT) AS msize, MAX(mu.hv) AS theta,
+      |    CAST(COALESCE(SUM(CASE WHEN ka.hv IS NOT NULL AND kb.hv IS NOT NULL
+      |                           THEN 1 ELSE 0 END), 0) AS BIGINT) AS inter
+      |  FROM mu
+      |  LEFT JOIN k ka ON ka.event_type = mu.et_a AND ka.hv = mu.hv
+      |  LEFT JOIN k kb ON kb.event_type = mu.et_b AND kb.hv = mu.hv
+      |  GROUP BY 1, 2),
+      |est AS (SELECT et_a, et_b, msize, theta, inter,
+      |    CASE WHEN msize < 64 THEN CAST(msize AS HUGEINT)
+      |         ELSE (CAST(63 AS HUGEINT) * CAST(1152921504606846976 AS HUGEINT))
+      |              // CAST(theta AS HUGEINT)
+      |    END AS est_union
+      |  FROM stats)
+      |SELECT p.et_a, p.et_b, p.nd_a, p.nd_b,
+      |  COALESCE(ex.exact_inter, 0) AS exact_inter,
+      |  e.theta, CAST(e.est_union AS BIGINT) AS est_union,
+      |  CAST((CAST(e.inter AS HUGEINT) * e.est_union) // CAST(e.msize AS HUGEINT) AS BIGINT) AS est_inter,
+      |  CAST((e.inter * 10000) // e.msize AS BIGINT) AS jacc_bp
+      |FROM pairs p
+      |JOIN est e ON e.et_a = p.et_a AND e.et_b = p.et_b
+      |LEFT JOIN ex ON ex.et_a = p.et_a AND ex.et_b = p.et_b
+      |ORDER BY p.et_a, p.et_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q182_kmv_overlap" -> q182,
     "q160_zorder_layout_audit" -> q160,
     "q161_incremental_agg_merge" -> q161,
     "q163_pivot_wide" -> q163,
@@ -422,6 +540,7 @@ object WarehouseQueries {
     "q174_equidepth_histogram" -> q174)
 
   val oracle: Map[String, String] = Map(
+    "q182_kmv_overlap" -> q182Sql,
     "q160_zorder_layout_audit" -> q160Sql,
     "q161_incremental_agg_merge" -> q161Sql,
     "q163_pivot_wide" -> q163Sql,
