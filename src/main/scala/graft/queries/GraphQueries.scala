@@ -138,11 +138,90 @@ object GraphQueries {
        |GROUP BY dist ORDER BY dist""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q184
+  /** Label-propagation communities — the COMMUNITY member completing the
+    * graph family: q101's components answer "connected at all?", q126's
+    * PageRank "how central?", q162's triangles "how clustered?", q179's
+    * BFS "how far?"; this answers "which densely-linked group?" —
+    * components merge through any single bridge edge, LPA does not.
+    * Raghavan et al.'s algorithm made deterministic for the oracle
+    * contract: labels start as node ids; each SYNCHRONOUS round every
+    * node adopts the MODE of its neighbors' labels (ties → smallest
+    * label — q115's argmax-with-tiebreak as one `min(struct(-cnt,
+    * label))` hash agg on the vote counts, so the per-node winner rides
+    * the aggregate path instead of a row_number window sort), isolated
+    * nodes keep their own label; 3 fixed rounds (the q126/q179
+    * portable-round contract). Census: community-size histogram with min/max
+    * label witnesses — bounded by the number of DISTINCT sizes, not
+    * communities.
+    *
+    * Scale shape per round: one shuffle join (labels ⋈ edges, node key)
+    * producing |E| vote rows, two hash aggregations (vote count, argmax),
+    * one left join back to the node universe — all linear in edges, the
+    * same posture as q179; nothing driver-side. */
+  private val q184: Q = (s, d) => {
+    val e0 = Tables.lineitem(s, d)
+      .filter(col("l_linenumber") <= 3)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    val ed = e0.as("a").join(e0.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("x"), col("b.p").as("y")).distinct()
+    val sym = ed.select(col("x"), col("y"))
+      .unionByName(ed.select(col("y").as("x"), col("x").as("y")))
+    var lab = Tables.part(s, d)
+      .select(col("p_partkey").as("node"), col("p_partkey").as("label"))
+    for (_ <- 1 to 3) {
+      val won = lab.join(sym, col("node") === col("x"))
+        .select(col("y").as("node"), col("label"))
+        .groupBy(col("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("node"))
+        .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("w"))
+        .select(col("node"), col("w.l").as("won"))
+      lab = lab.join(won, Seq("node"), "left")
+        .select(col("node"), coalesce(col("won"), col("label")).as("label"))
+    }
+    lab.groupBy(col("label")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz"))
+      .agg(count(lit(1)).as("n_communities"),
+        min(col("label")).as("min_label"), max(col("label")).as("max_label"))
+      .orderBy(col("sz"))
+  }
+
+  private val q184Sql = {
+    def round(prev: String, out: String): String =
+      s"""$out AS (SELECT a.node, COALESCE(w.label, a.label) AS label
+         |  FROM $prev a LEFT JOIN (
+         |    SELECT node, label FROM (
+         |      SELECT v.node, v.label,
+         |             ROW_NUMBER() OVER (PARTITION BY v.node
+         |                                ORDER BY v.c DESC, v.label) AS rn
+         |      FROM (SELECT sym.y AS node, p.label, COUNT(*) AS c
+         |            FROM $prev p JOIN sym ON sym.x = p.node
+         |            GROUP BY 1, 2) v) WHERE rn = 1) w
+         |  ON w.node = a.node)""".stripMargin
+    s"""WITH e0 AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
+       |            WHERE l_linenumber <= 3),
+       |ed AS (SELECT DISTINCT a.p AS x, b.p AS y
+       |       FROM e0 a JOIN e0 b ON a.o = b.o AND a.p < b.p),
+       |sym AS (SELECT x, y FROM ed UNION ALL SELECT y, x FROM ed),
+       |l0 AS (SELECT p_partkey AS node, p_partkey AS label FROM part),
+       |${round("l0", "l1")},
+       |${round("l1", "l2")},
+       |${round("l2", "l3")}
+       |SELECT sz, CAST(COUNT(*) AS BIGINT) AS n_communities,
+       |       MIN(label) AS min_label, MAX(label) AS max_label
+       |FROM (SELECT label, CAST(COUNT(*) AS BIGINT) AS sz FROM l3 GROUP BY label)
+       |GROUP BY sz ORDER BY sz""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q162_triangle_census" -> q162,
-    "q179_bfs_distance_census" -> q179)
+    "q179_bfs_distance_census" -> q179,
+    "q184_label_propagation" -> q184)
 
   val oracle: Map[String, String] = Map(
     "q162_triangle_census" -> q162Sql,
-    "q179_bfs_distance_census" -> q179Sql)
+    "q179_bfs_distance_census" -> q179Sql,
+    "q184_label_propagation" -> q184Sql)
 }
