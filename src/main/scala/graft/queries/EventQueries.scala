@@ -1159,7 +1159,95 @@ object EventQueries {
       |GROUP BY user_id HAVING CAST(SUM(dt_ms) AS BIGINT) > 0
       |ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q185
+  /** Event-type transition matrix — the user-JOURNEY operator the event
+    * family lacked: q128/q132 test FIXED funnel patterns, q130 attributes
+    * to a single touch; this emits the full first-order Markov matrix
+    * ("from each event type, where do users go next, with what
+    * probability?") — the input of journey/Sankey analysis and the
+    * drift-monitorable summary of behavioral change. Consecutive pairs
+    * come from one lead() over the per-user (ts, event_id) total order
+    * (the tie-break every event query here uses); probabilities are
+    * exact integer ppm — n·10⁶ div row-total — over the ≤ |types|² = 25
+    * matrix rows, so the only corpus-sized work is the one user-keyed
+    * window exchange the event family always pays. */
+  private val q185: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+    pairs.groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p_ppm", expr(
+        "(n * 1000000) div sum(n) OVER (PARTITION BY from_type)"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  private val q185Sql =
+    """WITH p AS (SELECT event_type AS from_type,
+      |    LEAD(event_type) OVER (PARTITION BY user_id
+      |                           ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |m AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+      |      FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  CAST((n * 1000000) // SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+      |    AS p_ppm
+      |FROM m ORDER BY from_type, to_type""".stripMargin
+
+  // ---------------------------------------------------------------- q186
+  /** Exact weighted quantiles — q81 gives unweighted order statistics;
+    * curation pipelines need the WEIGHTED version (quality cutoffs over
+    * importance-weighted samples, budget medians over token-weighted
+    * documents). Weight is the per-event k; the estimator is the exact
+    * weighted order statistic: collapse to one (value, Σweight) row per
+    * distinct value — which also removes any tie-order ambiguity — then
+    * the q-quantile is the smallest value whose running weight reaches
+    * q·W, read off a cumulative-sum window with `min(CASE)` aggregates
+    * (no second pass, no percentile UDF). Integer-exact throughout:
+    * 2·cw ≥ W and 10·cw ≥ 9·W in Longs (cw ≤ Σk ≈ 10² per row — 10¹²
+    * headroom past sf100). Scale shape: one (type, cents) hash agg, one
+    * per-type window over the collapsed value domain, one final agg. */
+  private val q186: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = withK(Tables.events(s, d))
+      .filter(col("k") >= 1)
+      .withColumn("cents", (money(col("value")) * 100).cast("long"))
+    val g = e.groupBy(col("event_type"), col("cents")).agg(sum(col("k")).as("w"))
+    val c = g
+      .withColumn("cw", sum(col("w")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("cents"))))
+      .withColumn("tw", sum(col("w")).over(
+        Window.partitionBy(col("event_type"))))
+    c.groupBy(col("event_type"))
+      .agg(min(when(col("cw") * 2 >= col("tw"), col("cents"))).as("wmedian_cents"),
+        min(when(col("cw") * 10 >= col("tw") * 9, col("cents"))).as("wp90_cents"),
+        max(col("tw")).as("total_w"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q186Sql =
+    """WITH e AS (SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(15,2)) * 100 AS BIGINT) AS cents,
+      |    CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k
+      |  FROM events),
+      |g AS (SELECT event_type, cents, SUM(k) AS w FROM e
+      |      WHERE k >= 1 GROUP BY 1, 2),
+      |c AS (SELECT event_type, cents,
+      |    SUM(w) OVER (PARTITION BY event_type ORDER BY cents) AS cw,
+      |    SUM(w) OVER (PARTITION BY event_type) AS tw
+      |  FROM g)
+      |SELECT event_type,
+      |  MIN(CASE WHEN cw * 2 >= tw THEN cents END) AS wmedian_cents,
+      |  MIN(CASE WHEN cw * 10 >= tw * 9 THEN cents END) AS wp90_cents,
+      |  CAST(MAX(tw) AS BIGINT) AS total_w
+      |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q185_transition_matrix" -> q185,
+    "q186_weighted_quantiles" -> q186,
     "q180_time_weighted_avg" -> q180,
     "q176_nearest_event_join" -> q176,
     "q128_event_trigram_funnel" -> q128,
@@ -1194,6 +1282,8 @@ object EventQueries {
     "q62_pipeline_daily_index_counts" -> q62)
 
   val oracle: Map[String, String] = Map(
+    "q185_transition_matrix" -> q185Sql,
+    "q186_weighted_quantiles" -> q186Sql,
     "q180_time_weighted_avg" -> q180Sql,
     "q176_nearest_event_join" -> q176Sql,
     "q128_event_trigram_funnel" -> q128Sql,
