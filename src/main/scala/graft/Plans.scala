@@ -33,7 +33,7 @@ object Plans {
     "q76_min_cost_supplier" -> "selective part filter joined BELOW the aggregate (round-5 reorder)",
     "q94_unicode_normalize" -> "codegen nfc_normalize: one projection stage, no shuffle",
     "q95_pii_redaction" -> "regex redaction chain: single codegen projection, no shuffle",
-    "q98_kmeans_clusters" -> "Lloyd round: broadcast centroids, codegen l2dist2_l, struct-min argmin agg",
+    "q98_kmeans_clusters" -> "Lloyd round: broadcast centroids, codegen l2dist2_l, argmin packed into one BIGINT (PackedArgMin) so the winner is min(long) on the HashAggregate path",
     "q100_substring_windows" -> "windows travel as 60-bit hashes; shuffle keyed on (hash) only",
     "q102_stratified_sample" -> "per-stratum bounded window, no global sort",
     "q107_correlated_agg_predicate" -> "correlated agg-in-predicate DECORRELATED: one per-partkey aggregate joined below the filter, no per-row subquery",
@@ -44,7 +44,7 @@ object Plans {
     "q112_span_dedup_rebuild" -> "constructive span dedup: one MIN per span (no per-span window), rebuild bounded by doc length",
     "q113_source_overlap_matrix" -> "source overlap: per-shingle source set from ONE hash agg, ordered pairs from a <=n_sources array — no self-join",
     "q114_source_centroid_matrix" -> "centroid matrix: one (source,pos) hash agg over the corpus, pairwise dot_l only on n_sources tiny centroid rows",
-    "q115_canonical_dedup" -> "canonical dedup: keep-best is ONE struct-min hash agg on the cluster label, never a per-cluster window",
+    "q115_canonical_dedup" -> "canonical dedup: keep-best is ONE packed-BIGINT min hash agg on the cluster label (struct min would fall back to SortAggregate), never a per-cluster window",
     "q116_token_budget_select" -> "budget select: per-source running-sum window (q92 precedent), census output <= n_sources rows",
     "q117_shingle_novelty" -> "novelty: per-shingle min re-aggregated by owner — no shingle join-back, doc-keyed join only",
     "q118_token_accounting" -> "token accounting: one regexp pass + bounded aggregate fold per row, no explode, no shuffle before the ordering",
@@ -60,10 +60,10 @@ object Plans {
     "q129_quantiles_histogram" -> "global exact quantiles: B-bucket counting scans, map-side-combined count cells - no range exchange, no sort, no 1-task window",
     "q130_last_touch_attribution" -> "attribution: event-to-event as-of as ONE user-keyed rows-frame running MAX, never a self-join",
     "q132_funnel_conversion" -> "ordered funnel: three chained MIN(CASE) windows SHARE one user-keyed exchange",
-    "q133_normalized_dedup" -> "normalized dedup: per-row canonicalization chain, everything downstream travels as md5; keeper via struct-MIN hash agg",
+    "q133_normalized_dedup" -> "normalized dedup: per-row canonicalization chain, everything downstream travels as md5; keeper via struct-MIN agg (string payload => map-side-combined SortAggregate; the exchange still carries one row per fingerprint)",
     "q134_cohort_retention" -> "cohort retention: per-user window MIN cohorting (one exchange), bounded-key matrix agg, week-0 denominator windowed over the tiny matrix",
     "q136_session_gaps_islands" -> "sessionization: lag + running-sum session ids inside ONE user-keyed window exchange; histogram agg on bounded keys",
-    "q137_centroid_pseudolabel" -> "pseudo-labeling: L-row centroid broadcast, map-side l2dist2_l scoring, argmin via struct-MIN hash agg (no per-vector window)",
+    "q137_centroid_pseudolabel" -> "pseudo-labeling: L-row centroid broadcast, map-side l2dist2_l scoring, argmin via packed-BIGINT min on the hash-agg path (no per-vector window, no SortAggregate)",
     "q138_bpe_merge_candidates" -> "BPE mining: corpus-sized work is ONE word hash agg; char-pair explosion runs over the distinct vocabulary only",
     "q139_grouped_topk" -> "grouped top-k: partial ObjectHashAggregate holds a k-pair heap - the exchange carries <=k pairs per (group x split), no window sort",
     "q140_join_skew_audit" -> "skew audit: two-level map-combinable hash aggregates per key column, 3-row report",
@@ -76,7 +76,8 @@ object Plans {
     "q152_audio_energy" -> "audio energy: all-expression wav_energy(wav_for(...)) - scan, ONE WholeStageCodegen projection, sort; no mapPartitions encoder boundary",
     "q157_sampled_recall_eval" -> "sampled recall: exact truth join runs on the 25% md5 stratum only (pushable hash predicate); detected side filters the production LSH pairs map-side",
     "q158_semi_anti_chain" -> "Q21 chain: EXISTS/NOT EXISTS decorrelated to LeftSemi + LeftAnti joins keyed on l_orderkey with the <> residual - no per-row subqueries",
-    "q159_video_index_walk" -> "video index walk: avi_for/avi_index codegen kernels in one projection stage; no shuffle before the presentation ordering")
+    "q159_video_index_walk" -> "video index walk: avi_for/avi_index codegen kernels in one projection stage; no shuffle before the presentation ordering",
+    "q184_label_propagation" -> "LPA round: labels-to-edges shuffle + vote hash agg + packed-BIGINT argmax (PackedArgMin) - zero SortAggregate nodes, all aggregation on the hash path")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

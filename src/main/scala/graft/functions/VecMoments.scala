@@ -68,6 +68,11 @@ case class VecMomentsAgg(child: Expression,
     if (v == null) return buf
     val arr = v.asInstanceOf[ArrayData]
     val d = arr.numElements()
+    // keep the overflow posture consistent with dimOf(): 1 + d + d*d in
+    // Int wraps for d > ~46340; bound d well before that (the documented
+    // contract is d <= 4096 — a 4096² Gram buffer is already 128 MiB)
+    require(d <= 4096,
+      s"vec_moments: $d-dim vector exceeds the supported bound of 4096 dims")
     val out =
       if (buf.isEmpty) new Array[Long](1 + d + d * d)
       else {

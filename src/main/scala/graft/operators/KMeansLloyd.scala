@@ -14,6 +14,11 @@ import org.apache.spark.sql.functions._
   *    choice as [[IvfAnn]]);
   *  - assignment is argmin of the codegen `l2dist2_l` kernel with (d², cid)
   *    lexicographic tie-break — exact longs, no float comparisons anywhere;
+  *    the pair is packed into one BIGINT ([[graft.functions.PackedArgMin]],
+  *    `d² * 2^20 + cid`) so the per-vector winner is `min(long)` on the
+  *    true HashAggregate path (struct min falls back to SortAggregate);
+  *    bounds guarded: cid < 2^20, d² ≤ 2^42 (×10⁴-quantized unit-scale
+  *    vectors stay far inside — 64 dims at |x| ≤ 13 is ~4·10¹²);
   *  - the update step is a component-wise integer mean (`sum div count`,
   *    truncating toward zero in both Spark and DuckDB).
   *
@@ -88,13 +93,17 @@ object KMeansLloyd {
       s"k-means seeding produced $nSeeded of ${math.min(k.toLong, n)} centroids — " +
         s"$idCol must be dense and 0-based (re-index with row_number()-1 if filtered)")
     var assigned: DataFrame = null
+    import graft.functions.PackedArgMin
     for (i <- 1 to iters) {
-      assigned = q.crossJoin(broadcast(cents))
+      val scored = q.crossJoin(broadcast(cents))
         .withColumn("d2", expr("l2dist2_l(qvec, centroid)"))
+      assigned = PackedArgMin.guard(scored, col("d2"), col("cid"), 20,
+          "KMeansLloyd assignment")
         .groupBy(col(idCol), col("qvec"))
-        .agg(min(struct(col("d2"), col("cid"))).as("best"))
+        .agg(min(PackedArgMin.pack(col("d2"), col("cid"), 20)).as("best"))
         .select(col(idCol), col("qvec"),
-          col("best.cid").as("cid"), col("best.d2").as("d2"))
+          PackedArgMin.payload(col("best"), 20).cast("int").as("cid"),
+          PackedArgMin.key(col("best"), 20).as("d2"))
       if (i < iters) {
         cents = localize(intMeanCentroids(assigned, Seq("cid"), "qvec")
           .select(col("cid"), col("centroid")))

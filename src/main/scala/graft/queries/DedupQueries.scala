@@ -300,9 +300,12 @@ object DedupQueries {
     * prune-then-route ordering, writ large).
     *
     * Scale shape: the keep-best choice is ONE hash aggregate on the
-    * cluster label — `min(struct(-quality, id))` gives argmax-with-tiebreak
-    * as a map-side-combinable agg, never a global or per-cluster window
-    * over the corpus. Quality is a map-only projection joined on doc_id.
+    * cluster label — argmax-with-tiebreak packed into a single BIGINT
+    * (`-quality * 2^40 + doc_id`, [[graft.functions.PackedArgMin]]) so
+    * `min(long)` stays on the true HashAggregate path (a struct min
+    * would fall back to SortAggregate), never a global or per-cluster
+    * window over the corpus; bounds guarded (quality_ppm ≤ 10^6 < 2^22,
+    * doc_id < 2^40). Quality is a map-only projection joined on doc_id.
     * ORACLE: q101's recursive-CTE closure + the shared quality CTE, keeper
     * picked by a deterministic ROW_NUMBER total order. */
   private val q115: Q = (s, d) => {
@@ -311,12 +314,15 @@ object DedupQueries {
     val labels = graft.operators.ConnectedComponents.run(nodes, pairs)
     val qual = TextQueries.withQualityPpm(Tables.documents(s, d))
       .select(col("doc_id"), col("quality_ppm"))
-    labels.join(qual, col("node") === col("doc_id"))
+    import graft.functions.PackedArgMin
+    val j = labels.join(qual, col("node") === col("doc_id"))
+    PackedArgMin.guard(j, -col("quality_ppm"), col("doc_id"), 40, "q115 keep-best")
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_docs"),
-        min(struct((-col("quality_ppm")).as("nq"), col("doc_id").as("id"))).as("best"))
+        min(PackedArgMin.pack(-col("quality_ppm"), col("doc_id"), 40)).as("best"))
       .select(col("label").as("cluster"), col("n_docs"),
-        col("best.id").as("keep_id"), (-col("best.nq")).as("keep_quality_ppm"))
+        PackedArgMin.payload(col("best"), 40).as("keep_id"),
+        (-PackedArgMin.key(col("best"), 40)).as("keep_quality_ppm"))
       .orderBy(col("cluster"))
   }
 

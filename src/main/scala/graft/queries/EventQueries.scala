@@ -219,7 +219,8 @@ object EventQueries {
 
   // ---------------------------------------------------------------- q177
   /** The wire-source delivery contract, oracle-verified: a bounded fixture
-    * derived from `events` (`event_id % 97 = 0`, ~1% of rows) is
+    * derived from `events` (`event_id % 97 = 0`, capped at the lowest 512
+    * event_ids so the harness collect is constant-size at any SF) is
     * JSON-encoded IN-PLAN, base64'd and served through
     * [[graft.sources.LoopbackKinesisServer]] speaking the real Kinesis
     * protocol; the DataSourceV2 [[graft.sources.KinesisMicroBatchSource]]
@@ -234,8 +235,14 @@ object EventQueries {
     * the wire reads themselves run in Spark tasks. */
   private val q177: Q = (s, d) => {
     import scala.jdk.CollectionConverters._
+    // Fixture bounded BY CONSTRUCTION: the lowest 512 matching event_ids
+    // (deterministic total order, mirrored in the oracle CTE), so this —
+    // the one driver collect in the inventory that fed from the corpus —
+    // is constant-size at ANY scale factor; TakeOrderedAndProject keeps
+    // the driver transfer at ≤512 rows.
     val fix = Tables.events(s, d)
       .filter(col("event_id") % 97 === 0)
+      .orderBy(col("event_id")).limit(512)
       .select(col("event_id"),
         (col("event_id") % 2).cast("int").as("shard"),
         to_json(struct(
@@ -257,12 +264,12 @@ object EventQueries {
     val server = new graft.sources.LoopbackKinesisServer("audit-wire", shards)
     val endpoint = server.start()
     val buf = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, String)]()
+    val ckpt = java.nio.file.Files.createTempDirectory("q177_ckpt")
     try {
-      val ckpt = java.nio.file.Files.createTempDirectory("q177_ckpt").toString
       val q = graft.sources.KinesisMicroBatchSource
         .readStream(s, endpoint, "audit-wire")
         .writeStream
-        .option("checkpointLocation", ckpt)
+        .option("checkpointLocation", ckpt.toString)
         .foreachBatch { (b: DataFrame, _: Long) =>
           b.select("shard_id", "sequence_number", "data").collect()
             .foreach(r => buf.add((r.getString(0), r.getString(1).toLong, r.getString(2))))
@@ -270,7 +277,13 @@ object EventQueries {
         .start()
       q.processAllAvailable()
       q.stop()
-    } finally server.stop()
+    } finally {
+      server.stop()
+      // repeated Verify/Bench runs must not accumulate temp checkpoints
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
     import s.implicits._
     val wire = buf.asScala.toSeq.toDF("shard_id", "seq", "data")
     val dec = wire
@@ -287,7 +300,7 @@ object EventQueries {
 
   private val q177Sql =
     """WITH fix AS (SELECT event_id, user_id, value, ts FROM events
-      |             WHERE event_id % 97 = 0),
+      |             WHERE event_id % 97 = 0 ORDER BY event_id LIMIT 512),
       |rec AS (SELECT
       |   'shardId-00000000000' || CAST(event_id % 2 AS VARCHAR) AS shard_id,
       |   CAST(ROW_NUMBER() OVER (PARTITION BY event_id % 2 ORDER BY event_id) - 1

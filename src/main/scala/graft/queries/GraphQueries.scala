@@ -147,11 +147,16 @@ object GraphQueries {
     * Raghavan et al.'s algorithm made deterministic for the oracle
     * contract: labels start as node ids; each SYNCHRONOUS round every
     * node adopts the MODE of its neighbors' labels (ties → smallest
-    * label — q115's argmax-with-tiebreak as one `min(struct(-cnt,
-    * label))` hash agg on the vote counts, so the per-node winner rides
-    * the aggregate path instead of a row_number window sort), isolated
+    * label — q115's argmax-with-tiebreak packed into ONE BIGINT via
+    * [[graft.functions.PackedArgMin]] (`-cnt * 2^40 + label`), so the
+    * per-node winner rides `min(long)` on the true HashAggregate path:
+    * a struct-typed min would fall back to SortAggregate and pay two
+    * sorts of the |E| vote rows per round — the round-10 verdict
+    * measured that as this query's dominant cost), isolated
     * nodes keep their own label; 3 fixed rounds (the q126/q179
-    * portable-round contract). Census: community-size histogram with min/max
+    * portable-round contract). Bounds guarded per PackedArgMin.guard:
+    * labels are part keys (< 2^40), vote counts are degrees (≤ 2^22).
+    * Census: community-size histogram with min/max
     * label witnesses — bounded by the number of DISTINCT sizes, not
     * communities.
     *
@@ -171,13 +176,15 @@ object GraphQueries {
     var lab = Tables.part(s, d)
       .select(col("p_partkey").as("node"), col("p_partkey").as("label"))
     for (_ <- 1 to 3) {
-      val won = lab.join(sym, col("node") === col("x"))
+      import graft.functions.PackedArgMin
+      val votes = lab.join(sym, col("node") === col("x"))
         .select(col("y").as("node"), col("label"))
         .groupBy(col("node"), col("label"))
         .agg(count(lit(1)).as("c"))
+      val won = PackedArgMin.guard(votes, -col("c"), col("label"), 40, "q184 LPA vote")
         .groupBy(col("node"))
-        .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("w"))
-        .select(col("node"), col("w.l").as("won"))
+        .agg(min(PackedArgMin.pack(-col("c"), col("label"), 40)).as("w"))
+        .select(col("node"), PackedArgMin.payload(col("w"), 40).as("won"))
       lab = lab.join(won, Seq("node"), "left")
         .select(col("node"), coalesce(col("won"), col("label")).as("label"))
     }

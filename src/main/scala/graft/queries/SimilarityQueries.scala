@@ -621,8 +621,11 @@ object SimilarityQueries {
     * runs before trusting propagated labels. Exactness: the
     * [[KMeansLloyd]] ×10⁴ integer quantization, truncating integer
     * centroid means, and `l2dist2_l` exact squared distances; argmin
-    * tie-breaks on the smaller label via a struct MIN in a hash aggregate
-    * (never a per-vector window sort). Scale shape: the L-row centroid
+    * tie-breaks on the smaller label via a `(d2, label)` pair packed
+    * into one BIGINT ([[graft.functions.PackedArgMin]]) so the winner
+    * rides `min(long)` on the true HashAggregate path — struct min
+    * would fall back to SortAggregate — never a per-vector window
+    * sort; bounds guarded (d2 ≤ 2^42, label < 2^20). Scale shape: the L-row centroid
     * table is collected local + broadcast, assignment is one map-side
     * scored scan + one bounded-key agg — the corpus is never self-joined
     * and never shuffled by vector. */
@@ -638,12 +641,14 @@ object SimilarityQueries {
       KMeansLloyd.intMeanCentroids(
         q.filter(col("vec_id") % 10 === 0), Seq("label"), "qvec")
         .select(col("label").as("clabel"), col("centroid")))
-    q.filter(col("vec_id") % 10 =!= 0)
+    import graft.functions.PackedArgMin
+    val scored = q.filter(col("vec_id") % 10 =!= 0)
       .crossJoin(broadcast(cent))
       .withColumn("d2", expr("l2dist2_l(qvec, centroid)"))
+    PackedArgMin.guard(scored, col("d2"), col("clabel"), 20, "q137 nearest-centroid")
       .groupBy(col("vec_id"), col("label"))
-      .agg(min(struct(col("d2"), col("clabel"))).as("m"))
-      .groupBy(col("label"), col("m.clabel").as("assigned"))
+      .agg(min(PackedArgMin.pack(col("d2"), col("clabel"), 20)).as("m"))
+      .groupBy(col("label"), PackedArgMin.payload(col("m"), 20).as("assigned"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("label"), col("assigned"))
   }

@@ -519,7 +519,11 @@ object TextQueries {
     graft.functions.Guard.require(cand,
       col("tf") <= expr("(9223372036854775807L div 22000000L) div greatest(a, 1L)") &&
         col("dl") <= lit(9223372036854775807L / 9000L) &&
-        expr("n_docs div df") <= lit(400000000L),
+        expr("n_docs div df") <= lit(400000000L) &&
+        // the n_docs*10000 intermediate itself must not wrap before the
+        // div — without this conjunct a > 9.2e14-doc corpus would pass
+        // the ratio bound yet throw a bare ARITHMETIC_OVERFLOW
+        col("n_docs") <= lit(Long.MaxValue / 10000L),
       "q110: integer-exact BM25 bound exceeded (tf*a or n_docs/df would " +
         "overflow Long) - promote the score arithmetic to DECIMAL(38)")
       .select(col("doc_id"),

@@ -127,12 +127,6 @@ final case class KinesisHttpClient(endpoint: String, timeoutMillis: Int = 12000,
       if (behind.isMissingNode || behind.isNull) None else Some(behind.asLong()))
   }
 
-  /** Legacy pair form of [[getRecordsPage]] (records, next iterator). */
-  def getRecords(shardIterator: String, limit: Int): (Seq[KinesisRecord], Option[String]) = {
-    val p = getRecordsPage(shardIterator, limit)
-    (p.records, p.nextIterator)
-  }
-
   /** Drain every shard from TRIM_HORIZON: the Lambda-equivalent bounded
     * poll batch. `maxPollsPerShard` bounds the drain (at-least-once: a
     * crash mid-drain redelivers from the checkpoint the caller keeps —
