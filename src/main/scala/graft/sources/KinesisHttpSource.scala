@@ -14,6 +14,20 @@ import java.nio.charset.StandardCharsets
 final case class KinesisRecord(shardId: String, partitionKey: String,
     sequenceNumber: String, data: String)
 
+/** One shard's ListShards metadata — the reshard lineage a consumer needs:
+  * `parents` carries `ParentShardId` (split/merge) plus
+  * `AdjacentParentShardId` (merge only); `endingSequenceNumber` is set
+  * exactly when the shard is CLOSED (`SequenceNumberRange` with an end).
+  * After a split/merge the per-partition-key ordering contract requires
+  * draining a closed parent to its end before reading its children —
+  * Lambda's event source mapping does this for the reference
+  * (lambda_function.py:140 never sees a child early); a from-scratch
+  * consumer must enforce it itself ([[KinesisMicroBatchSource]] does). */
+final case class KinesisShardInfo(shardId: String, parents: Seq[String],
+    endingSequenceNumber: Option[String]) {
+  def closed: Boolean = endingSequenceNumber.isDefined
+}
+
 /** One GetRecords response page. `millisBehindLatest` is the service's
   * own tip-distance report: a real Kinesis stream may legally return an
   * EMPTY page while records remain (`MillisBehindLatest > 0`), so
@@ -82,12 +96,46 @@ final case class KinesisHttpClient(endpoint: String, timeoutMillis: Int = 12000,
     mapper.readTree(resp)
   }
 
-  def listShards(streamName: String): Seq[String] = {
+  def listShards(streamName: String): Seq[KinesisShardInfo] = {
     val body = nodes.objectNode().put("StreamName", streamName)
     val out = request("ListShards", body)
     val shards = out.path("Shards")
     require(shards.isArray, s"ListShards: missing Shards array in $out")
-    (0 until shards.size()).map(i => shards.get(i).path("ShardId").asText())
+    (0 until shards.size()).map { i =>
+      val sh = shards.get(i)
+      def opt(field: String): Option[String] = {
+        val n = sh.path(field)
+        if (n.isMissingNode || n.isNull || n.asText().isEmpty) None
+        else Some(n.asText())
+      }
+      val end = sh.path("SequenceNumberRange").path("EndingSequenceNumber")
+      KinesisShardInfo(
+        shardId = sh.path("ShardId").asText(),
+        parents = (opt("ParentShardId") ++ opt("AdjacentParentShardId")).toSeq,
+        endingSequenceNumber =
+          if (end.isMissingNode || end.isNull || end.asText().isEmpty) None
+          else Some(end.asText()))
+    }
+  }
+
+  /** Parents-before-children order over a shard listing: repeatedly admit
+    * shards whose listed parents are already placed (lineage roots first).
+    * A parent absent from the listing (expired past retention) does not
+    * block its child. Cycle-free by the Kinesis lineage model; any
+    * inconsistency degrades to listing order rather than looping. */
+  private[sources] def topoOrder(shards: Seq[KinesisShardInfo]): Seq[KinesisShardInfo] = {
+    val listed = shards.map(_.shardId).toSet
+    val placed = scala.collection.mutable.LinkedHashSet.empty[String]
+    var frontier = shards
+    while (frontier.nonEmpty) {
+      val (ready, blocked) = frontier.partition(
+        _.parents.filter(listed).forall(placed.contains))
+      val admit = if (ready.nonEmpty) ready else blocked // degrade, never loop
+      admit.foreach(s => placed += s.shardId)
+      frontier = if (ready.nonEmpty) blocked else Nil
+    }
+    val byId = shards.map(s => s.shardId -> s).toMap
+    placed.toSeq.map(byId)
   }
 
   def getShardIterator(streamName: String, shardId: String,
@@ -130,10 +178,13 @@ final case class KinesisHttpClient(endpoint: String, timeoutMillis: Int = 12000,
   /** Drain every shard from TRIM_HORIZON: the Lambda-equivalent bounded
     * poll batch. `maxPollsPerShard` bounds the drain (at-least-once: a
     * crash mid-drain redelivers from the checkpoint the caller keeps —
-    * here, none, exactly like the reference's stateless invocations). */
+    * here, none, exactly like the reference's stateless invocations).
+    * Shards are walked parents-before-children ([[topoOrder]]) so a
+    * resharded stream's records keep per-partition-key order within the
+    * drained batch. */
   def drain(streamName: String, limitPerPoll: Int = 500,
       maxPollsPerShard: Int = 100): Seq[KinesisRecord] =
-    listShards(streamName).flatMap { shard =>
+    topoOrder(listShards(streamName)).map(_.shardId).flatMap { shard =>
       val out = Seq.newBuilder[KinesisRecord]
       var it: Option[String] = Some(getShardIterator(streamName, shard))
       var polls = 0

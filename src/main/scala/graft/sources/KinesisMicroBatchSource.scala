@@ -106,13 +106,17 @@ object KinesisMicroBatchSource {
   /** One shard's tip probe — runs INSIDE a Spark task (one per shard):
     * pages GetRecords from the start position, retaining only the last
     * sequence number seen. Page bodies are read and discarded here, on
-    * the executor; the task's result is just `Option[seqNumber]`.
-    * Caught-up detection is MillisBehindLatest-aware: an empty page with
-    * reported distance behind the tip keeps polling (within the
-    * poll budget) instead of under-advancing the offset. */
+    * the executor; the task's result is just `(Option[seqNumber],
+    * drained)` — `drained` is true exactly when the service returned a
+    * null NextShardIterator, the wire signal that a CLOSED shard has
+    * been read to its EndingSequenceNumber (the parent-done fact the
+    * reshard lineage gate needs). Caught-up detection is
+    * MillisBehindLatest-aware: an empty page with reported distance
+    * behind the tip keeps polling (within the poll budget) instead of
+    * under-advancing the offset. */
   private[sources] def probeShardTip(opts: Map[String, String],
       streamName: String, shard: String, start: Option[String],
-      limitPerPoll: Int, maxPollsPerShard: Int): Option[String] = {
+      limitPerPoll: Int, maxPollsPerShard: Int): (Option[String], Boolean) = {
     val c = clientFor(opts)
     var pos = start
     var it: Option[String] = Some(start match {
@@ -129,8 +133,27 @@ object KinesisMicroBatchSource {
       it = page.nextIterator
       polls += 1
     }
-    pos
+    (pos, it.isEmpty)
   }
+}
+
+/** One shard's checkpointed position: the last processed sequence number
+  * (None before the first record) plus the DONE fact — the shard is
+  * closed and fully drained, so its children may be admitted. Serialized
+  * as the offset-map value: `"<seq>"` (in progress — the pre-reshard
+  * format, so old checkpoints parse unchanged), `"<seq>|done"`, or
+  * `"|done"` (closed shard that never carried a record). */
+final case class ShardPos(seq: Option[String], done: Boolean) {
+  def render: String = seq.getOrElse("") + (if (done) ShardPos.DoneSuffix else "")
+}
+
+object ShardPos {
+  private val DoneSuffix = "|done"
+  def parse(v: String): ShardPos =
+    if (v.endsWith(DoneSuffix)) {
+      val s = v.dropRight(DoneSuffix.length)
+      ShardPos(if (s.isEmpty) None else Some(s), done = true)
+    } else ShardPos(if (v.isEmpty) None else Some(v), done = false)
 }
 
 /** TableProvider — `spark.readStream.format(<this class name>)`. */
@@ -159,9 +182,16 @@ final class KinesisTable(options: Map[String, String]) extends Table with Suppor
     }
 }
 
-/** Checkpointed offset: last PROCESSED sequence number per shard (a shard
-  * absent from the map has not been started — next read is TRIM_HORIZON).
-  * JSON keys are sorted so identical positions serialize identically. */
+/** Checkpointed offset: last PROCESSED position per shard in the
+  * [[ShardPos]] grammar — a plain sequence number while the shard is
+  * open (the pre-reshard format, so old checkpoints parse unchanged), a
+  * `|done`-suffixed value once the shard is CLOSED AND fully drained.
+  * The done marker is the parent-before-child gate's durable fact: a
+  * restart across a reshard knows, from the checkpoint alone, which
+  * closed parents need no further reads and which children are
+  * admissible. A shard absent from the map has not been started — its
+  * next read is TRIM_HORIZON. JSON keys are sorted so identical
+  * positions serialize identically. */
 final case class KinesisOffset(positions: Map[String, String]) extends Offset {
   override def json(): String = {
     val nodes = JsonNodeFactory.instance
@@ -215,37 +245,76 @@ final class KinesisMicroBatchStream(options: Map[String, String])
     case other => KinesisOffset.fromJson(other.json()).positions
   }
 
-  /** Distributed tip discovery: ListShards (metadata, bytes-small) is
-    * the ONLY wire call the driver makes; the per-shard GetRecords probe
-    * fans out as a one-task-per-shard Spark job whose results are bare
-    * sequence numbers. Driver traffic per trigger is O(#shards), not
-    * O(stream bytes). */
+  /** Distributed tip discovery with reshard lineage: ListShards
+    * (metadata, bytes-small) is the ONLY wire call the driver makes; the
+    * per-shard GetRecords probe fans out as a one-task-per-shard Spark
+    * job whose results are bare sequence numbers plus a drained flag.
+    * Driver traffic per trigger is O(#shards), not O(stream bytes).
+    *
+    * Parent-before-child gate: a shard is ADMISSIBLE this trigger only
+    * when every listed parent is already marked done in the START
+    * positions (i.e. in the last COMMITTED offset). A child therefore
+    * never shares a micro-batch with its closed parent's tail — the
+    * trigger that drains the parent writes the done marker into the end
+    * offset, and only the NEXT trigger admits the children, preserving
+    * per-partition-key order across the split/merge boundary. A parent
+    * absent from the listing (aged past retention) no longer blocks;
+    * already-done shards are never probed again (their markers are
+    * carried forward verbatim, zero wire calls). */
   private def reportLatest(start: Map[String, String]): Offset = {
     val shards = client.listShards(streamName)
     if (shards.isEmpty) return KinesisOffset(Map.empty)
+    val startPos = start.view.mapValues(ShardPos.parse).toMap
+    val listed = shards.map(_.shardId).toSet
+    def doneIn(pos: Map[String, ShardPos])(id: String): Boolean =
+      pos.get(id).exists(_.done)
+    val (settled, candidates) = shards.partition(sh => doneIn(startPos)(sh.shardId))
+    val admissible = candidates.filter(
+      _.parents.filter(listed).forall(doneIn(startPos)))
+    // carry forward: done markers + positions of shards blocked this
+    // trigger (their probe is deferred, not forgotten) + positions of
+    // shards no longer listed (harmless, keeps offsets stable)
+    val carried = start.filter { case (id, _) =>
+      !admissible.exists(_.shardId == id) }
+    if (admissible.isEmpty) return KinesisOffset(carried)
     val spark = SparkSession.active
     // capture plain values only — the closure ships to executors
     val (opts, sn, lpp, mpps) = (options, streamName, limitPerPoll, maxPollsPerShard)
-    val work = shards.map(sh => (sh, start.get(sh)))
+    val closedEnd = admissible.map(sh => sh.shardId -> sh.endingSequenceNumber).toMap
+    val work = admissible.map(sh =>
+      (sh.shardId, startPos.get(sh.shardId).flatMap(_.seq)))
     val tips = spark.sparkContext
       .parallelize(work, work.size)
       .map { case (sh, st) =>
         sh -> KinesisMicroBatchSource.probeShardTip(opts, sn, sh, st, lpp, mpps)
       }
       .collect()
-    KinesisOffset(tips.collect { case (s, Some(p)) => s -> p }.toMap)
+    val probed = tips.flatMap { case (sh, (tip, drainedWire)) =>
+      // done = the wire said closed-and-drained (null NextShardIterator),
+      // or the probe reached the listing's EndingSequenceNumber exactly
+      val drained = drainedWire ||
+        (closedEnd(sh).isDefined && tip == closedEnd(sh))
+      if (tip.isEmpty && !drained) None // untouched empty open shard
+      else Some(sh -> ShardPos(tip, drained).render)
+    }.toMap
+    KinesisOffset(carried ++ probed)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = positionsOf(start)
+    val s = positionsOf(start).view.mapValues(ShardPos.parse).toMap
     val e = positionsOf(end)
-    e.toSeq.sortBy(_._1).flatMap { case (shard, endSeq) =>
-      val startSeq = s.get(shard)
-      if (startSeq.contains(endSeq)) None // shard unchanged this batch
-      else Some(KinesisInputPartition(options("endpoint"), streamName, shard,
-        startSeq, endSeq, limitPerPoll,
-        options.filter { case (k, _) =>
-          Set("region", "accesskeyid", "secretkey", "sessiontoken")(k) }))
+    e.toSeq.sortBy(_._1).flatMap { case (shard, endV) =>
+      val endPos = ShardPos.parse(endV)
+      val startSeq = s.get(shard).flatMap(_.seq)
+      endPos.seq match {
+        case None => None // done-but-empty shard: nothing to read
+        case Some(endSeq) if startSeq.contains(endSeq) => None // unchanged
+        case Some(endSeq) =>
+          Some(KinesisInputPartition(options("endpoint"), streamName, shard,
+            startSeq, endSeq, limitPerPoll,
+            options.filter { case (k, _) =>
+              Set("region", "accesskeyid", "secretkey", "sessiontoken")(k) }))
+      }
     }.toArray[InputPartition]
   }
 

@@ -106,8 +106,11 @@ class AwsHttpProtocolSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("drain walks every shard with iterator pagination until caught up") {
     getRecordsCalls.set(0)
     val client = KinesisHttpClient(endpoint)
-    assert(client.listShards("audit-stream") ==
+    assert(client.listShards("audit-stream").map(_.shardId) ==
       Seq("shardId-000000000000", "shardId-000000000001"))
+    // a plain ShardId-only listing parses as open shards with no lineage
+    assert(client.listShards("audit-stream").forall(s =>
+      s.parents.isEmpty && !s.closed))
     val recs = client.drain("audit-stream", limitPerPoll = 2)
     assert(recs.size == 8)
     assert(recs.map(_.shardId).distinct.size == 2)
