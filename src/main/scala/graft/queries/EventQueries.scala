@@ -1191,8 +1191,14 @@ object EventQueries {
       .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
       .withColumn("to_type", lead(col("event_type"), 1).over(w))
       .filter(col("to_type").isNotNull)
-    pairs.groupBy(col("event_type").as("from_type"), col("to_type"))
+    val m = pairs.groupBy(col("event_type").as("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))
+    // the n·10⁶ ppm product wraps past n > 9.2e12 transitions per cell;
+    // the guard rides the ≤25 matrix rows, so it costs nothing
+    graft.functions.Guard.require(m,
+        col("n") <= lit(Long.MaxValue / 1000000L),
+        "q185: transition count exceeds the n*10^6 Long bound - " +
+          "promote p_ppm arithmetic to DECIMAL(38)")
       .withColumn("p_ppm", expr(
         "(n * 1000000) div sum(n) OVER (PARTITION BY from_type)"))
       .orderBy(col("from_type"), col("to_type"))
@@ -1234,7 +1240,14 @@ object EventQueries {
         Window.partitionBy(col("event_type")).orderBy(col("cents"))))
       .withColumn("tw", sum(col("w")).over(
         Window.partitionBy(col("event_type"))))
-    c.groupBy(col("event_type"))
+    // cw ≤ tw by construction, so one bound covers both rank tests:
+    // cw·10 / tw·9 wrap past tw > Long.MaxValue/10 total weight — the
+    // documented 10¹²-headroom cliff, now loud instead of silent
+    val cg = graft.functions.Guard.require(c,
+      col("tw") <= lit(Long.MaxValue / 10L),
+      "q186: total weight exceeds the tw*10 Long bound - " +
+        "promote the rank arithmetic to DECIMAL(38)")
+    cg.groupBy(col("event_type"))
       .agg(min(when(col("cw") * 2 >= col("tw"), col("cents"))).as("wmedian_cents"),
         min(when(col("cw") * 10 >= col("tw") * 9, col("cents"))).as("wp90_cents"),
         max(col("tw")).as("total_w"))

@@ -86,4 +86,51 @@ class GuardSpec extends AnyFunSuite {
     assert(SparkEntry.queries("q110_bm25_retrieval")(spark, sf).count() > 0)
     assert(SparkEntry.queries("q143_source_gini")(spark, sf).count() > 0)
   }
+
+  test("PackedArgMin: min(long) winner equals the struct-min winner, negatives included") {
+    import graft.functions.PackedArgMin
+    import spark.implicits._
+    // votes: group 1 -> label 7 wins on count (2 votes); group 2 ties at
+    // one vote each -> smallest label 3 wins; keys are NEGATED counts
+    val votes = Seq((1L, 7L, 2L), (1L, 9L, 1L), (2L, 5L, 1L), (2L, 3L, 1L))
+      .toDF("g", "label", "c")
+    val packed = PackedArgMin.guard(votes, -col("c"), col("label"), 40, "spec")
+      .groupBy(col("g"))
+      .agg(min(PackedArgMin.pack(-col("c"), col("label"), 40)).as("w"))
+      .select(col("g"), PackedArgMin.payload(col("w"), 40).as("won"),
+        (-PackedArgMin.key(col("w"), 40)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(packed == Set((1L, 7L, 2L), (2L, 3L, 1L)),
+      s"packed argmax with tiebreak must match struct-min semantics: $packed")
+  }
+
+  test("PackedArgMin: out-of-range payload or key fails loudly, never a wrong winner") {
+    import graft.functions.PackedArgMin
+    import spark.implicits._
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    // payload >= 2^20 with bits=20
+    val badPayload = Seq((1L, 1L << 21, 1L)).toDF("g", "label", "c")
+    val ex1 = intercept[Exception] {
+      PackedArgMin.guard(badPayload, col("c"), col("label"), 20, "specP")
+        .agg(min(PackedArgMin.pack(col("c"), col("label"), 20))).collect()
+    }
+    assert(messages(ex1).exists(_.contains("packed argmin out of range")))
+    // |key| > 2^(62-40) with bits=40
+    val badKey = Seq((1L, 5L, 1L << 30)).toDF("g", "label", "c")
+    val ex2 = intercept[Exception] {
+      PackedArgMin.guard(badKey, -col("c"), col("label"), 40, "specK")
+        .agg(min(PackedArgMin.pack(-col("c"), col("label"), 40))).collect()
+    }
+    assert(messages(ex2).exists(_.contains("packed argmin out of range")))
+  }
+
+  test("the round-10 additions carry their guards: q184 votes, q185 ppm, q186 weights") {
+    // each must be invisible on in-bound data (the oracle run checks
+    // values; here: the guarded plan completes and yields rows)
+    val sf = "/root/testdata/sf0.001"
+    assert(SparkEntry.queries("q184_label_propagation")(spark, sf).count() > 0)
+    assert(SparkEntry.queries("q185_transition_matrix")(spark, sf).count() > 0)
+    assert(SparkEntry.queries("q186_weighted_quantiles")(spark, sf).count() > 0)
+  }
 }
