@@ -163,7 +163,9 @@ object GraphQueries {
     * Scale shape per round: one shuffle join (labels ⋈ edges, node key)
     * producing |E| vote rows, two hash aggregations (vote count, argmax),
     * one left join back to the node universe — all linear in edges, the
-    * same posture as q179; nothing driver-side. */
+    * same posture as q179; nothing driver-side. Round 1 skips its join
+    * outright: the initial labeling is the identity over the part
+    * universe, so lab⋈sym IS sym with x as the label. */
   private val q184: Q = (s, d) => {
     val e0 = Tables.lineitem(s, d)
       .filter(col("l_linenumber") <= 3)
@@ -175,10 +177,18 @@ object GraphQueries {
       .unionByName(ed.select(col("y").as("x"), col("x").as("y")))
     var lab = Tables.part(s, d)
       .select(col("p_partkey").as("node"), col("p_partkey").as("label"))
-    for (_ <- 1 to 3) {
+    for (round <- 1 to 3) {
       import graft.functions.PackedArgMin
-      val votes = lab.join(sym, col("node") === col("x"))
-        .select(col("y").as("node"), col("label"))
+      // Round 1's labels are the IDENTITY map over the part universe (and
+      // every edge endpoint is a part key), so lab⋈sym degenerates to sym
+      // itself with x as the label — skip the |E|-row shuffle join
+      // entirely; rounds 2-3 join as usual. The oracle keeps the generic
+      // join in its CTE (same rows by the identity argument).
+      val voteRows =
+        if (round == 1) sym.select(col("y").as("node"), col("x").as("label"))
+        else lab.join(sym, col("node") === col("x"))
+          .select(col("y").as("node"), col("label"))
+      val votes = voteRows
         .groupBy(col("node"), col("label"))
         .agg(count(lit(1)).as("c"))
       val won = PackedArgMin.guard(votes, -col("c"), col("label"), 40, "q184 LPA vote")

@@ -182,6 +182,47 @@ class KinesisReshardingSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("admission gate at the API level: parent tail and children are in DIFFERENT batches") {
+    import graft.sources.KinesisMicroBatchStream
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    spark // force the active session the distributed tip probe needs
+    val p = "shardId-000000000030"
+    val c1 = "shardId-000000000031"
+    val c2 = "shardId-000000000032"
+    val server = new LoopbackKinesisServer("reshard-api", Seq(p -> recs(0 until 3)))
+    server.split(p, c1 -> recs(0 until 2), c2 -> recs(0 until 1))
+    val endpoint = server.start()
+    try {
+      val stream = new KinesisMicroBatchStream(Map(
+        "endpoint" -> endpoint, "streamname" -> "reshard-api",
+        "limitperpoll" -> "500", "maxpollspershard" -> "100"))
+      // trigger 1: only the closed parent is admissible; its end position
+      // carries the done marker; children are absent from the offset
+      val end0 = stream.latestOffset(KinesisOffset(Map.empty), ReadLimit.allAvailable())
+        .asInstanceOf[KinesisOffset]
+      assert(end0.positions == Map(p -> "2|done"),
+        s"trigger 1 must end at the drained parent only: ${end0.positions}")
+      val parts0 = stream.planInputPartitions(KinesisOffset(Map.empty), end0)
+      assert(parts0.map(_.asInstanceOf[graft.sources.KinesisInputPartition].shardId)
+        .toSeq == Seq(p), "trigger 1 plans exactly the parent partition")
+      // trigger 2: with the parent done in the COMMITTED start, the
+      // children are admitted; the parent's marker is carried verbatim
+      val end1 = stream.latestOffset(end0, ReadLimit.allAvailable())
+        .asInstanceOf[KinesisOffset]
+      assert(end1.positions == Map(p -> "2|done", c1 -> "1", c2 -> "0"),
+        s"trigger 2 admits the children: ${end1.positions}")
+      val parts1 = stream.planInputPartitions(end0, end1)
+        .map(_.asInstanceOf[graft.sources.KinesisInputPartition].shardId).sorted
+      assert(parts1.toSeq == Seq(c1, c2),
+        s"trigger 2 plans exactly the child partitions: ${parts1.toSeq}")
+      // quiescence: a further trigger changes nothing and plans nothing
+      val end2 = stream.latestOffset(end1, ReadLimit.allAvailable())
+        .asInstanceOf[KinesisOffset]
+      assert(end2 == end1, "no new data => identical offset")
+      assert(stream.planInputPartitions(end1, end2).isEmpty)
+    } finally server.stop()
+  }
+
   test("ShardPos grammar and offset JSON stay backward-compatible") {
     assert(ShardPos.parse("17") == ShardPos(Some("17"), done = false))
     assert(ShardPos.parse("17|done") == ShardPos(Some("17"), done = true))
