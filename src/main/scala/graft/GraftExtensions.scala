@@ -45,6 +45,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("int8_err_nanos",
         "int8_err_nanos(a) - total symmetric-int8 round-trip error in integer nanounits"),
       (es: Seq[Expression]) => Int8ErrNanos(es.head)))
+    ext.injectFunction((FunctionIdentifier("sign_bits_f"),
+      info("sign_bits_f",
+        "sign_bits_f(a) - sign bits of an array<float> vector's first <=64 dims packed into one bigint"),
+      (es: Seq[Expression]) => SignBitsF(es.head)))
     ext.injectFunction((FunctionIdentifier("bloom_filter_agg"),
       info("bloom_filter_agg",
         "bloom_filter_agg(xxhash64(col), est) - Bloom filter over a column's hashes"),

@@ -77,7 +77,10 @@ object Plans {
     "q157_sampled_recall_eval" -> "sampled recall: exact truth join runs on the 25% md5 stratum only (pushable hash predicate); detected side filters the production LSH pairs map-side",
     "q158_semi_anti_chain" -> "Q21 chain: EXISTS/NOT EXISTS decorrelated to LeftSemi + LeftAnti joins keyed on l_orderkey with the <> residual - no per-row subqueries",
     "q159_video_index_walk" -> "video index walk: avi_for/avi_index codegen kernels in one projection stage; no shuffle before the presentation ordering",
-    "q184_label_propagation" -> "LPA round: labels-to-edges shuffle + vote hash agg + packed-BIGINT argmax (PackedArgMin) - zero SortAggregate nodes, all aggregation on the hash path")
+    "q184_label_propagation" -> "LPA round: labels-to-edges shuffle + vote hash agg + packed-BIGINT argmax (PackedArgMin) - zero SortAggregate nodes, all aggregation on the hash path",
+    "q187_kcore_peel" -> "k-core peel round: degree hash agg + two LEFT SEMI joins on the node key; per-round kept-node lists lazily checkpointed (PageRankInt discipline - linear plan chain, no 5^r subtree blowup), edge-derivation exchange re-read by every census branch",
+    "q188_bq_hamming_rerank" -> "BQ search: one-word sign_bits_f index, XOR+POPCNT Hamming stage rides the topk_pair bounded heap (<=20 rows per query x split through the exchange); only the shortlist fetches full vectors via broadcast join",
+    "q189_chapman_kolmogorov" -> "Chapman-Kolmogorov: ONE user-keyed window + ONE tagged hash agg at construction (eager checkpoint, q124 precedent); matmul + ppm + diff run on a tiny LogicalRDD - no parquet scan in the returned plan")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

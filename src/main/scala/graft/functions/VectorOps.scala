@@ -424,6 +424,56 @@ case class AbsMaxF(child: Expression)
     copy(child = newChild)
 }
 
+/** Sign bits of a float vector's first ≤64 dimensions packed into ONE
+  * BIGINT — bit i set iff component i > 0 — the binary-quantization (BQ)
+  * index kernel. The packed word is 1/256th the footprint of the 64-float
+  * vector it summarizes, and a Hamming distance over it
+  * (`bit_count(a ^ b)`, one XOR + POPCNT) replaces 64 float
+  * multiply-adds in the candidate-generation scan — the memory-bandwidth
+  * argument that makes BQ the first stage of modern vector stores. The
+  * `> 0` sign rule and the low-bit-first packing are trivially replayed
+  * by an oracle (`SUM(CASE WHEN x > 0 THEN 1 << i END)` over the zipped
+  * unnest), so downstream rankings stay engine-exact: Hamming distances
+  * are small integers, never floats. Dimensions past 64 are ignored by
+  * construction (one word); vectors shorter than 64 leave high bits 0. */
+case class SignBitsF(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sign_bits_f"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = math.min(64, x.numElements())
+    var bits = 0L
+    var i = 0
+    while (i < n) {
+      if (x.getFloat(i) > 0f) bits |= 1L << i
+      i += 1
+    }
+    bits
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val n = ctx.freshName("n")
+      val bits = ctx.freshName("bits")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min(64, $x.numElements());
+         |long $bits = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.getFloat($i) > 0f) $bits |= 1L << $i;
+         |}
+         |${ev.value} = $bits;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Total symmetric-int8 round-trip error of a float vector, in INTEGER
   * nanounits — the storage-compression audit kernel (4× memory cut for a
   * 100 TB embedding store; this measures what it costs).
@@ -516,6 +566,7 @@ object VectorOps {
     RegisterOnce(spark, "dot_l")(es => DotProductL(es(0), es(1)))
     RegisterOnce(spark, "absmax_f")(es => AbsMaxF(es.head))
     RegisterOnce(spark, "int8_err_nanos")(es => Int8ErrNanos(es.head))
+    RegisterOnce(spark, "sign_bits_f")(es => SignBitsF(es.head))
   }
 
   /** Dot product of two array<float> columns (codegen'd). */

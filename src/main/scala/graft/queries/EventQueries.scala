@@ -1271,7 +1271,101 @@ object EventQueries {
       |  CAST(MAX(tw) AS BIGINT) AS total_w
       |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q189
+  /** Chapman–Kolmogorov audit — IS the journey actually Markov? q185
+    * publishes the first-order transition matrix; every downstream use
+    * (journey simulation, Sankey forecasting, drift alerts on P) silently
+    * assumes one-step memory. This query measures that assumption: the
+    * PREDICTED two-step matrix P²(a,c) = Σ_b P(a,b)·P(b,c) (sparse
+    * matmul via a self-join on the mid state) against the EMPIRICAL
+    * two-step matrix counted directly from the event stream (lead-2
+    * pairs), with the signed ppm gap per cell. Cells where memory exists
+    * (|delta| large) are exactly where a first-order model misforecasts.
+    *
+    * Integer-exact throughout: both matrices are q185's ppm floor
+    * divisions; the matmul accumulates pab·pbc ≤ 10¹² per term and the
+    * row Σ_b pab ≤ 10⁶ (row-stochastic by construction), so
+    * Σ_b pab·pbc ≤ 10⁶ · max_c pbc ≤ 10¹² — overflow-free in Long at ANY
+    * corpus size, no guard needed (the reasoned-exemption discipline);
+    * the raw lead counts keep q185's n·10⁶ guard.
+    *
+    * Scale shape: ONE user-keyed window exchange computes lead-1 and
+    * lead-2 together, and BOTH matrices come from ONE map-side-combined
+    * hash agg keyed (tag, a, c) over the tagged pair stream (each event
+    * explodes into its lead-1 and lead-2 struct — the partial agg absorbs
+    * the 2× row fan-out before any exchange). The ≤2·|types|² count frame
+    * is materialized eagerly (localCheckpoint — the q124 precedent:
+    * counts become plan literals), so the matmul, the ppm windows and the
+    * full-outer diff all run on a tiny LogicalRDD and the corpus is
+    * touched EXACTLY once — by construction, not by exchange-reuse luck
+    * (the naive two-branch formulation planned the corpus window three
+    * times: once per p1 reference in the matmul plus once for emp). */
+  private val q189: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val counts = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("t1", lead(col("event_type"), 1).over(w))
+      .withColumn("t2", lead(col("event_type"), 2).over(w))
+      .select(col("event_type").as("a"), explode(array(
+        struct(lit(1).as("tag"), col("t1").as("c")),
+        struct(lit(2).as("tag"), col("t2").as("c")))).as("e"))
+      .select(col("a"), col("e.tag").as("tag"), col("e.c").as("c"))
+      .filter(col("c").isNotNull)
+      .groupBy(col("tag"), col("a"), col("c"))
+      .agg(count(lit(1)).as("n"))
+    val cg = graft.functions.Guard.require(counts,
+        col("n") <= lit(Long.MaxValue / 1000000L),
+        "q189: transition count exceeds the n*10^6 Long bound - " +
+          "promote ppm arithmetic to DECIMAL(38)")
+      .localCheckpoint(true)
+    def ppm(tag: Int, out: String): DataFrame = cg
+      .filter(col("tag") === tag)
+      .withColumn(out, expr("(n * 1000000) div sum(n) OVER (PARTITION BY a)"))
+      .select(col("a"), col("c"), col(out))
+    val p1 = ppm(1, "p_ppm")
+    val emp = ppm(2, "emp_ppm")
+    val pred = p1.select(col("a"), col("c").as("b"), col("p_ppm").as("pab"))
+      .join(broadcast(p1.select(col("a").as("b"), col("c"), col("p_ppm").as("pbc"))),
+        Seq("b"))
+      .groupBy(col("a"), col("c"))
+      .agg(expr("sum(pab * pbc) div 1000000").as("pred_ppm"))
+    pred.join(emp, Seq("a", "c"), "full_outer")
+      .select(col("a").as("from_type"), col("c").as("to_type"),
+        coalesce(col("pred_ppm"), lit(0L)).as("pred_ppm"),
+        coalesce(col("emp_ppm"), lit(0L)).as("emp_ppm"),
+        (coalesce(col("emp_ppm"), lit(0L)) -
+          coalesce(col("pred_ppm"), lit(0L))).as("delta_ppm"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  private val q189Sql =
+    """WITH s AS (SELECT event_type AS a,
+      |    LEAD(event_type, 1) OVER (PARTITION BY user_id
+      |                              ORDER BY ts, event_id) AS t1,
+      |    LEAD(event_type, 2) OVER (PARTITION BY user_id
+      |                              ORDER BY ts, event_id) AS t2
+      |  FROM events),
+      |p1 AS (SELECT a, c, (n * 1000000) // SUM(n) OVER (PARTITION BY a) AS p_ppm
+      |       FROM (SELECT a, t1 AS c, CAST(COUNT(*) AS BIGINT) AS n FROM s
+      |             WHERE t1 IS NOT NULL GROUP BY 1, 2)),
+      |emp AS (SELECT a, c, (n * 1000000) // SUM(n) OVER (PARTITION BY a) AS emp_ppm
+      |        FROM (SELECT a, t2 AS c, CAST(COUNT(*) AS BIGINT) AS n FROM s
+      |              WHERE t2 IS NOT NULL GROUP BY 1, 2)),
+      |pred AS (SELECT l.a, r.c,
+      |           SUM(l.p_ppm * r.p_ppm) // 1000000 AS pred_ppm
+      |         FROM p1 l JOIN p1 r ON r.a = l.c GROUP BY 1, 2)
+      |SELECT COALESCE(pred.a, emp.a) AS from_type,
+      |  COALESCE(pred.c, emp.c) AS to_type,
+      |  CAST(COALESCE(pred.pred_ppm, 0) AS BIGINT) AS pred_ppm,
+      |  CAST(COALESCE(emp.emp_ppm, 0) AS BIGINT) AS emp_ppm,
+      |  CAST(COALESCE(emp.emp_ppm, 0) - COALESCE(pred.pred_ppm, 0) AS BIGINT)
+      |    AS delta_ppm
+      |FROM pred FULL OUTER JOIN emp ON emp.a = pred.a AND emp.c = pred.c
+      |ORDER BY from_type, to_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q189_chapman_kolmogorov" -> q189,
     "q185_transition_matrix" -> q185,
     "q186_weighted_quantiles" -> q186,
     "q180_time_weighted_avg" -> q180,
@@ -1308,6 +1402,7 @@ object EventQueries {
     "q62_pipeline_daily_index_counts" -> q62)
 
   val oracle: Map[String, String] = Map(
+    "q189_chapman_kolmogorov" -> q189Sql,
     "q185_transition_matrix" -> q185Sql,
     "q186_weighted_quantiles" -> q186Sql,
     "q180_time_weighted_avg" -> q180Sql,

@@ -232,13 +232,104 @@ object GraphQueries {
        |GROUP BY sz ORDER BY sz""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q187
+  /** k-core peel — the DENSITY-FLOOR member of the graph family: q101's
+    * components answer "connected at all?", q126's PageRank "how
+    * central?", q162's triangles "how clustered?", q179's BFS "how far?",
+    * q184's LPA "which group?"; this answers "which nodes survive a
+    * minimum-engagement floor?" — the standard spam/fringe filter before
+    * any community or centrality pass (a node with 30 co-purchase
+    * neighbors that all hang off degree-1 stragglers is not a hub). The
+    * graph is q162's part co-purchase graph (same l_linenumber ≤ 3
+    * linear-growth derivation). Matula–Beck peeling made portable: each
+    * SYNCHRONOUS round keeps the nodes whose degree in the CURRENT
+    * surviving subgraph is ≥ k = 16 (≈ the corpus median degree, so the
+    * peel bites at every SF), then restricts edges to kept×kept; 3 fixed
+    * rounds (the q126/q179/q184 portable-round contract — full
+    * convergence is a fixpoint, the bounded-round prefix is the
+    * replayable artifact). Census per round: surviving node count, edge
+    * count, min/max node witnesses — 3 rows total.
+    *
+    * Scale shape per round: one degree hash-agg over the edge list (|E|
+    * rows, map-side combined) + two LEFT SEMI joins keyed on the node id
+    * (the canonical "restrict edges to a node set" shape — no row
+    * multiplication, shuffle bounded by |E|; AQE broadcasts the kept-node
+    * list while it fits, falls back to shuffled semi joins beyond). Each
+    * round's kept-node list is localCheckpointed LAZILY (the PageRankInt
+    * discipline): without it the round-r frame embeds round r−1 FIVE
+    * times (left side + twice in each of the two semi-join build sides),
+    * a 5^r plan-tree blowup; with it the edge chain is linear and the
+    * node-list blocks are computed once and re-read by every census
+    * branch. The edge derivation's distinct() exchange is likewise
+    * planned once and re-read via ReusedExchange — all three rounds live
+    * in one plan tree, nothing driver-side. The oracle replays the peel
+    * as unrolled CTEs. */
+  private val q187: Q = (s, d) => {
+    val K = 16
+    val e0 = Tables.lineitem(s, d)
+      .filter(col("l_linenumber") <= 3)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    val ed = e0.as("a").join(e0.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("x"), col("b.p").as("y")).distinct()
+    var edges = ed
+    val rounds = (1 to 3).map { r =>
+      val keep = edges.select(col("x").as("node"))
+        .unionByName(edges.select(col("y").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= K)
+        .select(col("node"))
+        .localCheckpoint(false)
+      val e2 = edges
+        .join(keep.select(col("node").as("kx")),
+          col("x") === col("kx"), "left_semi")
+        .join(keep.select(col("node").as("ky")),
+          col("y") === col("ky"), "left_semi")
+      edges = e2
+      keep.agg(count(lit(1)).as("n_nodes"),
+          min(col("node")).as("min_node"), max(col("node")).as("max_node"))
+        .crossJoin(e2.agg(count(lit(1)).as("n_edges")))
+        .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_edges"),
+          col("min_node"), col("max_node"))
+    }
+    rounds.reduce(_ unionByName _).orderBy(col("round"))
+  }
+
+  private val q187Sql = {
+    def round(prevE: String, n: String, e: String): String =
+      s"""$n AS (SELECT node FROM (
+         |    SELECT x AS node FROM $prevE UNION ALL SELECT y FROM $prevE)
+         |  GROUP BY node HAVING COUNT(*) >= 16),
+         |$e AS (SELECT x, y FROM $prevE
+         |  WHERE x IN (SELECT node FROM $n) AND y IN (SELECT node FROM $n))""".stripMargin
+    def census(r: Int, n: String, e: String): String =
+      s"""SELECT CAST($r AS BIGINT) AS round,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $n) AS n_nodes,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $e) AS n_edges,
+         |  (SELECT MIN(node) FROM $n) AS min_node,
+         |  (SELECT MAX(node) FROM $n) AS max_node""".stripMargin
+    s"""WITH e0 AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
+       |            WHERE l_linenumber <= 3),
+       |ed AS (SELECT DISTINCT a.p AS x, b.p AS y
+       |       FROM e0 a JOIN e0 b ON a.o = b.o AND a.p < b.p),
+       |${round("ed", "n1", "e1")},
+       |${round("e1", "n2", "e2")},
+       |${round("e2", "n3", "e3")}
+       |${census(1, "n1", "e1")}
+       |UNION ALL ${census(2, "n2", "e2")}
+       |UNION ALL ${census(3, "n3", "e3")}
+       |ORDER BY round""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q162_triangle_census" -> q162,
     "q179_bfs_distance_census" -> q179,
-    "q184_label_propagation" -> q184)
+    "q184_label_propagation" -> q184,
+    "q187_kcore_peel" -> q187)
 
   val oracle: Map[String, String] = Map(
     "q162_triangle_census" -> q162Sql,
     "q179_bfs_distance_census" -> q179Sql,
-    "q184_label_propagation" -> q184Sql)
+    "q184_label_propagation" -> q184Sql,
+    "q187_kcore_peel" -> q187Sql)
 }

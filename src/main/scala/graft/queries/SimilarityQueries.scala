@@ -844,7 +844,89 @@ object SimilarityQueries {
        |FROM v3 CROSS JOIN lam CROSS JOIN tr ORDER BY j""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q188
+  /** Binary-quantization (BQ) two-stage search — the compressed-index ANN
+    * member: q41 scans full vectors (the exact witness), q43/q123 BUCKET
+    * by hyperplane signs (prune by partition), this RANKS by a packed
+    * 1-bit sketch and re-scores only the shortlist — the asymmetric
+    * design of modern vector stores (sign-quantize the corpus, keep full
+    * precision only for the rerank fetch). Stage 1: each vector's 64 sign
+    * bits pack into ONE BIGINT via the codegen kernel
+    * [[graft.functions.SignBitsF]]; candidates per query are the 20
+    * nearest by Hamming distance (`bit_count(bits ^ q_bits)` — one XOR +
+    * POPCNT vs 64 multiply-adds, and the scanned index is 1/256th the
+    * corpus bytes: the memory-bandwidth economics that make BQ the 100 TB
+    * first stage). Stage 2: ONLY the ≤20·|Q| shortlist rows fetch their
+    * full vectors (broadcast hash join keyed on vec_id — the corpus scan
+    * streams past a 100-row build side) and rerank by exact rounded
+    * cosine, top-5. Hamming distances are small integers and the rerank
+    * reuses q41's round-4 determinism, so both stages replay engine-exact.
+    *
+    * Scale shape: stage 1's per-query top-20 rides the
+    * [[graft.functions.TopKPairsAgg]] bounded heap — map-side combined,
+    * the exchange carries ≤20 rows per (query × split), never a
+    * corpus-sized window sort; stage 2 is corpus-scan × broadcast(100
+    * rows). Recall is the documented BQ trade (the shortlist is the
+    * contract, not the true top-k) — q41 stays the exact witness. */
+  private val q188: Q = (s, d) => {
+    VectorOps.register(s)
+    graft.functions.TopKPairs.register(s)
+    val e = Tables.embeddings(s, d)
+    val b = e.select(col("vec_id"), expr("sign_bits_f(embedding)").as("bits"))
+    val qs = b.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("bits").as("q_bits"))
+    val cand = b.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        expr("CAST(bit_count(bits ^ q_bits) AS BIGINT)").as("ham"))
+      .groupBy(col("q_id"))
+      .agg(expr("topk_pair(-ham, vec_id, 20)").as("top"))
+      .select(col("q_id"), explode(col("top")).as("c"))
+      .select(col("q_id"), (-col("c.v")).as("ham"), col("c.id").as("vec_id"))
+    val qemb = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w2 = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    e.select(col("vec_id"), col("embedding"))
+      .join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(qemb), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"), col("ham"),
+        round(expr("dot_f(embedding, q_emb)"), Scale).as("sim"))
+      .withColumn("rank", row_number().over(w2).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("ham"), col("sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val q188Sql =
+    """WITH u AS (SELECT vec_id, UNNEST(embedding) AS x,
+      |                  UNNEST(range(0, 64)) AS i FROM embeddings),
+      |h AS (SELECT q.vec_id AS q_id, b.vec_id,
+      |        CAST(SUM(CASE WHEN (b.x > 0) <> (q.x > 0) THEN 1 ELSE 0 END)
+      |          AS BIGINT) AS ham
+      |      FROM u b JOIN u q ON q.i = b.i
+      |      WHERE q.vec_id < 5 AND b.vec_id <> q.vec_id
+      |      GROUP BY 1, 2),
+      |cand AS (SELECT q_id, vec_id, ham FROM (
+      |    SELECT q_id, vec_id, ham,
+      |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ham, vec_id) AS crank
+      |    FROM h) WHERE crank <= 20),
+      |z AS (SELECT c.q_id, c.vec_id, c.ham,
+      |        UNNEST(e.embedding) AS x, UNNEST(qe.embedding) AS y
+      |      FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+      |                  JOIN embeddings qe ON qe.vec_id = c.q_id),
+      |sims AS (SELECT q_id, vec_id, MIN(ham) AS ham,
+      |           round(SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 4) AS sim
+      |         FROM z GROUP BY q_id, vec_id),
+      |r AS (SELECT q_id, vec_id, ham, sim,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+      |          ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+      |      FROM sims)
+      |SELECT q_id, rank, vec_id, ham, sim FROM r
+      |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q188_bq_hamming_rerank" -> q188,
     "q178_embedding_anisotropy" -> q178,
     "q151_matryoshka_energy" -> q151,
     "q137_centroid_pseudolabel" -> q137,
@@ -863,6 +945,7 @@ object SimilarityQueries {
     "q108_semdedup" -> q108)
 
   val oracle: Map[String, String] = Map(
+    "q188_bq_hamming_rerank" -> q188Sql,
     "q178_embedding_anisotropy" -> q178Sql,
     "q151_matryoshka_energy" -> q151Sql,
     "q137_centroid_pseudolabel" -> q137Sql,

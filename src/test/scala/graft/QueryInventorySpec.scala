@@ -92,6 +92,49 @@ class QueryInventorySpec extends AnyFunSuite {
         qe.optimizedPlan.treeString.take(2000))
   }
 
+  test("q187's peel keeps a linear plan chain (checkpointed node lists, no SortAggregate)") {
+    val qe = SparkEntry.queries("q187_kcore_peel")(spark, dir).queryExecution
+    val exec = qe.executedPlan.toString
+    // Without the per-round localCheckpoint the round-r frame embeds round
+    // r-1 five times (5^r subtree blowup — the un-checkpointed plan
+    // measured 22,508 formatted lines vs 905 after). A bounded plan string
+    // is the cheap regression pin for that discipline.
+    assert(exec.length < 100000,
+      s"q187 plan blew up to ${exec.length} chars — per-round localCheckpoint lost?")
+    assert(!exec.contains("SortAggregate"),
+      "q187 degree/census aggregation fell off the hash path")
+  }
+
+  test("q188's Hamming stage rides the bounded-heap aggregate, not a corpus window") {
+    val qe = SparkEntry.queries("q188_bq_hamming_rerank")(spark, dir).queryExecution
+    val exec = qe.executedPlan.toString
+    // Stage 1 (corpus-sized) must be the topk_pair ObjectHashAggregate —
+    // map-side combined, <=20 rows per (query x split) through the
+    // exchange. The only window allowed is the rerank over the <=100-row
+    // shortlist.
+    assert(exec.contains("ObjectHashAggregate"),
+      "q188 stage-1 top-20 is not on the topk_pair aggregate path")
+    assert(exec.contains("topk_pair"), "topk_pair missing from the executed plan")
+    val windows = qe.optimizedPlan.collect { case w: LogicalWindow => w }
+    assert(windows.size == 1,
+      s"expected exactly the shortlist-rerank window, got ${windows.size}")
+  }
+
+  test("q189 touches the corpus exactly once (downstream runs on the checkpointed counts)") {
+    val qe = SparkEntry.queries("q189_chapman_kolmogorov")(spark, dir).queryExecution
+    val exec = qe.executedPlan.toString
+    // The corpus pass (window + tagged hash agg) runs ONCE at construction
+    // and is materialized via eager localCheckpoint; the returned plan —
+    // matmul, ppm windows, full-outer diff — must therefore contain NO
+    // parquet scan at all (a surviving scan would mean a branch replanned
+    // the corpus window, the 3×-scan shape this query was rewritten away
+    // from).
+    assert(!exec.contains("Scan parquet"),
+      s"q189 returned plan re-reads the corpus:\n${exec.take(2000)}")
+    assert(!exec.contains("SortAggregate"),
+      "q189 matrix aggregation fell off the hash path")
+  }
+
   test("no query plans a global (partition-less) window") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.optimizedPlan
