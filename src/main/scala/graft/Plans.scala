@@ -80,7 +80,8 @@ object Plans {
     "q184_label_propagation" -> "LPA round: labels-to-edges shuffle + vote hash agg + packed-BIGINT argmax (PackedArgMin) - zero SortAggregate nodes, all aggregation on the hash path",
     "q187_kcore_peel" -> "k-core peel round: degree hash agg + two LEFT SEMI joins on the node key; per-round kept-node lists lazily checkpointed (PageRankInt discipline - linear plan chain, no 5^r subtree blowup), edge-derivation exchange re-read by every census branch",
     "q188_bq_hamming_rerank" -> "BQ search: one-word sign_bits_f index, XOR+POPCNT Hamming stage rides the topk_pair bounded heap (<=20 rows per query x split through the exchange); only the shortlist fetches full vectors via broadcast join",
-    "q189_chapman_kolmogorov" -> "Chapman-Kolmogorov: ONE user-keyed window + ONE tagged hash agg at construction (eager checkpoint, q124 precedent); matmul + ppm + diff run on a tiny LogicalRDD - no parquet scan in the returned plan")
+    "q189_chapman_kolmogorov" -> "Chapman-Kolmogorov: ONE user-keyed window + ONE tagged hash agg at construction (eager checkpoint, q124 precedent); matmul + ppm + diff run on a tiny LogicalRDD - no parquet scan in the returned plan",
+    "q190_hybrid_rrf" -> "hybrid RRF: lexical arm = q110's postings shape + TakeOrdered top-20, dense arm = one broadcast-query corpus scan; ranks via GlobalIndex on <=20-row frames (no partition-less window), fusion joins two checkpointed LogicalRDDs")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

@@ -502,7 +502,9 @@ object TextQueries {
     * `Guard.require` on the scored candidate rows (component-wise
     * conditions that cannot themselves wrap — the q143 discipline), so
     * an over-bound corpus fails loudly instead of wrapping silently. */
-  private val q110: Q = (s, d) => {
+  /** The q110 scored-document chain (doc_id, n_terms, score), shared with
+    * q190's lexical arm — same guards, same integer-exact arithmetic. */
+  private def bm25ScoredDocs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
@@ -531,9 +533,12 @@ object TextQueries {
           " * (n_docs * 10000 div df)").as("term_score"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms"), sum(col("term_score")).as("score"))
+  }
+
+  private val q110: Q = (s, d) =>
+    bm25ScoredDocs(s, d)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(15)
-  }
 
   private val q110Sql =
     """WITH t AS (SELECT doc_id, w FROM
@@ -552,6 +557,101 @@ object TextQueries {
       | FROM tf JOIN dl ON dl.doc_id = tf.doc_id JOIN df ON df.w = tf.w, c)
       |SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(term_score) AS BIGINT) AS score
       |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
+
+  // ---------------------------------------------------------------- q190
+  /** Hybrid retrieval with reciprocal-rank fusion — the operator that
+    * joins the two retrieval arms this engine already has: q110's
+    * integer-exact BM25 (sparse/lexical) and the q40-family cosine
+    * scoring (dense/semantic). The dense query vector is the embedding
+    * of the TOP-1 lexical hit (pseudo-relevance feedback: "expand the
+    * best keyword match into embedding space" — the standard trick when
+    * the query has no vector of its own), each arm contributes its
+    * top-20 ranks, and the fused score is classic RRF,
+    * Σ_arm 10⁶ div (60 + rank), in exact integers — the fusion every
+    * RAG/curation stack runs to beat either arm alone. Output: fused
+    * top-10 with both arm ranks (NULL where an arm missed the doc).
+    *
+    * Scale shape: the lexical arm is q110's shape verbatim (query-term
+    * postings only through the shuffle, TakeOrderedAndProject top-20);
+    * the dense arm is one broadcast-query corpus scan; rank numbers come
+    * from [[graft.functions.GlobalIndex]] over the ≤20-row arm frames
+    * (never a partition-less window over the corpus — the q127/q61
+    * discipline); both arm frames are eagerly localCheckpointed (20
+    * rows, q124 precedent) so the fusion joins plan against LogicalRDDs
+    * and no arm's corpus pass is replayed by downstream reuse. */
+  private val q190: Q = (s, d) => {
+    graft.functions.VectorOps.register(s)
+    import graft.functions.GlobalIndex
+    val lex = GlobalIndex.withRowNumber(
+        bm25ScoredDocs(s, d)
+          .orderBy(col("score").desc, col("doc_id")).limit(20)
+          .localCheckpoint(true),
+        "lex_rank", col("score").desc, col("doc_id"))
+      .select(col("doc_id"), col("lex_rank"))
+      .localCheckpoint(true)
+    val e = Tables.embeddings(s, d)
+    val qv = e.join(broadcast(lex.filter(col("lex_rank") === 1)
+        .select(col("doc_id").as("vec_id"))), Seq("vec_id"))
+      .select(col("embedding").as("q_emb"))
+    val sem = GlobalIndex.withRowNumber(
+        e.crossJoin(broadcast(qv))
+          .select(col("vec_id").as("doc_id"),
+            round(expr("dot_f(embedding, q_emb)"), 4).as("sim"))
+          .orderBy(col("sim").desc, col("doc_id")).limit(20)
+          .localCheckpoint(true),
+        "sem_rank", col("sim").desc, col("doc_id"))
+      .select(col("doc_id"), col("sem_rank"))
+    val fused = lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("sem_rank"),
+        (coalesce(expr("1000000 div (60 + lex_rank)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + sem_rank)"), lit(0L))).as("rrf_micro"))
+    GlobalIndex.withRowNumber(
+        fused.orderBy(col("rrf_micro").desc, col("doc_id")).limit(10),
+        "rank", col("rrf_micro").desc, col("doc_id"))
+      .select(col("rank"), col("doc_id"), col("lex_rank"), col("sem_rank"),
+        col("rrf_micro"))
+      .orderBy(col("rank"))
+  }
+
+  private val q190Sql =
+    """WITH t AS (SELECT doc_id, w FROM
+      |  (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE w <> ''),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY doc_id),
+      |c AS (SELECT n_docs, (s_tok * 1000) // n_docs AS a FROM
+      |  (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+      |          (SELECT COUNT(*) FROM t) AS s_tok)),
+      |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM t
+      |  WHERE w IN ('spark', 'window', 'merge') GROUP BY doc_id, w),
+      |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+      |sc AS (SELECT tf.doc_id,
+      |  ((22 * tf.tf * c.a * 1000000) // (10 * tf.tf * c.a + 3 * c.a + 9000 * dl.dl))
+      |    * ((c.n_docs * 10000) // df.df) AS term_score
+      | FROM tf JOIN dl ON dl.doc_id = tf.doc_id JOIN df ON df.w = tf.w, c),
+      |lexs AS (SELECT doc_id, CAST(SUM(term_score) AS BIGINT) AS score
+      |         FROM sc GROUP BY doc_id),
+      |lex AS (SELECT doc_id, lex_rank FROM (
+      |    SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+      |      AS BIGINT) AS lex_rank FROM lexs) WHERE lex_rank <= 20),
+      |qv AS (SELECT embedding FROM embeddings
+      |       WHERE vec_id = (SELECT doc_id FROM lex WHERE lex_rank = 1)),
+      |u AS (SELECT e.vec_id AS doc_id, UNNEST(e.embedding) AS x,
+      |             UNNEST(q.embedding) AS y FROM embeddings e, qv q),
+      |sims AS (SELECT doc_id,
+      |           round(SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 4) AS sim
+      |         FROM u GROUP BY doc_id),
+      |sem AS (SELECT doc_id, sem_rank FROM (
+      |    SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id)
+      |      AS BIGINT) AS sem_rank FROM sims) WHERE sem_rank <= 20),
+      |f AS (SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+      |        lex.lex_rank, sem.sem_rank,
+      |        COALESCE(1000000 // (60 + lex.lex_rank), 0)
+      |          + COALESCE(1000000 // (60 + sem.sem_rank), 0) AS rrf_micro
+      |      FROM lex FULL OUTER JOIN sem ON sem.doc_id = lex.doc_id)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf_micro DESC, doc_id)
+      |    AS BIGINT) AS rank,
+      |  doc_id, lex_rank, sem_rank, CAST(rrf_micro AS BIGINT) AS rrf_micro
+      |FROM f ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin
 
   // ---------------------------------------------------------------- q118
   /** Token accounting under three tokenizer models — the cost estimate every
@@ -959,6 +1059,7 @@ object TextQueries {
     "q118_token_accounting" -> q118,
     "q119_countmin_sketch" -> q119,
     "q110_bm25_retrieval" -> q110,
+    "q190_hybrid_rrf" -> q190,
     "q99_zipf_vocab" -> q99,
     "q105_heavy_hitters" -> q105,
     "q84_corpus_cleaning" -> q84,
@@ -982,6 +1083,7 @@ object TextQueries {
     "q118_token_accounting" -> q118Sql,
     "q119_countmin_sketch" -> q119Sql,
     "q110_bm25_retrieval" -> q110Sql,
+    "q190_hybrid_rrf" -> q190Sql,
     "q99_zipf_vocab" -> q99Sql,
     "q105_heavy_hitters" -> q105Sql,
     "q84_corpus_cleaning" -> q84Sql,
