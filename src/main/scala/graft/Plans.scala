@@ -81,7 +81,8 @@ object Plans {
     "q187_kcore_peel" -> "k-core peel round: degree hash agg + two LEFT SEMI joins on the node key; per-round kept-node lists lazily checkpointed (PageRankInt discipline - linear plan chain, no 5^r subtree blowup), edge-derivation exchange re-read by every census branch",
     "q188_bq_hamming_rerank" -> "BQ search: one-word sign_bits_f index, XOR+POPCNT Hamming stage rides the topk_pair bounded heap (<=20 rows per query x split through the exchange); only the shortlist fetches full vectors via broadcast join",
     "q189_chapman_kolmogorov" -> "Chapman-Kolmogorov: ONE user-keyed window + ONE tagged hash agg at construction (eager checkpoint, q124 precedent); matmul + ppm + diff run on a tiny LogicalRDD - no parquet scan in the returned plan",
-    "q190_hybrid_rrf" -> "hybrid RRF: lexical arm = q110's postings shape + TakeOrdered top-20, dense arm = one broadcast-query corpus scan; ranks via GlobalIndex on <=20-row frames (no partition-less window), fusion joins two checkpointed LogicalRDDs")
+    "q190_hybrid_rrf" -> "hybrid RRF: lexical arm = q110's postings shape + TakeOrdered top-20, dense arm = one broadcast-query corpus scan; ranks via GlobalIndex on <=20-row frames (no partition-less window), fusion joins two checkpointed LogicalRDDs",
+    "q191_degree_assortativity" -> "assortativity: degree hash agg + two node-keyed joins attach (dx,dy) per arc, ONE map-side-combined 1-row moment aggregate; DECIMAL(38) products, Guard-enforced bounds")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")
@@ -101,8 +102,12 @@ object Plans {
       val p = Paths.get(out)
       if (Files.exists(p)) {
         val old = Files.readString(p)
-        val i = old.indexOf("\n## Skew:")
-        if (i >= 0) old.substring(i) else ""
+        // two preserved markers: measured studies ("## Skew:") and the
+        // hand-appended executed-plan evidence ("## Epilogue") — whichever
+        // comes first survives regeneration verbatim
+        val marks = Seq(old.indexOf("\n## Skew:"), old.indexOf("\n## Epilogue"))
+          .filter(_ >= 0)
+        if (marks.nonEmpty) old.substring(marks.min) else ""
       } else ""
     }
 

@@ -321,15 +321,101 @@ object GraphQueries {
        |ORDER BY round""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q191
+  /** Degree assortativity (Newman 2002) — the STRUCTURE-SHAPE metric over
+    * the same co-purchase graph the six graph operators walk: do
+    * high-degree parts co-purchase with other hubs (r > 0, social-network
+    * shape) or with leaves (r < 0, hub-and-spoke shape)? The answer
+    * decides which operators are safe — hub-and-spoke graphs are where
+    * LPA flood and triangle skew live. Pearson correlation of the degree
+    * pairs at the two ends of every directed arc of the symmetrized edge
+    * list, in exact integer ppm:
+    * r = (M·Σdxdy − (Σdx)²) / (M·Σdx² − (Σdx)²), floor-divided after a
+    * den div 10⁶ rescale (1 ppm granularity) because 10⁶·num would
+    * exceed even 38-digit integers at the documented bounds.
+    *
+    * Exactness: products ride DECIMAL(38,0) in Spark and HUGEINT in
+    * DuckDB (the q182 discipline — identical exact integers, identical
+    * floors). Documented bounds, enforced by the Guard riding the 1-row
+    * sums frame: max_deg ≤ 10⁶ and M ≤ 2·10¹⁰ keep m·Σdxdy ≤ 4·10³²
+    * (38-digit-safe); den ≥ 10⁶ rejects the degenerate regular graph
+    * where assortativity is undefined at ppm precision.
+    *
+    * Scale shape: one degree hash agg over the arc list + two shuffle
+    * joins keyed on the node id to attach (dx, dy) per arc + ONE
+    * map-side-combined 1-row aggregate of the moment sums — the same
+    * |E|-linear posture as q179/q184; nothing driver-side. */
+  private val q191: Q = (s, d) => {
+    val e0 = Tables.lineitem(s, d)
+      .filter(col("l_linenumber") <= 3)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    val ed = e0.as("a").join(e0.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("x"), col("b.p").as("y")).distinct()
+    val sym = ed.select(col("x"), col("y"))
+      .unionByName(ed.select(col("y").as("x"), col("x").as("y")))
+    val deg = sym.groupBy(col("x").as("node")).agg(count(lit(1)).as("deg"))
+    val arcs = sym
+      .join(deg.select(col("node").as("x"), col("deg").as("dx")), Seq("x"))
+      .join(deg.select(col("node").as("y"), col("deg").as("dy")), Seq("y"))
+    val sums = arcs.agg(
+      count(lit(1)).as("m_arcs"),
+      sum(col("dx")).as("sum_dx"),
+      min(col("dx")).as("min_deg"),
+      max(col("dx")).as("max_deg"),
+      sum(expr("CAST(dx AS DECIMAL(19,0)) * CAST(dy AS DECIMAL(19,0))")).as("sdxdy"),
+      sum(expr("CAST(dx AS DECIMAL(19,0)) * CAST(dx AS DECIMAL(19,0))")).as("sdx2"))
+    graft.functions.Guard.require(sums,
+        col("max_deg") <= lit(1000000L) &&
+          col("m_arcs") <= lit(20000000000L) &&
+          expr("CAST(m_arcs AS DECIMAL(38,0)) * sdx2" +
+            " - CAST(sum_dx AS DECIMAL(38,0)) * CAST(sum_dx AS DECIMAL(38,0))")
+            >= lit(1000000L),
+        "q191: assortativity bounds exceeded (deg > 1e6, arcs > 2e10, or a " +
+          "degenerate near-regular graph) - promote to wider arithmetic or " +
+          "report r as undefined")
+      .select(col("m_arcs"), col("sum_dx"), col("min_deg"), col("max_deg"),
+        expr(
+          """CAST((CAST(m_arcs AS DECIMAL(38,0)) * sdxdy
+            |       - CAST(sum_dx AS DECIMAL(38,0)) * CAST(sum_dx AS DECIMAL(38,0)))
+            |  div ((CAST(m_arcs AS DECIMAL(38,0)) * sdx2
+            |       - CAST(sum_dx AS DECIMAL(38,0)) * CAST(sum_dx AS DECIMAL(38,0)))
+            |       div 1000000) AS BIGINT)""".stripMargin).as("r_ppm"))
+  }
+
+  private val q191Sql =
+    """WITH e0 AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
+      |            WHERE l_linenumber <= 3),
+      |ed AS (SELECT DISTINCT a.p AS x, b.p AS y
+      |       FROM e0 a JOIN e0 b ON a.o = b.o AND a.p < b.p),
+      |sym AS (SELECT x, y FROM ed UNION ALL SELECT y, x FROM ed),
+      |deg AS (SELECT x AS node, COUNT(*) AS deg FROM sym GROUP BY x),
+      |arcs AS (SELECT dx.deg AS dx, dy.deg AS dy FROM sym
+      |         JOIN deg dx ON dx.node = sym.x JOIN deg dy ON dy.node = sym.y),
+      |s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+      |        CAST(SUM(dx) AS HUGEINT) AS sdx,
+      |        CAST(MIN(dx) AS BIGINT) AS min_deg,
+      |        CAST(MAX(dx) AS BIGINT) AS max_deg,
+      |        CAST(SUM(CAST(dx AS HUGEINT) * dy) AS HUGEINT) AS sdxdy,
+      |        CAST(SUM(CAST(dx AS HUGEINT) * dx) AS HUGEINT) AS sdx2
+      |      FROM arcs)
+      |SELECT CAST(m AS BIGINT) AS m_arcs, CAST(sdx AS BIGINT) AS sum_dx,
+      |  min_deg, max_deg,
+      |  CAST((m * sdxdy - sdx * sdx)
+      |    // ((m * sdx2 - sdx * sdx) // 1000000) AS BIGINT) AS r_ppm
+      |FROM s""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q162_triangle_census" -> q162,
     "q179_bfs_distance_census" -> q179,
     "q184_label_propagation" -> q184,
-    "q187_kcore_peel" -> q187)
+    "q187_kcore_peel" -> q187,
+    "q191_degree_assortativity" -> q191)
 
   val oracle: Map[String, String] = Map(
     "q162_triangle_census" -> q162Sql,
     "q179_bfs_distance_census" -> q179Sql,
     "q184_label_propagation" -> q184Sql,
-    "q187_kcore_peel" -> q187Sql)
+    "q187_kcore_peel" -> q187Sql,
+    "q191_degree_assortativity" -> q191Sql)
 }
