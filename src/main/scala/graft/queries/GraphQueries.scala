@@ -280,11 +280,17 @@ object GraphQueries {
         .filter(col("deg") >= K)
         .select(col("node"))
         .localCheckpoint(false)
+      // the surviving edge list is ALSO lazily checkpointed: round r's
+      // census and round r+1's degree agg both read it, and without the
+      // truncation the round-3 census re-executes all six semi joins of
+      // the chain (measured 4.3 s → 1.1 s isolated at sf1; blocks are
+      // ≤|E| (x, y) pairs per round — ~50 MB at sf1, freed with the frame)
       val e2 = edges
         .join(keep.select(col("node").as("kx")),
           col("x") === col("kx"), "left_semi")
         .join(keep.select(col("node").as("ky")),
           col("y") === col("ky"), "left_semi")
+        .localCheckpoint(false)
       edges = e2
       keep.agg(count(lit(1)).as("n_nodes"),
           min(col("node")).as("min_node"), max(col("node")).as("max_node"))

@@ -925,7 +925,98 @@ object SimilarityQueries {
       |SELECT q_id, rank, vec_id, ham, sim FROM r
       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q192
+  /** BQ recall evaluation — the audit that licenses q188 at scale, the
+    * third member of the recall-eval family (q147 evaluates the LSH dedup
+    * scheme exactly, q157 monitors it on a sampled stratum; this measures
+    * the 1-bit index): for each query, how much of the EXACT rounded-
+    * cosine top-10 (q41's definition, same Scale-4 rounding and vec_id
+    * tie-break) survives into q188's 20-candidate Hamming shortlist?
+    * Output: per-query n_hit and recall in basis points — the number a
+    * 100 TB deployment watches before trusting the 256×-smaller index
+    * for candidate generation.
+    *
+    * Scale shape: the shortlist side is q188's stage 1 verbatim (packed
+    * sign bits, topk_pair bounded heap — ≤20 rows per query × split
+    * through the exchange); the truth side is the q41 broadcast scan
+    * with a per-QUERY window (partitioned, never global). The recall
+    * join runs on ≤(20+10)·|Q| rows. Exactly like q147, the exact-truth
+    * pass is the expensive witness the index makes unnecessary in
+    * production — run it on a sampled query set (q157's posture) when
+    * the query log is corpus-sized. */
+  private val q192: Q = (s, d) => {
+    VectorOps.register(s)
+    graft.functions.TopKPairs.register(s)
+    val e = Tables.embeddings(s, d)
+    val b = e.select(col("vec_id"), expr("sign_bits_f(embedding)").as("bits"))
+    val qs = b.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("bits").as("q_bits"))
+    val cand = b.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        expr("CAST(bit_count(bits ^ q_bits) AS BIGINT)").as("ham"))
+      .groupBy(col("q_id"))
+      .agg(expr("topk_pair(-ham, vec_id, 20)").as("top"))
+      .select(col("q_id"), explode(col("top")).as("c"))
+      .select(col("q_id"), col("c.id").as("vec_id"))
+    val qe = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    val truth = e.crossJoin(broadcast(qe))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(expr("dot_f(embedding, q_emb)"), Scale).as("sim"))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= 10)
+      .select(col("q_id"), col("vec_id"))
+    val hits = truth.join(cand, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+    truth.groupBy(col("q_id")).agg(count(lit(1)).as("n_truth"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_truth"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        expr("coalesce(n_hit, 0) * 10000 div n_truth").as("recall_bp"))
+      .orderBy(col("q_id"))
+  }
+
+  private val q192Sql =
+    """WITH u AS (SELECT vec_id, UNNEST(embedding) AS x,
+      |                  UNNEST(range(0, 64)) AS i FROM embeddings),
+      |h AS (SELECT q.vec_id AS q_id, b.vec_id,
+      |        CAST(SUM(CASE WHEN (b.x > 0) <> (q.x > 0) THEN 1 ELSE 0 END)
+      |          AS BIGINT) AS ham
+      |      FROM u b JOIN u q ON q.i = b.i
+      |      WHERE q.vec_id < 5 AND b.vec_id <> q.vec_id
+      |      GROUP BY 1, 2),
+      |cand AS (SELECT q_id, vec_id FROM (
+      |    SELECT q_id, vec_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ham, vec_id) AS crank
+      |    FROM h) WHERE crank <= 20),
+      |z AS (SELECT q.vec_id AS q_id, e.vec_id,
+      |        UNNEST(e.embedding) AS x, UNNEST(q.embedding) AS y
+      |      FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 5) q
+      |      WHERE e.vec_id <> q.vec_id),
+      |sims AS (SELECT q_id, vec_id,
+      |           round(SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 4) AS sim
+      |         FROM z GROUP BY q_id, vec_id),
+      |truth AS (SELECT q_id, vec_id FROM (
+      |    SELECT q_id, vec_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS r
+      |    FROM sims) WHERE r <= 10),
+      |hits AS (SELECT t.q_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+      |         FROM truth t JOIN cand c
+      |           ON c.q_id = t.q_id AND c.vec_id = t.vec_id
+      |         GROUP BY t.q_id),
+      |nt AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_truth
+      |       FROM truth GROUP BY q_id)
+      |SELECT nt.q_id, nt.n_truth,
+      |  CAST(COALESCE(hits.n_hit, 0) AS BIGINT) AS n_hit,
+      |  CAST(COALESCE(hits.n_hit, 0) * 10000 // nt.n_truth AS BIGINT) AS recall_bp
+      |FROM nt LEFT JOIN hits ON hits.q_id = nt.q_id
+      |ORDER BY nt.q_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q192_bq_recall_eval" -> q192,
     "q188_bq_hamming_rerank" -> q188,
     "q178_embedding_anisotropy" -> q178,
     "q151_matryoshka_energy" -> q151,
@@ -945,6 +1036,7 @@ object SimilarityQueries {
     "q108_semdedup" -> q108)
 
   val oracle: Map[String, String] = Map(
+    "q192_bq_recall_eval" -> q192Sql,
     "q188_bq_hamming_rerank" -> q188Sql,
     "q178_embedding_anisotropy" -> q178Sql,
     "q151_matryoshka_energy" -> q151Sql,
