@@ -344,6 +344,94 @@ object DedupQueries {
        |SELECT cluster, n_docs, doc_id AS keep_id, quality_ppm AS keep_quality_ppm
        |FROM r2 WHERE rn = 1 ORDER BY cluster""".stripMargin
 
+  // ---------------------------------------------------------------- q193
+  /** Cluster-safe train/val/test split with a leakage audit — the
+    * splitting step q97 and the dedup family jointly exist for but
+    * neither finishes: q97's per-DOC hash split puts near-duplicate
+    * documents on opposite sides of the train/test boundary (the
+    * classic eval-contamination leak — the model "generalizes" to test
+    * docs it effectively trained on), while this query assigns whole
+    * q101 near-dup CLUSTERS to splits by hashing the cluster label, so
+    * a verified near-dup pair can never straddle a boundary. The audit
+    * rides in the result: for the q66 verified pair set, how many pairs
+    * straddle splits under the naive per-doc scheme vs the cluster-safe
+    * scheme — the latter is ZERO BY CONSTRUCTION (same label → same
+    * split), and the oracle proves it rather than asserting it.
+    *
+    * Scale shape: pairs + components are exactly q101's machinery
+    * (bucketed LSH, never all-pairs; distributed label propagation);
+    * split assignment is a map-only projection over the (node, label)
+    * frame; the leakage join is two doc_id-keyed shuffle joins of the
+    * pair list against the assignment (linear in |pairs|); the censuses
+    * are 3-row hash aggs. Same md5-bucket split rule as q97, so the
+    * naive arm of this query IS q97's assignment, re-audited. */
+  private val q193: Q = (s, d) => {
+    import graft.functions.PortableHash.md5Bucket60
+    def splitOf(c: Column): Column =
+      when(c < 80, "train").when(c < 90, "val").otherwise("test")
+    val pairs = lshVerifiedPairs(s, d).select(col("id_a"), col("id_b"))
+    val nodes = Tables.documents(s, d).select(col("doc_id"))
+    val assign = graft.operators.ConnectedComponents.run(nodes, pairs)
+      .select(col("node").as("doc_id"),
+        splitOf(md5Bucket60(col("node").cast("string")) % 100).as("naive_split"),
+        splitOf(md5Bucket60(col("label").cast("string")) % 100).as("safe_split"))
+    val leak = pairs
+      .join(assign.select(col("doc_id").as("id_a"),
+        col("naive_split").as("na"), col("safe_split").as("sa")), Seq("id_a"))
+      .join(assign.select(col("doc_id").as("id_b"),
+        col("naive_split").as("nb"), col("safe_split").as("sb")), Seq("id_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum(when(col("na") =!= col("nb"), 1L).otherwise(0L)), lit(0L))
+          .as("naive_leaked"),
+        coalesce(sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)), lit(0L))
+          .as("safe_leaked"))
+    assign.groupBy(col("naive_split").as("split"))
+      .agg(count(lit(1)).as("naive_docs"))
+      .join(assign.groupBy(col("safe_split").as("split"))
+        .agg(count(lit(1)).as("safe_docs")), Seq("split"), "full_outer")
+      .crossJoin(leak)
+      .select(col("split"),
+        coalesce(col("naive_docs"), lit(0L)).as("naive_docs"),
+        coalesce(col("safe_docs"), lit(0L)).as("safe_docs"),
+        col("n_pairs"), col("naive_leaked"), col("safe_leaked"))
+      .orderBy(col("split"))
+  }
+
+  private val q193Sql = {
+    def splitOf(key: String): String =
+      s"""CASE WHEN CAST(('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 15)) AS BIGINT)
+         |       % 100 < 80 THEN 'train'
+         |     WHEN CAST(('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 15)) AS BIGINT)
+         |       % 100 < 90 THEN 'val' ELSE 'test' END""".stripMargin
+    s"""WITH RECURSIVE $lshPairsCte,
+       |e AS (SELECT id_a AS u, id_b AS v FROM p
+       |      UNION ALL SELECT id_b AS u, id_a AS v FROM p),
+       |reach AS (SELECT doc_id AS node, doc_id AS r FROM documents
+       |          UNION
+       |          SELECT e.u AS node, reach.r FROM e JOIN reach ON reach.node = e.v),
+       |lab AS (SELECT node, MIN(r) AS cluster FROM reach GROUP BY node),
+       |asg AS (SELECT node AS doc_id,
+       |          ${splitOf("node")} AS naive_split,
+       |          ${splitOf("cluster")} AS safe_split
+       |        FROM lab),
+       |leak AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |    CAST(COALESCE(SUM(CASE WHEN a.naive_split <> b.naive_split
+       |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS naive_leaked,
+       |    CAST(COALESCE(SUM(CASE WHEN a.safe_split <> b.safe_split
+       |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS safe_leaked
+       |  FROM p JOIN asg a ON a.doc_id = p.id_a JOIN asg b ON b.doc_id = p.id_b),
+       |nc AS (SELECT naive_split AS split, CAST(COUNT(*) AS BIGINT) AS naive_docs
+       |       FROM asg GROUP BY 1),
+       |sc AS (SELECT safe_split AS split, CAST(COUNT(*) AS BIGINT) AS safe_docs
+       |       FROM asg GROUP BY 1)
+       |SELECT COALESCE(nc.split, sc.split) AS split,
+       |  COALESCE(nc.naive_docs, 0) AS naive_docs,
+       |  COALESCE(sc.safe_docs, 0) AS safe_docs,
+       |  leak.n_pairs, leak.naive_leaked, leak.safe_leaked
+       |FROM nc FULL OUTER JOIN sc ON sc.split = nc.split CROSS JOIN leak
+       |ORDER BY split""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q38 (no oracle: SimHash)
   /** 64-bit SimHash over distinct words + Hamming distance to doc_id+1.
     * Near-dups have small Hamming distance; the per-doc signature is the
@@ -814,6 +902,7 @@ object DedupQueries {
     "q66_minhash_lsh_verified" -> q66,
     "q67_simhash_portable" -> q67,
     "q101_dedup_clusters" -> q101,
+    "q193_cluster_safe_split" -> q193,
     "q103_containment_join" -> q103,
     "q115_canonical_dedup" -> q115)
 
@@ -840,6 +929,7 @@ object DedupQueries {
     "q36_jaccard_consecutive" -> q36Sql,
     "q66_minhash_lsh_verified" -> q66Sql,
     "q101_dedup_clusters" -> q101Sql,
+    "q193_cluster_safe_split" -> q193Sql,
     "q103_containment_join" -> q103Sql,
     "q115_canonical_dedup" -> q115Sql,
     "q67_simhash_portable" -> q67Sql)
