@@ -101,8 +101,14 @@ object GraphQueries {
     for (_ <- 1 to 3) {
       val step = dist.join(sym, col("node") === col("x"))
         .select(col("y").as("node"), (col("dist") + 1L).as("dist"))
+      // round r references dist_{r-1} TWICE (union arm + relaxation join),
+      // so without truncation the plan doubles per round and the final
+      // census re-executes the whole chain (the q187 lesson; measured
+      // 11.0 s → 0.9 s isolated at sf1). Blocks are one (node, dist) row
+      // per reached node, freed with the frame.
       dist = dist.unionByName(step).groupBy(col("node"))
         .agg(min(col("dist")).as("dist"))
+        .localCheckpoint(false)
     }
     part.select(col("p_partkey").as("node"))
       .join(dist, Seq("node"), "left")
@@ -195,8 +201,14 @@ object GraphQueries {
         .groupBy(col("node"))
         .agg(min(PackedArgMin.pack(-col("c"), col("label"), 40)).as("w"))
         .select(col("node"), PackedArgMin.payload(col("w"), 40).as("won"))
+      // same truncation discipline as q179/q187: round r references
+      // lab_{r-1} twice (vote join + fallback coalesce join), so the
+      // un-checkpointed chain grows geometrically and re-executes per
+      // consumer (measured 14.1 s → 0.9 s isolated at sf1). One (node,
+      // label) row per part through the block manager per round.
       lab = lab.join(won, Seq("node"), "left")
         .select(col("node"), coalesce(col("won"), col("label")).as("label"))
+        .localCheckpoint(false)
     }
     lab.groupBy(col("label")).agg(count(lit(1)).as("sz"))
       .groupBy(col("sz"))
