@@ -98,25 +98,28 @@ object GraphQueries {
     val part = Tables.part(s, d)
     var dist = part.filter(col("p_size") === 1)
       .select(col("p_partkey").as("node"), lit(0L).as("dist"))
+    // round r references dist_{r-1} TWICE (union arm + relaxation join),
+    // so without truncation the plan doubles per round and the final
+    // census re-executes the whole chain (measured 11.0 s → 0.9 s
+    // isolated at sf1); the tracked release below keeps those blocks
+    // from outliving construction and evicting neighbours' working sets
+    // (the CheckpointTracker contract).
+    val ck = new graft.operators.CheckpointTracker(dist)
     for (_ <- 1 to 3) {
       val step = dist.join(sym, col("node") === col("x"))
         .select(col("y").as("node"), (col("dist") + 1L).as("dist"))
-      // round r references dist_{r-1} TWICE (union arm + relaxation join),
-      // so without truncation the plan doubles per round and the final
-      // census re-executes the whole chain (the q187 lesson; measured
-      // 11.0 s → 0.9 s isolated at sf1). Blocks are one (node, dist) row
-      // per reached node, freed with the frame.
-      dist = dist.unionByName(step).groupBy(col("node"))
-        .agg(min(col("dist")).as("dist"))
-        .localCheckpoint(false)
+      dist = ck.lazyCkpt(dist.unionByName(step).groupBy(col("node"))
+        .agg(min(col("dist")).as("dist")))
     }
-    part.select(col("p_partkey").as("node"))
+    val census = part.select(col("p_partkey").as("node"))
       .join(dist, Seq("node"), "left")
       .select(col("node"), coalesce(col("dist"), lit(-1L)).as("dist"))
       .groupBy(col("dist"))
       .agg(count(lit(1)).as("n_nodes"),
         min(col("node")).as("min_part"), max(col("node")).as("max_part"))
-      .orderBy(col("dist"))
+      .localCheckpoint(true)   // one action runs the whole relaxation
+    ck.releaseAll()
+    census.orderBy(col("dist"))
   }
 
   private val q179Sql = {
@@ -183,6 +186,7 @@ object GraphQueries {
       .unionByName(ed.select(col("y").as("x"), col("x").as("y")))
     var lab = Tables.part(s, d)
       .select(col("p_partkey").as("node"), col("p_partkey").as("label"))
+    val ck = new graft.operators.CheckpointTracker(lab)
     for (round <- 1 to 3) {
       import graft.functions.PackedArgMin
       // Round 1's labels are the IDENTITY map over the part universe (and
@@ -204,17 +208,19 @@ object GraphQueries {
       // same truncation discipline as q179/q187: round r references
       // lab_{r-1} twice (vote join + fallback coalesce join), so the
       // un-checkpointed chain grows geometrically and re-executes per
-      // consumer (measured 14.1 s → 0.9 s isolated at sf1). One (node,
+      // consumer (measured 14.1 s → 0.9 s isolated at sf1); tracked and
+      // released below per the CheckpointTracker contract. One (node,
       // label) row per part through the block manager per round.
-      lab = lab.join(won, Seq("node"), "left")
-        .select(col("node"), coalesce(col("won"), col("label")).as("label"))
-        .localCheckpoint(false)
+      lab = ck.lazyCkpt(lab.join(won, Seq("node"), "left")
+        .select(col("node"), coalesce(col("won"), col("label")).as("label")))
     }
-    lab.groupBy(col("label")).agg(count(lit(1)).as("sz"))
+    val census = lab.groupBy(col("label")).agg(count(lit(1)).as("sz"))
       .groupBy(col("sz"))
       .agg(count(lit(1)).as("n_communities"),
         min(col("label")).as("min_label"), max(col("label")).as("max_label"))
-      .orderBy(col("sz"))
+      .localCheckpoint(true)   // one action runs the three rounds
+    ck.releaseAll()
+    census.orderBy(col("sz"))
   }
 
   private val q184Sql = {
@@ -285,24 +291,24 @@ object GraphQueries {
         col("a.o") === col("b.o") && col("a.p") < col("b.p"))
       .select(col("a.p").as("x"), col("b.p").as("y")).distinct()
     var edges = ed
+    val ck = new graft.operators.CheckpointTracker(ed)
     val rounds = (1 to 3).map { r =>
-      val keep = edges.select(col("x").as("node"))
+      val keep = ck.lazyCkpt(edges.select(col("x").as("node"))
         .unionByName(edges.select(col("y").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= K)
-        .select(col("node"))
-        .localCheckpoint(false)
+        .select(col("node")))
       // the surviving edge list is ALSO lazily checkpointed: round r's
       // census and round r+1's degree agg both read it, and without the
       // truncation the round-3 census re-executes all six semi joins of
       // the chain (measured 4.3 s → 1.1 s isolated at sf1; blocks are
-      // ≤|E| (x, y) pairs per round — ~50 MB at sf1, freed with the frame)
-      val e2 = edges
+      // ≤|E| (x, y) pairs per round — ~50 MB at sf1, tracked and
+      // released below per the CheckpointTracker contract)
+      val e2 = ck.lazyCkpt(edges
         .join(keep.select(col("node").as("kx")),
           col("x") === col("kx"), "left_semi")
         .join(keep.select(col("node").as("ky")),
-          col("y") === col("ky"), "left_semi")
-        .localCheckpoint(false)
+          col("y") === col("ky"), "left_semi"))
       edges = e2
       keep.agg(count(lit(1)).as("n_nodes"),
           min(col("node")).as("min_node"), max(col("node")).as("max_node"))
@@ -310,7 +316,10 @@ object GraphQueries {
         .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_edges"),
           col("min_node"), col("max_node"))
     }
-    rounds.reduce(_ unionByName _).orderBy(col("round"))
+    val census = rounds.reduce(_ unionByName _)
+      .localCheckpoint(true)   // one action runs the whole peel
+    ck.releaseAll()
+    census.orderBy(col("round"))
   }
 
   private val q187Sql = {
