@@ -22,8 +22,14 @@ import org.apache.spark.sql.SparkSession
   * shape, not one giant catch-up batch. Loopback HTTP means numbers
   * measure the PIPELINE (wire parse, decode, sink writes), not network.
   *
+  * Round 12 adds the STATE-BEARING runs ([[runStateful]]): the q185 twin
+  * `StreamingTransition` off the same wire source, with RocksDB state,
+  * per-trigger `numRowsTotal` flatness asserted (state = one row per
+  * user) and the pair-count identity (`records − users`) as the
+  * exactly-once check.
+  *
   * Usage: `runMain graft.StreamBench [outPath]` (default
-  * STREAMBENCH_r11.json). Prints one JSON line and writes it to outPath.
+  * STREAMBENCH_r12.json). Prints one JSON line and writes it to outPath.
   */
 object StreamBench {
 
@@ -89,8 +95,90 @@ object StreamBench {
       esDocs = esDocs, splunkLines = splunkLines)
   }
 
+  // ------------------------------------------------------------ stateful
+  private def eventJson(user: Long, ts: Long, eid: Long, etype: String): String =
+    s"""{"user_id": $user, "ts": $ts, "event_id": $eid, "event_type": "$etype"}"""
+
+  private final case class StatefulResult(label: String, shards: Int,
+      records: Long, users: Long, wallSec: Double, recordsPerSec: Double,
+      triggers: Int, stateRowsPerTrigger: Seq[Long], stateBytesMax: Long,
+      pairs: Long, expectedPairs: Long)
+
+  /** Drive the STATE-BEARING twin ([[graft.streaming.StreamingTransition]],
+    * q185's continuous journey-flow monitor) through the same loopback
+    * Kinesis wire harness as the fan-out runs — the round-11 verdict's
+    * missing artifact: the committed throughput number never exercised
+    * RocksDB state (`state_rows: 0`, the fan-out job is stateless).
+    *
+    * Fixture: per shard, `perShard` events round-robined over
+    * `usersPerShard` shard-local users with per-user increasing `ts` —
+    * shard-local users keep each user's stream inside one shard's
+    * sequence order, discharging the twin's documented per-user-monotone
+    * arrival contract on the wire (a production deployment discharges it
+    * by partition-keying the stream on user). Every user appears in the
+    * first poll page, so `numRowsTotal` must be FLAT at shards ×
+    * usersPerShard across every data trigger — asserted below: state is
+    * O(#users), not O(stream length).
+    *
+    * Exactly-once check rides the arithmetic: a user with k events emits
+    * exactly k−1 transition pairs, so sink rows must equal records −
+    * users after quiescence. */
+  private def runStateful(spark: SparkSession, label: String, shards: Int,
+      perShard: Int, usersPerShard: Int, limitPerPoll: Int,
+      maxPollsPerShard: Int): StatefulResult = {
+    import spark.implicits._
+    require(perShard % usersPerShard == 0, "even events-per-user keeps the pair count exact")
+    val fixture = (0 until shards).map { s =>
+      f"shardId-$s%012d" -> (0 until perShard).map { i =>
+        val user = s.toLong * usersPerShard + i % usersPerShard
+        b64(eventJson(user, ts = i.toLong / usersPerShard, eid = s.toLong * perShard + i,
+          etype = "t" + (i % 7)))
+      }.toIndexedSeq
+    }
+    val server = new LoopbackKinesisServer(s"sb-state-$label", fixture)
+    val endpoint = server.start()
+    val (outDir, ckpt) = (tmp(s"sb_state_out_$label"), tmp(s"sb_state_ckpt_$label"))
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val raw = graft.sources.KinesisMicroBatchSource
+        .readStream(spark, endpoint, s"sb-state-$label", limitPerPoll, maxPollsPerShard)
+      val schema = "user_id BIGINT, ts BIGINT, event_id BIGINT, event_type STRING"
+      val parsed = raw
+        .select(org.apache.spark.sql.functions.from_json(
+          org.apache.spark.sql.functions.unbase64(
+            org.apache.spark.sql.functions.col("data")).cast("string"),
+          org.apache.spark.sql.types.StructType.fromDDL(schema)).as("j"))
+        .select("j.user_id", "j.ts", "j.event_id", "j.event_type")
+        .as[(Long, Long, Long, String)]
+      val t0 = System.nanoTime()
+      val q = graft.streaming.StreamingTransition.pairs(parsed)
+        .toDF("from_type", "to_type")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+      q.processAllAvailable()
+      val wallSec = (System.nanoTime() - t0) / 1e9
+      val progress = q.recentProgress.toSeq
+      q.stop()
+      server.stop()
+      val total = shards.toLong * perShard
+      val users = shards.toLong * usersPerShard
+      val dataBatches = progress.filter(_.numInputRows > 0)
+      val statePerTrigger = dataBatches.map(_.stateOperators.map(_.numRowsTotal).sum)
+      val stateBytesMax = progress.flatMap(_.stateOperators.map(_.memoryUsedBytes))
+        .reduceOption(_ max _).getOrElse(0L)
+      val pairs = spark.read.parquet(outDir).count()
+      StatefulResult(label, shards, total, users, wallSec,
+        recordsPerSec = total / wallSec, triggers = dataBatches.size,
+        stateRowsPerTrigger = statePerTrigger, stateBytesMax = stateBytesMax,
+        pairs = pairs, expectedPairs = total - users)
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   def main(args: Array[String]): Unit = {
-    val out = args.headOption.getOrElse("STREAMBENCH_r11.json")
+    val out = args.headOption.getOrElse("STREAMBENCH_r12.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -125,9 +213,34 @@ object StreamBench {
       s"steady lost records: es=${steady.esDocs} splunk=${steady.splunkLines} of ${steady.records}")
     require(burst.esDocs == burst.records && burst.splunkLines == burst.records,
       s"burst lost records: es=${burst.esDocs} splunk=${burst.splunkLines} of ${burst.records}")
+    // State-bearing runs (RocksDB via transformWithState) at two rates.
+    val stateSteady = runStateful(spark, "state_steady", shards = 4,
+      perShard = 5000, usersPerShard = 500, limitPerPoll = 500, maxPollsPerShard = 2)
+    val stateBurst = runStateful(spark, "state_burst", shards = 8,
+      perShard = 10000, usersPerShard = 1000, limitPerPoll = 500, maxPollsPerShard = 10)
+    def checkStateful(r: StatefulResult): Unit = {
+      require(r.pairs == r.expectedPairs,
+        s"${r.label} pair count off: ${r.pairs} vs expected ${r.expectedPairs} " +
+          s"(records=${r.records}, users=${r.users}) — lost or duplicated state transitions")
+      require(r.stateRowsPerTrigger.nonEmpty &&
+          r.stateRowsPerTrigger.forall(_ == r.users),
+        s"${r.label} state not flat at one row per user: " +
+          s"${r.stateRowsPerTrigger.mkString(",")} vs ${r.users} users")
+    }
+    checkStateful(stateSteady)
+    checkStateful(stateBurst)
+    def js(r: StatefulResult): String =
+      s"""{"label":"${r.label}","shards":${r.shards},"records":${r.records},""" +
+        s""""users":${r.users},"wall_sec":${"%.3f".format(r.wallSec)},""" +
+        s""""records_per_sec":${"%.1f".format(r.recordsPerSec)},""" +
+        s""""triggers":${r.triggers},""" +
+        s""""state_rows_per_trigger":[${r.stateRowsPerTrigger.mkString(",")}],""" +
+        s""""state_bytes_max":${r.stateBytesMax},""" +
+        s""""pairs":${r.pairs},"expected_pairs":${r.expectedPairs}}"""
     val line =
       s"""{"metric":"stream_fanout_throughput","unit":"records_per_sec",""" +
-        s""""runs":[${j(steady)},${j(burst)}]}"""
+        s""""runs":[${j(steady)},${j(burst)}],""" +
+        s""""stateful_runs":[${js(stateSteady)},${js(stateBurst)}]}"""
     println(line)
     Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes("UTF-8"))

@@ -23,12 +23,34 @@ import org.apache.spark.sql.DataFrame
 final class CheckpointTracker(df0: DataFrame) {
   private val sc = df0.sparkSession.sparkContext
   private val mine = scala.collection.mutable.LinkedHashSet[Int]()
+  private var last: Set[Int] = Set.empty
 
-  /** Lazily checkpoint an intermediate frame, tracking its blocks. */
+  /** Ids registered by the most recent [[lazyCkpt]] call — lets an
+    * iterative loop release round r−1's blocks right after round r's
+    * action materializes (the PageRankInt per-round pattern), instead of
+    * letting every round's blocks pile up until releaseAll(). */
+  def lastCkpt: Set[Int] = last
+
+  /** Lazily checkpoint an intermediate frame, tracking its blocks.
+    *
+    * The delta MUST be exactly the one RDD this `localCheckpoint` call
+    * registered: the keySet diff is process-global, so a concurrent
+    * persist on the shared SparkContext would be misattributed to this
+    * tracker and `releaseAll()` would unpersist a foreign builder's
+    * blocks — for a localCheckpoint those are UNRECOMPUTABLE (lineage
+    * truncated), failing that consumer's job instead of recomputing.
+    * Fail loudly here rather than corrupt a neighbour later. */
   def lazyCkpt(df: DataFrame): DataFrame = {
     val before = sc.getPersistentRDDs.keySet
     val out = df.localCheckpoint(false)
-    mine ++= sc.getPersistentRDDs.keySet.diff(before)
+    val added = sc.getPersistentRDDs.keySet.diff(before)
+    require(added.size == 1,
+      s"CheckpointTracker.lazyCkpt expected exactly one new persistent RDD, " +
+        s"saw ${added.size} (ids=${added.toSeq.sorted.mkString(",")}) — a concurrent " +
+        "persist on this SparkContext would make releaseAll() unpersist foreign, " +
+        "unrecomputable checkpoint blocks; serialize query construction")
+    mine ++= added
+    last = added.toSet
     out
   }
 

@@ -112,12 +112,28 @@ object ConnectedComponents {
       StructField("label", LongType, nullable = false))))
   }
 
-  /** Distributed min-label propagation + one-hop compression. */
+  /** Distributed min-label propagation + one-hop compression.
+    *
+    * Per-round frames go through [[CheckpointTracker.lazyCkpt]], not
+    * `.persist`: persist caches EXECUTION but the round-r logical plan
+    * still embeds round r−1 four-to-five times (two joins + the
+    * compression self-join), so analysis/canonicalization cost grows
+    * geometrically with rounds — the q187/q179/q184 lineage blowup, here
+    * one layer down. The lazy checkpoint truncates the plan to a
+    * LogicalRDD immediately; each round's convergence action (the label
+    * sum) materializes its blocks, after which the PREVIOUS round's
+    * blocks are dead and released — bounded plan depth AND bounded
+    * block-manager footprint at any round count. */
   private def propagate(both: DataFrame, allNodes: DataFrame,
       touched: DataFrame, maxIters: Int): DataFrame = {
-    var labels = allNodes.join(touched, Seq("node"), "left_semi")
-      .select(col("node"), col("node").as("label"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tracker = new CheckpointTracker(both)
+    def release(dead: Set[Int]): Unit = {
+      val live = both.sparkSession.sparkContext.getPersistentRDDs
+      dead.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
+    }
+    var labels = tracker.lazyCkpt(allNodes.join(touched, Seq("node"), "left_semi")
+      .select(col("node"), col("node").as("label")))
+    var prevBlocks = tracker.lastCkpt
     // Sentinel, not a measured sum: label sums are non-negative, so -1
     // never matches and the first round runs unconditionally.
     var prevSum = -1L
@@ -132,13 +148,17 @@ object ConnectedComponents {
         .select(col("node"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
       // one-hop compression: label := label(label). label(x) <= x, so the
       // looked-up value can only be smaller.
-      val next = stepped.as("a")
+      val next = tracker.lazyCkpt(stepped.as("a")
         .join(stepped.select(col("node").as("l2node"), col("label").as("l2")).as("b"),
           col("a.label") === col("l2node"))
-        .select(col("a.node").as("node"), col("l2").as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .select(col("a.node").as("node"), col("l2").as("label")))
+      val thisBlocks = tracker.lastCkpt
+      // The sum is the convergence metric AND the action that materializes
+      // this round's lazy blocks; only after it returns is the previous
+      // round's frame dead (next no longer recomputes through it).
       val s = next.agg(sum(col("label"))).head().getLong(0)
-      labels.unpersist()
+      release(prevBlocks)
+      prevBlocks = thisBlocks
       labels = next
       converged = s == prevSum
       prevSum = s
@@ -149,20 +169,21 @@ object ConnectedComponents {
     // caller WRONG components. Fail fast like Bench's prefix-collision
     // require — maxIters is a runaway bound, not an accuracy dial.
     if (!converged) {
-      labels.unpersist()
+      tracker.releaseAll()
       throw new IllegalStateException(
         s"connected components did not reach the min-label fixpoint in $maxIters rounds; " +
           "raise maxIters (rounds needed ~ log2 of the largest component's diameter)")
     }
-    // Hand back the final labels WITHOUT leaving a CacheManager entry
-    // behind: localCheckpoint materializes the result and truncates the
-    // loop's lineage (so unpersisting the last round's cache below cannot
-    // trigger a full recompute), its blocks are released by GC/ContextCleaner
-    // when the caller drops the frame, and — unlike .persist — it is never
-    // silently substituted into later identical plans by CacheManager (the
-    // bench-honesty trap the eager edge-list unpersist in run() guards).
+    // Hand back the final labels WITHOUT leaving tracked blocks behind:
+    // the eager localCheckpoint copies the (already materialized) final
+    // round out of the tracker's blocks, truncates its lineage (so the
+    // releaseAll below cannot trigger a recompute), its blocks are
+    // released by GC/ContextCleaner when the caller drops the frame, and —
+    // unlike .persist — it is never silently substituted into later
+    // identical plans by CacheManager (the bench-honesty trap the eager
+    // edge-list unpersist in run() guards).
     val out = labels.localCheckpoint(true)
-    labels.unpersist()
+    tracker.releaseAll()
     out
   }
 }

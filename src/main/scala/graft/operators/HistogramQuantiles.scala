@@ -35,6 +35,13 @@ import org.apache.spark.sql.functions._
   * Ties are handled by multiset rank semantics: the k-th order statistic of
   * the column as a sorted multiset, exactly what `ROW_NUMBER() OVER (ORDER
   * BY x)` + `rn = k` selects regardless of tie order.
+  *
+  * Lineage audit (round-12 iterative-operator sweep): FLAT by
+  * construction, no CheckpointTracker needed — every refinement pass
+  * builds a fresh single-scan plan directly from the caller's `df`
+  * (scan → explode(≤T cells) → hash agg → driver collect); the state
+  * carried between passes is the T·B Long histogram plus interval
+  * bounds, which live on the DRIVER, never in a DataFrame lineage.
   */
 object HistogramQuantiles {
 

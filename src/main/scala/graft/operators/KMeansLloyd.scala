@@ -26,6 +26,14 @@ import org.apache.spark.sql.functions._
   * round-trip is k·dim longs), one codegen map over N vectors, and one
   * (cid, pos)-keyed hash aggregate — no all-pairs, no global sort. The
   * classic Spark Lloyd loop; iterations are a fixed small constant.
+  *
+  * Lineage audit (round-12 iterative-operator sweep): FLAT by
+  * construction, no CheckpointTracker needed — the only state carried
+  * between rounds is the centroid frame, and [[localize]] rebuilds it as
+  * a LocalRelation every round, so the round-r assignment plan is always
+  * exactly `scan → crossJoin(local k·dim relation) → hash agg`, never a
+  * function of r. (Contrast ConnectedComponents.propagate / PageRankInt,
+  * whose carried state is data-sized and must be checkpointed.)
   */
 object KMeansLloyd {
 

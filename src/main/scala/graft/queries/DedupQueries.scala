@@ -369,12 +369,22 @@ object DedupQueries {
     import graft.functions.PortableHash.md5Bucket60
     def splitOf(c: Column): Column =
       when(c < 80, "train").when(c < 90, "val").otherwise("test")
-    val pairs = lshVerifiedPairs(s, d).select(col("id_a"), col("id_b"))
+    // The LSH chain is the expensive part and has TWO consumers here
+    // (ConnectedComponents.run materializes its own copy internally, then
+    // the leakage join walks the pairs again) — checkpoint it ONCE lazily;
+    // run()'s edge count materializes the blocks, the leak join reuses
+    // them, and the tracker releases everything after the final (6-row)
+    // frame is eagerly cut loose. Same for `assign`, which feeds four
+    // consumers (two censuses + both sides of the leak join).
+    val tracker = new graft.operators.CheckpointTracker(Tables.documents(s, d))
+    val pairs = tracker.lazyCkpt(
+      lshVerifiedPairs(s, d).select(col("id_a"), col("id_b")))
     val nodes = Tables.documents(s, d).select(col("doc_id"))
-    val assign = graft.operators.ConnectedComponents.run(nodes, pairs)
-      .select(col("node").as("doc_id"),
-        splitOf(md5Bucket60(col("node").cast("string")) % 100).as("naive_split"),
-        splitOf(md5Bucket60(col("label").cast("string")) % 100).as("safe_split"))
+    val assign = tracker.lazyCkpt(
+      graft.operators.ConnectedComponents.run(nodes, pairs)
+        .select(col("node").as("doc_id"),
+          splitOf(md5Bucket60(col("node").cast("string")) % 100).as("naive_split"),
+          splitOf(md5Bucket60(col("label").cast("string")) % 100).as("safe_split")))
     val leak = pairs
       .join(assign.select(col("doc_id").as("id_a"),
         col("naive_split").as("na"), col("safe_split").as("sa")), Seq("id_a"))
@@ -385,7 +395,7 @@ object DedupQueries {
           .as("naive_leaked"),
         coalesce(sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)), lit(0L))
           .as("safe_leaked"))
-    assign.groupBy(col("naive_split").as("split"))
+    val out = assign.groupBy(col("naive_split").as("split"))
       .agg(count(lit(1)).as("naive_docs"))
       .join(assign.groupBy(col("safe_split").as("split"))
         .agg(count(lit(1)).as("safe_docs")), Seq("split"), "full_outer")
@@ -395,6 +405,11 @@ object DedupQueries {
         coalesce(col("safe_docs"), lit(0L)).as("safe_docs"),
         col("n_pairs"), col("naive_leaked"), col("safe_leaked"))
       .orderBy(col("split"))
+      // One eager action runs the whole pipeline while the lazy blocks are
+      // alive; the ≤3-row result outlives them (CheckpointTracker contract).
+      .localCheckpoint(true)
+    tracker.releaseAll()
+    out
   }
 
   private val q193Sql = {

@@ -29,6 +29,22 @@ object SimilarityQueries {
     * remaining ties totally. */
   private val Scale = 4
 
+  /** Embeddings input for the binary-quantization pair (q188/q192), whose
+    * Spark↔oracle identity silently assumes exactly-64-dim, finite,
+    * non-null vector elements: DuckDB's zipped UNNEST pads a shorter array
+    * with NULLs (the sign mismatch counts as 0) where [[graft.functions
+    * .SignBitsF]] leaves the bit clear (counts as 1), and DuckDB evaluates
+    * `NaN > 0` as true where Java's `Float.isNaN` comparison says false.
+    * The guard turns that precondition from an implicit assumption into an
+    * executor-side loud failure; it rides the scan as a tautological
+    * predicate (Guard.require), costing no extra pass. */
+  private def bq64Embeddings(s: SparkSession, d: String): DataFrame =
+    graft.functions.Guard.require(Tables.embeddings(s, d),
+      size(col("embedding")) === 64 &&
+        !exists(col("embedding"), x => x.isNull || isnan(x)),
+      "BQ sign-bit oracle identity requires exactly-64-dim, finite, " +
+        "non-null embedding elements (see bq64Embeddings)")
+
   // ---------------------------------------------------------------- q40
   private val q40: Q = (s, d) => {
     VectorOps.register(s)
@@ -871,7 +887,7 @@ object SimilarityQueries {
   private val q188: Q = (s, d) => {
     VectorOps.register(s)
     graft.functions.TopKPairs.register(s)
-    val e = Tables.embeddings(s, d)
+    val e = bq64Embeddings(s, d)
     val b = e.select(col("vec_id"), expr("sign_bits_f(embedding)").as("bits"))
     val qs = b.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("bits").as("q_bits"))
@@ -947,7 +963,7 @@ object SimilarityQueries {
   private val q192: Q = (s, d) => {
     VectorOps.register(s)
     graft.functions.TopKPairs.register(s)
-    val e = Tables.embeddings(s, d)
+    val e = bq64Embeddings(s, d)
     val b = e.select(col("vec_id"), expr("sign_bits_f(embedding)").as("bits"))
     val qs = b.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("bits").as("q_bits"))

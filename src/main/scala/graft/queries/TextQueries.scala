@@ -915,6 +915,105 @@ object TextQueries {
       |SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt FROM p GROUP BY pair
       |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- q194
+  /** Full multi-round BPE vocabulary learning — the TRAINER that q138
+    * (one merge round) and q127 (vocab encode) bracket but neither
+    * completes: K rounds of "count adjacent symbol pairs over the
+    * vocabulary, apply the argmax merge everywhere, repeat", i.e. the
+    * actual byte-pair-encoding training loop (Sennrich et al. 2016;
+    * the algorithm GPT-2/BPE tokenizers train with). Output: the first
+    * K=8 learned merges as (merge_round, lhs, rhs, merged, cnt) —
+    * weighted by word frequency, with the (cnt DESC, encoded-pair ASC)
+    * tie-break replayed identically by the oracle's K unrolled CTE
+    * rounds. Cross-checked against an independent tuple-based BPE
+    * reference implementation at sf0.01 (identical 8 merges).
+    *
+    * Representation: each word's symbol sequence is a sentinel-wrapped
+    * string `<h><e><l><l><o>` (symbols restricted to `^[a-z]{2,}$`
+    * words, so `<`/`>` never collide with symbol text). The merge step
+    * is then ONE `replace(enc, '<a><b>', '<ab>')` — string replace is
+    * left-to-right non-overlapping in both Spark (Java String.replace)
+    * and DuckDB, which is EXACTLY greedy BPE merge order ("aaa" + merge
+    * (a,a) → [aa, a], never [a, aa]), so the engines agree on every
+    * boundary case by construction rather than by luck.
+    *
+    * Scale shape (the q138 contract, iterated): the corpus-sized work
+    * stays ONE word hash aggregate regardless of K; every round's
+    * pair-count + argmax + merge runs over the DISTINCT VOCABULARY
+    * (thousands of rows carrying corpus counts as weights — vocab ×
+    * word-length work per round, corpus-free). Per-round frames go
+    * through CheckpointTracker.lazyCkpt (the round-12 iterative
+    * discipline): round r's argmax action materializes round r−1's
+    * blocks, the plan stays one projection deep, and every tracked
+    * block is released once the K merges (a driver-local K×5 result)
+    * are collected. The argmax itself is a 1-row TakeOrdered collect —
+    * the adaptivePlanes class of bounded driver scalar. */
+  private val BpeRounds = 8
+
+  private val q194: Q = (s, d) => {
+    val tracker = new graft.operators.CheckpointTracker(Tables.documents(s, d))
+    var vocab = tracker.lazyCkpt(Tables.documents(s, d)
+      .select(explode(expr("filter(split(text, ' '), x -> x rlike '^[a-z]{2,}$')")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .select(expr("regexp_replace(w, '(.)', '<$1>')").as("enc"), col("n")))
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    for (r <- 1 to BpeRounds) {
+      val top = vocab
+        .withColumn("s", expr("regexp_extract_all(enc, '<([^>]*)>', 1)"))
+        .where(size(col("s")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(0, size(s) - 2), i -> concat('<', s[i], '><', s[i + 1], '>'))"))
+          .as("pat"))
+        .groupBy(col("pat")).agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pat")).limit(1)
+        .head()
+      val (pat, cnt) = (top.getString(0), top.getLong(1))
+      // symbols are [a-z]+ by the word filter, so '><' splits unambiguously
+      // and the literals embedded below are injection-safe by construction
+      val Array(lhs, rhs) = pat.stripPrefix("<").stripSuffix(">").split("><")
+      merges += ((r.toLong, lhs, rhs, lhs + rhs, cnt))
+      if (r < BpeRounds)
+        vocab = tracker.lazyCkpt(vocab.select(
+          expr(s"replace(enc, '$pat', '<$lhs$rhs>') AS enc"), col("n")))
+    }
+    import s.implicits._
+    val out = merges.result().toDF("merge_round", "lhs", "rhs", "merged", "cnt")
+      .orderBy(col("merge_round"))
+    tracker.releaseAll()
+    out
+  }
+
+  /** K unrolled CTE rounds, each replaying the same pair-count → argmax →
+    * replace step; validated directly in DuckDB against the tuple-based
+    * reference trainer before wiring (graft-build-workflow checklist). */
+  private val q194Sql = {
+    def roundCte(r: Int): String = {
+      val prev = s"e${r - 1}"
+      s"""s$r AS (SELECT regexp_extract_all(enc, '<([^>]*)>', 1) AS s, n FROM $prev),
+         |p$r AS (SELECT UNNEST(list_transform(generate_series(1, len(s) - 1),
+         |          i -> '<' || s[i] || '><' || s[i+1] || '>')) AS pat, n
+         |        FROM s$r WHERE len(s) >= 2),
+         |c$r AS (SELECT pat, CAST(SUM(n) AS BIGINT) AS cnt FROM p$r GROUP BY pat),
+         |m$r AS (SELECT pat, cnt FROM c$r ORDER BY cnt DESC, pat LIMIT 1),
+         |e$r AS (SELECT replace(e.enc, m.pat, replace(m.pat, '><', '')) AS enc, e.n
+         |        FROM $prev e, m$r m)""".stripMargin
+    }
+    def finalSel(r: Int): String =
+      s"""SELECT CAST($r AS BIGINT) AS merge_round,
+         |  regexp_extract(pat, '^<([^>]*)>', 1) AS lhs,
+         |  regexp_extract(pat, '<([^>]*)>$$', 1) AS rhs,
+         |  replace(replace(replace(pat, '><', ''), '<', ''), '>', '') AS merged,
+         |  cnt FROM m$r""".stripMargin
+    """WITH wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      |    SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE regexp_matches(w, '^[a-z]{2,}$') GROUP BY w),
+      |e0 AS (SELECT regexp_replace(w, '(.)', '<\1>', 'g') AS enc, n FROM wc),
+      |""".stripMargin +
+      (1 to BpeRounds).map(roundCte).mkString(",\n") + "\n" +
+      (1 to BpeRounds).map(finalSel).mkString("\nUNION ALL\n") +
+      "\nORDER BY merge_round"
+  }
+
   // ---------------------------------------------------------------- q145
   /** Frequent co-occurring word pairs — the A-Priori first join step
     * (association mining over documents as baskets): only words frequent
@@ -1055,6 +1154,7 @@ object TextQueries {
     "q181_phrase_search" -> q181,
     "q145_copair_mining" -> q145,
     "q138_bpe_merge_candidates" -> q138,
+    "q194_bpe_vocab_trainer" -> q194,
     "q121_bigram_lm_surprisal" -> q121,
     "q118_token_accounting" -> q118,
     "q119_countmin_sketch" -> q119,
@@ -1079,6 +1179,7 @@ object TextQueries {
     "q181_phrase_search" -> q181Sql,
     "q145_copair_mining" -> q145Sql,
     "q138_bpe_merge_candidates" -> q138Sql,
+    "q194_bpe_vocab_trainer" -> q194Sql,
     "q121_bigram_lm_surprisal" -> q121Sql,
     "q118_token_accounting" -> q118Sql,
     "q119_countmin_sketch" -> q119Sql,

@@ -92,6 +92,34 @@ class QueryInventorySpec extends AnyFunSuite {
         qe.optimizedPlan.treeString.take(2000))
   }
 
+  test("every iterative query keeps a bounded executed plan (checkpoint discipline)") {
+    // The lineage blowup was rediscovered three separate times (q179, q184,
+    // q187: round-r frames embedding round r−1 four-to-five times → 5^r
+    // subtrees, 22k formatted lines, per-consumer re-execution). This pins
+    // the discipline for EVERY query built on an iterative operator:
+    //  - ConnectedComponents (q101/q115/q193): per-round lazy ckpt in propagate
+    //  - PageRankInt (q126): inline tracked lazy ckpt per interval
+    //  - BFS/LPA/k-core (q179/q184/q187): CheckpointTracker per round
+    //  - KMeansLloyd (q98/q108): flat — centroids localized per round
+    //  - HistogramQuantiles (q129/q174): flat — per-pass state is driver longs
+    // Bound chosen at ~4× the largest healthy plan observed (q187 ≈ 25k
+    // chars checkpointed vs ~1.4M un-checkpointed at 3 rounds).
+    val iterative = Seq(
+      "q98_kmeans_clusters", "q101_dedup_clusters", "q108_semdedup",
+      "q115_canonical_dedup", "q126_pagerank", "q129_quantiles_histogram",
+      "q174_equidepth_histogram", "q179_bfs_distance_census",
+      "q184_label_propagation", "q187_kcore_peel", "q193_cluster_safe_split",
+      "q194_bpe_vocab_trainer")
+    val oversize = iterative.flatMap { name =>
+      val len = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString.length
+      if (len >= 100000) Some(s"$name: $len chars") else None
+    }
+    assert(oversize.isEmpty,
+      s"iterative plans blew past the 100k-char bound (per-round checkpoint " +
+        s"lost?):\n${oversize.mkString("\n")}")
+  }
+
   test("q187's peel keeps a linear plan chain (checkpointed node lists, no SortAggregate)") {
     val qe = SparkEntry.queries("q187_kcore_peel")(spark, dir).queryExecution
     val exec = qe.executedPlan.toString
