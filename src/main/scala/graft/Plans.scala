@@ -85,7 +85,8 @@ object Plans {
     "q191_degree_assortativity" -> "assortativity: degree hash agg + two node-keyed joins attach (dx,dy) per arc, ONE map-side-combined 1-row moment aggregate; DECIMAL(38) products, Guard-enforced bounds",
     "q192_bq_recall_eval" -> "BQ recall audit: shortlist = q188 stage 1 (bounded heap), truth = q41 broadcast scan + per-QUERY window; recall join on <=30x|Q| rows",
     "q193_cluster_safe_split" -> "cluster-safe split: q101's LSH+components machinery, map-only split assignment, leakage join linear in |pairs|; safe arm leaks ZERO by construction",
-    "q194_bpe_vocab_trainer" -> "BPE trainer: corpus-sized work is ONE word hash agg regardless of K; each round's pair-count+argmax+merge is vocabulary-sized on a lazily checkpointed frame, merge = one string replace (greedy left-to-right in both engines)")
+    "q194_bpe_vocab_trainer" -> "BPE trainer: corpus-sized work is ONE word hash agg regardless of K; each round's pair-count+argmax+merge is vocabulary-sized on a lazily checkpointed frame, merge = one string replace (greedy left-to-right in both engines)",
+    "q195_bpe_tokenize_audit" -> "BPE tokenize audit: learned merges fold into ONE nested-replace projection over the DISTINCT vocab; corpus work = word explode + broadcast vocab join + doc-keyed hash agg")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

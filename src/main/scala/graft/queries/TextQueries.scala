@@ -950,11 +950,19 @@ object TextQueries {
     * the adaptivePlanes class of bounded driver scalar. */
   private val BpeRounds = 8
 
-  private val q194: Q = (s, d) => {
-    val tracker = new graft.operators.CheckpointTracker(Tables.documents(s, d))
-    var vocab = tracker.lazyCkpt(Tables.documents(s, d)
+  /** The eligible-word corpus count — the ONE corpus-sized pass both BPE
+    * queries share (everything downstream is vocabulary-sized). */
+  private def bpeWordCounts(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .select(explode(expr("filter(split(text, ' '), x -> x rlike '^[a-z]{2,}$')")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
+
+  /** Run the K-round training loop; returns (round, lhs, rhs, merged, cnt)
+    * per learned merge. Driver-local K×5 result; see q194 for the full
+    * scale/portability story. */
+  private def trainBpe(s: SparkSession, d: String): Seq[(Long, String, String, String, Long)] = {
+    val tracker = new graft.operators.CheckpointTracker(Tables.documents(s, d))
+    var vocab = tracker.lazyCkpt(bpeWordCounts(s, d)
       .select(expr("regexp_replace(w, '(.)', '<$1>')").as("enc"), col("n")))
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
     for (r <- 1 to BpeRounds) {
@@ -976,17 +984,22 @@ object TextQueries {
         vocab = tracker.lazyCkpt(vocab.select(
           expr(s"replace(enc, '$pat', '<$lhs$rhs>') AS enc"), col("n")))
     }
-    import s.implicits._
-    val out = merges.result().toDF("merge_round", "lhs", "rhs", "merged", "cnt")
-      .orderBy(col("merge_round"))
     tracker.releaseAll()
-    out
+    merges.result()
   }
 
-  /** K unrolled CTE rounds, each replaying the same pair-count → argmax →
-    * replace step; validated directly in DuckDB against the tuple-based
-    * reference trainer before wiring (graft-build-workflow checklist). */
-  private val q194Sql = {
+  private val q194: Q = (s, d) => {
+    import s.implicits._
+    trainBpe(s, d).toDF("merge_round", "lhs", "rhs", "merged", "cnt")
+      .orderBy(col("merge_round"))
+  }
+
+  /** Shared oracle training chain: wc (the one corpus pass), e0 (encoded
+    * vocab), then K unrolled (pair-count → argmax → replace) rounds whose
+    * m1..mK CTEs each hold that round's learned merge. Validated directly
+    * in DuckDB against a tuple-based reference trainer before wiring
+    * (graft-build-workflow checklist). */
+  private val bpeOracleCtes = {
     def roundCte(r: Int): String = {
       val prev = s"e${r - 1}"
       s"""s$r AS (SELECT regexp_extract_all(enc, '<([^>]*)>', 1) AS s, n FROM $prev),
@@ -998,20 +1011,82 @@ object TextQueries {
          |e$r AS (SELECT replace(e.enc, m.pat, replace(m.pat, '><', '')) AS enc, e.n
          |        FROM $prev e, m$r m)""".stripMargin
     }
+    """WITH wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      |    SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE regexp_matches(w, '^[a-z]{2,}$') GROUP BY w),
+      |e0 AS (SELECT regexp_replace(w, '(.)', '<\1>', 'g') AS enc, n FROM wc),
+      |""".stripMargin +
+      (1 to BpeRounds).map(roundCte).mkString(",\n")
+  }
+
+  private val q194Sql = {
     def finalSel(r: Int): String =
       s"""SELECT CAST($r AS BIGINT) AS merge_round,
          |  regexp_extract(pat, '^<([^>]*)>', 1) AS lhs,
          |  regexp_extract(pat, '<([^>]*)>$$', 1) AS rhs,
          |  replace(replace(replace(pat, '><', ''), '<', ''), '>', '') AS merged,
          |  cnt FROM m$r""".stripMargin
-    """WITH wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM (
-      |    SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
-      |  WHERE regexp_matches(w, '^[a-z]{2,}$') GROUP BY w),
-      |e0 AS (SELECT regexp_replace(w, '(.)', '<\1>', 'g') AS enc, n FROM wc),
-      |""".stripMargin +
-      (1 to BpeRounds).map(roundCte).mkString(",\n") + "\n" +
+    bpeOracleCtes + "\n" +
       (1 to BpeRounds).map(finalSel).mkString("\nUNION ALL\n") +
       "\nORDER BY merge_round"
+  }
+
+  // ---------------------------------------------------------------- q195
+  /** BPE tokenization audit — apply the q194-learned vocabulary back to
+    * the corpus and report, per document, the numbers a tokenizer owner
+    * watches: eligible word count, character count, token count under
+    * the learned merges, and compression in ppm (tokens per character ×
+    * 10⁶ — the inverse of bytes-per-token). With q194 (trainer) and q127
+    * (id-assignment encode) this closes the full tokenizer loop:
+    * train → segment → measure.
+    *
+    * Scale shape: the trainer reruns its vocabulary-sized loop; token
+    * counts per DISTINCT word are computed once on the vocab (the 8
+    * learned merges fold into one nested-replace projection); the
+    * corpus-sized work is one word explode + a broadcast-sized join on
+    * the word (AQE broadcasts the vocab frame) + one doc-keyed hash
+    * agg — linear in corpus, merge-application never touches corpus
+    * rows. Integer-exact: counts are longs, compression is floor-div
+    * ppm, so the oracle replays bit-for-bit. */
+  private val q195: Q = (s, d) => {
+    val merges = trainBpe(s, d)
+    val encExpr = merges.foldLeft("regexp_replace(w, '(.)', '<$1>')") {
+      case (e, (_, lhs, rhs, merged, _)) => s"replace($e, '<$lhs><$rhs>', '<$merged>')"
+    }
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(expr("filter(split(text, ' '), x -> x rlike '^[a-z]{2,}$')")).as("w"))
+    val vtok = words.select(col("w")).distinct()
+      .select(col("w"), length(col("w")).cast("long").as("ncw"),
+        expr(s"CAST(size(regexp_extract_all($encExpr, '<([^>]*)>', 1)) AS BIGINT)").as("ntw"))
+    words.join(vtok, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("ncw")).as("n_chars"),
+        sum(col("ntw")).as("n_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_chars"), col("n_tokens"),
+        expr("n_tokens * 1000000 div n_chars").as("compression_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q195Sql = {
+    val tokChain = "t0 AS (SELECT w, regexp_replace(w, '(.)', '<\\1>', 'g') AS enc FROM wc)" +
+      (1 to BpeRounds).map { r =>
+        s""",
+           |t$r AS (SELECT w, replace(enc, (SELECT pat FROM m$r),
+           |          (SELECT replace(pat, '><', '') FROM m$r)) AS enc FROM t${r - 1})""".stripMargin
+      }.mkString
+    bpeOracleCtes + s""",
+      |$tokChain,
+      |vt AS (SELECT w, CAST(length(w) AS BIGINT) AS ncw,
+      |         CAST(len(regexp_extract_all(enc, '<([^>]*)>', 1)) AS BIGINT) AS ntw
+      |       FROM t$BpeRounds),
+      |dw AS (SELECT doc_id, w FROM (
+      |    SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE regexp_matches(w, '^[a-z]{2,}$$'))
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+      |  CAST(SUM(ncw) AS BIGINT) AS n_chars, CAST(SUM(ntw) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(ntw) * 1000000 // SUM(ncw) AS BIGINT) AS compression_ppm
+      |FROM dw JOIN vt USING (w) GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   // ---------------------------------------------------------------- q145
@@ -1155,6 +1230,7 @@ object TextQueries {
     "q145_copair_mining" -> q145,
     "q138_bpe_merge_candidates" -> q138,
     "q194_bpe_vocab_trainer" -> q194,
+    "q195_bpe_tokenize_audit" -> q195,
     "q121_bigram_lm_surprisal" -> q121,
     "q118_token_accounting" -> q118,
     "q119_countmin_sketch" -> q119,
@@ -1180,6 +1256,7 @@ object TextQueries {
     "q145_copair_mining" -> q145Sql,
     "q138_bpe_merge_candidates" -> q138Sql,
     "q194_bpe_vocab_trainer" -> q194Sql,
+    "q195_bpe_tokenize_audit" -> q195Sql,
     "q121_bigram_lm_surprisal" -> q121Sql,
     "q118_token_accounting" -> q118Sql,
     "q119_countmin_sketch" -> q119Sql,
