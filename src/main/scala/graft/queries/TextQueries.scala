@@ -1059,7 +1059,11 @@ object TextQueries {
     val vtok = words.select(col("w")).distinct()
       .select(col("w"), length(col("w")).cast("long").as("ncw"),
         expr(s"CAST(size(regexp_extract_all($encExpr, '<([^>]*)>', 1)) AS BIGINT)").as("ntw"))
-    words.join(vtok, Seq("w"))
+    // broadcast the VOCAB side explicitly: Catalyst's size estimate for the
+    // exploded word stream undercounts enough that it picked BuildLeft (a
+    // 40 MiB corpus-side broadcast at sf1 — the exact wrong side at 100 TB,
+    // where the stream is corpus-sized and the vocab stays bounded)
+    words.join(broadcast(vtok), Seq("w"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("ncw")).as("n_chars"),
         sum(col("ntw")).as("n_tokens"))
