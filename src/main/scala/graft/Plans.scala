@@ -86,7 +86,9 @@ object Plans {
     "q192_bq_recall_eval" -> "BQ recall audit: shortlist = q188 stage 1 (bounded heap), truth = q41 broadcast scan + per-QUERY window; recall join on <=30x|Q| rows",
     "q193_cluster_safe_split" -> "cluster-safe split: q101's LSH+components machinery, map-only split assignment, leakage join linear in |pairs|; safe arm leaks ZERO by construction",
     "q194_bpe_vocab_trainer" -> "BPE trainer: corpus-sized work is ONE word hash agg regardless of K; each round's pair-count+argmax+merge is vocabulary-sized on a lazily checkpointed frame, merge = one string replace (greedy left-to-right in both engines)",
-    "q195_bpe_tokenize_audit" -> "BPE tokenize audit: learned merges fold into ONE nested-replace projection over the DISTINCT vocab; corpus work = word explode + broadcast vocab join + doc-keyed hash agg")
+    "q195_bpe_tokenize_audit" -> "BPE tokenize audit: learned merges fold into ONE nested-replace projection over the DISTINCT vocab; corpus work = word explode + broadcast vocab join + doc-keyed hash agg",
+    "q196_ktruss_peel" -> "k-truss peel: per-round support via degree-ordered wedge join (apex-keyed, O(|E|^1.5) wedges) + LEFT SEMI close + 3|tri| explode hash agg; round frames lazily checkpointed",
+    "q197_byte_entropy" -> "byte entropy: ONE codegen pass per row (256-cell count array, floor(ln) micro-nats) - map-only, no explode; oracle pays the per-char UNNEST the kernel avoids")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

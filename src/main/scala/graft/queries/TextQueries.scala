@@ -1093,6 +1093,62 @@ object TextQueries {
       |FROM dw JOIN vt USING (w) GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q197
+  /** Byte-distribution entropy scoring — the information-theoretic member
+    * of the quality family (q33 counts ratios, q96 measures repetition,
+    * q121 scores LM surprisal; this measures the byte stream itself):
+    * Shannon entropy per document in EXACT integer micro-nats, plus the
+    * mode byte and distinct-byte census. The filter a curation pipeline
+    * runs before any tokenizer: natural language sits in a narrow entropy
+    * band, so low-entropy docs (repeated junk, padding) and high-entropy
+    * docs (compressed/binary/random spill) both fall out of band — and
+    * the mode byte is the witness (a junk doc's top byte dominates).
+    *
+    * Exactness (the q121 floor(ln·10⁶) discipline): the only float op is
+    * one IEEE divide + ln per DISTINCT byte, floored to micro-nats before
+    * any accumulation — Spark and DuckDB then accumulate identical
+    * integers (Σ c_b·floor(ln(n/c_b)·10⁶) div n). Long-safe to ~1.6 TB
+    * per single document.
+    *
+    * Scale shape: ONE codegen pass per row ([[graft.functions
+    * .ByteEntropyKernel]] — a 256-cell count array, no explode, no
+    * per-byte rows), map-only until the final sort; the oracle pays the
+    * per-character UNNEST the kernel exists to avoid. */
+  private val q197: Q = (s, d) => {
+    graft.functions.ByteEntropy.register(s)
+    Tables.documents(s, d)
+      .filter(col("n_chars") >= 1)
+      .select(col("doc_id"), expr("byte_entropy(text)").as("f"))
+      .select(col("doc_id"), col("f.n_bytes").as("n_bytes"),
+        col("f.n_distinct").as("n_distinct"), col("f.top_byte").as("top_byte"),
+        col("f.top_count").as("top_count"),
+        col("f.entropy_micro").as("entropy_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  // documents.text is pure ASCII (checked at both SFs: octet_length ==
+  // length), so ord(code point) == byte and the oracle's char walk
+  // replays the kernel's byte walk exactly.
+  private val q197Sql =
+    """WITH t AS (SELECT doc_id, text FROM documents WHERE n_chars >= 1),
+      |ch AS (SELECT doc_id, ord(substr(text, CAST(i AS INT), 1)) AS b
+      |       FROM (SELECT doc_id, text, UNNEST(range(1, length(text) + 1)) AS i FROM t)),
+      |bc AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c FROM ch GROUP BY doc_id, b),
+      |n AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS nb FROM bc GROUP BY doc_id),
+      |term AS (SELECT bc.doc_id, bc.c,
+      |         CAST(floor(ln(CAST(n.nb AS DOUBLE) / CAST(bc.c AS DOUBLE)) * 1000000)
+      |           AS BIGINT) AS tm
+      |         FROM bc JOIN n ON n.doc_id = bc.doc_id),
+      |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+      |        CAST(SUM(c * tm) AS BIGINT) AS s FROM term GROUP BY doc_id),
+      |top AS (SELECT doc_id, b AS top_byte, c AS top_count,
+      |        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, b) AS rn FROM bc)
+      |SELECT n.doc_id, n.nb AS n_bytes, agg.n_distinct,
+      |  CAST(top.top_byte AS BIGINT) AS top_byte, top.top_count,
+      |  CAST(agg.s // n.nb AS BIGINT) AS entropy_micro
+      |FROM n JOIN agg USING (doc_id) JOIN (SELECT * FROM top WHERE rn = 1) top USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q145
   /** Frequent co-occurring word pairs — the A-Priori first join step
     * (association mining over documents as baskets): only words frequent
@@ -1235,6 +1291,7 @@ object TextQueries {
     "q138_bpe_merge_candidates" -> q138,
     "q194_bpe_vocab_trainer" -> q194,
     "q195_bpe_tokenize_audit" -> q195,
+    "q197_byte_entropy" -> q197,
     "q121_bigram_lm_surprisal" -> q121,
     "q118_token_accounting" -> q118,
     "q119_countmin_sketch" -> q119,
@@ -1261,6 +1318,7 @@ object TextQueries {
     "q138_bpe_merge_candidates" -> q138Sql,
     "q194_bpe_vocab_trainer" -> q194Sql,
     "q195_bpe_tokenize_audit" -> q195Sql,
+    "q197_byte_entropy" -> q197Sql,
     "q121_bigram_lm_surprisal" -> q121Sql,
     "q118_token_accounting" -> q118Sql,
     "q119_countmin_sketch" -> q119Sql,

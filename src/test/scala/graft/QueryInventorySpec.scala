@@ -109,7 +109,7 @@ class QueryInventorySpec extends AnyFunSuite {
       "q115_canonical_dedup", "q126_pagerank", "q129_quantiles_histogram",
       "q174_equidepth_histogram", "q179_bfs_distance_census",
       "q184_label_propagation", "q187_kcore_peel", "q193_cluster_safe_split",
-      "q194_bpe_vocab_trainer", "q195_bpe_tokenize_audit")
+      "q194_bpe_vocab_trainer", "q195_bpe_tokenize_audit", "q196_ktruss_peel")
     val oversize = iterative.flatMap { name =>
       val len = SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString.length
