@@ -88,7 +88,16 @@ object Plans {
     "q194_bpe_vocab_trainer" -> "BPE trainer: corpus-sized work is ONE word hash agg regardless of K; each round's pair-count+argmax+merge is vocabulary-sized on a lazily checkpointed frame, merge = one string replace (greedy left-to-right in both engines)",
     "q195_bpe_tokenize_audit" -> "BPE tokenize audit: learned merges fold into ONE nested-replace projection over the DISTINCT vocab; corpus work = word explode + broadcast vocab join + doc-keyed hash agg",
     "q196_ktruss_peel" -> "k-truss peel: per-round support via degree-ordered wedge join (apex-keyed, O(|E|^1.5) wedges) + LEFT SEMI close + 3|tri| explode hash agg; round frames lazily checkpointed",
-    "q197_byte_entropy" -> "byte entropy: ONE codegen pass per row (256-cell count array, floor(ln) micro-nats) - map-only, no explode; oracle pays the per-char UNNEST the kernel avoids")
+    "q197_byte_entropy" -> "byte entropy: ONE codegen pass per row (256-cell count array, floor(ln) micro-nats) - map-only, no explode; oracle pays the per-char UNNEST the kernel avoids",
+    "q198_jsd_drift" -> "JSD drift: one corpus scan collapses to a (type, bin, side) hash agg; entropy decomposition keeps every floor-ln term non-negative so integer truncation direction is moot; spine-sized joins after the scan",
+    "q199_adamic_adar" -> "Adamic-Adar: 1/ln score attaches to the adjacency BEFORE the apex self-join (node-linear), wedge join shuffles once on the apex key, candidates collapse via (u,v) hash agg, LEFT ANTI drops existing edges, top-20 = TakeOrderedAndProject",
+    "q200_pmi_collocations" -> "PMI: two corpus hash aggs checkpointed at vocab/vocab-squared size; marginals via broadcast joins + 1-row total cross-joins; single floor-ln per surviving bigram; top-20 = TakeOrderedAndProject",
+    "q201_apriori_triples" -> "A-Priori triples: baskets built ONCE as sorted distinct arrays (lazy ckpt, two consumers), pairs/triples explode by index arithmetic (C(w,2)/C(w,3), bounded w - no self-join planner trap), minsup'd pair frame broadcast into three monotonicity-witness joins",
+    "q202_luby_mis" -> "Luby MIS round: arc-keyed neighbor-min hash agg + anti-join + two LEFT SEMI joins, all node-keyed; per-round frames lazily checkpointed (CheckpointTracker), 3-row census from one eager action",
+    "q203_vocab_coverage" -> "Good-Turing/Chao1: one corpus scan -> (source, word) hash agg -> spectrum agg -> per-source row; pure integer, zero joins",
+    "q204_markov_stationary" -> "stationary pi: corpus pays exactly q185's window exchange ONCE (eager ckpt of the <=25-row matrix); 5 power-iteration rounds are |types|-row joins against that broadcast",
+    "q205_decayed_popularity" -> "half-life decay as integer right-shift: anchor = 1-row broadcast below ONE fact-scan hash agg; top-15 = TakeOrderedAndProject",
+    "q206_audio_vad" -> "VAD: scan -> one WholeStageCodegen wav_vad(wav_for(...)) projection -> sort; run census folds in-kernel, no per-sample explode or island window")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

@@ -146,6 +146,41 @@ object Audio {
       sr.toLong, samples.length.toLong, nw.toLong, tot, maxWin))
   }
 
+  /** |amplitude| below this counts as silence for [[vad]] (half of full
+    * scale — the synthetic signal is uniform, so ~half the samples are
+    * "silent" and minRun-length runs occur at a testable ~1/2^minRun
+    * rate; a real deployment tunes this to the noise floor). */
+  val VadThreshold = 16384
+  /** Minimum consecutive silent samples to count as a run. */
+  val VadMinRun = 8
+
+  /** Decode + silence-run segmentation (voice-activity-detection shape)
+    * as ONE kernel call — the body of the `wav_vad` codegen expression:
+    * single pass over the decoded samples tracking |a| < VadThreshold
+    * run lengths; emits per-object run census (the trim-silence /
+    * segment-boundary features an audio curation pipeline keys on).
+    * Returns (n_samples, n_silent, n_runs, max_run, lead_run). */
+  def vad(wav: Array[Byte]): InternalRow = {
+    val (_, samples) = parseWav(wav)
+    var nSilent = 0L; var nRuns = 0L; var maxRun = 0L; var leadRun = 0L
+    var run = 0L
+    var i = 0
+    def closeRun(endExclusive: Int): Unit = {
+      if (run >= VadMinRun) nRuns += 1
+      if (run > maxRun) maxRun = run
+      if (run > 0 && endExclusive.toLong == run) leadRun = run // run started at 0
+      run = 0L
+    }
+    while (i < samples.length) {
+      if (math.abs(samples(i)) < VadThreshold) { nSilent += 1; run += 1 }
+      else closeRun(i)
+      i += 1
+    }
+    closeRun(samples.length)
+    new GenericInternalRow(Array[Any](
+      samples.length.toLong, nSilent, nRuns, maxRun, leadRun))
+  }
+
   /** Decode + windowed energy: per object, total |amplitude| and the
     * hottest WindowSamples-sample window's |amplitude| mass. Implemented
     * over the `wav_energy` codegen expression (round-8 conversion from
@@ -210,14 +245,40 @@ case class WavEnergy(child: Expression)
     copy(child = newChild)
 }
 
+/** `wav_vad(bin) -> struct`: container parse + silence-run segmentation. */
+case class WavVad(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_samples", LongType, nullable = false),
+    StructField("n_silent", LongType, nullable = false),
+    StructField("n_runs", LongType, nullable = false),
+    StructField("max_run", LongType, nullable = false),
+    StructField("lead_run", LongType, nullable = false)))
+  override def prettyName: String = "wav_vad"
+
+  override def nullSafeEval(input: Any): Any =
+    Audio.vad(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.multimodal.Audio.vad($x);")
+
+  override protected def withNewChildInternal(newChild: Expression): WavVad =
+    copy(child = newChild)
+}
+
 object AudioKernels {
-  /** Register `wav_for` / `wav_energy` for expr()/SQL use. */
+  /** Register `wav_for` / `wav_energy` / `wav_vad` for expr()/SQL use. */
   def register(spark: SparkSession): Unit = {
     graft.functions.RegisterOnce(spark, "wav_for") {
       case Seq(id, n) => WavFor(id, n)
     }
     graft.functions.RegisterOnce(spark, "wav_energy") {
       case Seq(b) => WavEnergy(b)
+    }
+    graft.functions.RegisterOnce(spark, "wav_vad") {
+      case Seq(b) => WavVad(b)
     }
   }
 }

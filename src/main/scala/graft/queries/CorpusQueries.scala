@@ -1189,7 +1189,65 @@ object CorpusQueries {
       | CAST(pad_tokens * 1000000 // (n_windows * w) AS BIGINT) AS pad_ppm
       |FROM g ORDER BY w""".stripMargin
 
+  // ---------------------------------------------------------------- q203
+  /** Good–Turing / Chao1 vocabulary-coverage audit per source — the
+    * "how much have we NOT seen yet" estimate that decides whether more
+    * of a source is worth ingesting at 100 TB (q99's Zipf fit describes
+    * the seen distribution; this estimates the UNSEEN part): from each
+    * source's word-frequency spectrum N_r (= number of distinct words
+    * occurring exactly r times), the Good–Turing missing-mass estimate
+    * P₀ = N₁/T (the probability the next token is a brand-new word) and
+    * the bias-corrected Chao1 richness floor
+    * V̂ = V + N₁·(N₁−1)/(2·(N₂+1)) (estimated total vocabulary including
+    * unseen words — the +1 form is total when N₂ = 0). All pure integer:
+    * counts are exact, P₀ rides a ×10⁶ div, Chao1 a plain div — both
+    * non-negative so engine truncation agrees.
+    *
+    * Scale shape: one corpus scan → (source, word) hash agg (vocab-
+    * bounded) → (source, r) spectrum agg (≤ distinct counts per source)
+    * → one row per source. Nothing after the first agg is corpus-sized;
+    * no joins at all. Long bound: N₁² ≤ V² — guarded past ~3·10⁹
+    * distinct hapaxes per source. */
+  private val q203: Q = (s, d) => {
+    val wc = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("r"))
+    val spec = wc.groupBy(col("source"), col("r"))
+      .agg(count(lit(1)).as("nr"))
+    val bySrc = spec.groupBy(col("source"))
+      .agg(sum(col("nr")).as("v_obs"),
+        sum(col("r") * col("nr")).as("t_tokens"),
+        sum(when(col("r") === 1, col("nr")).otherwise(0L)).as("n1"),
+        sum(when(col("r") === 2, col("nr")).otherwise(0L)).as("n2"))
+    graft.functions.Guard.require(bySrc,
+      col("n1") <= 3000000000L && col("t_tokens") <= lit(Long.MaxValue / 1000000L),
+      "q203: Good-Turing integer bounds exceeded (n1^2 or t*10^6 would " +
+        "overflow Long) - promote to DECIMAL(38)")
+      .select(col("source"), col("v_obs"), col("t_tokens"), col("n1"), col("n2"),
+        expr("(n1 * 1000000) div t_tokens").as("p0_ppm"),
+        expr("v_obs + (n1 * (n1 - 1)) div (2 * (n2 + 1))").as("chao1"))
+      .orderBy(col("source"))
+  }
+
+  private val q203Sql =
+    """WITH wc AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS r FROM (
+      |    SELECT source, UNNEST(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY source, w),
+      |spec AS (SELECT source, r, CAST(COUNT(*) AS BIGINT) AS nr
+      |         FROM wc GROUP BY source, r),
+      |agg AS (SELECT source,
+      |    CAST(SUM(nr) AS BIGINT) AS v_obs,
+      |    CAST(SUM(r * nr) AS BIGINT) AS t_tokens,
+      |    CAST(SUM(CASE WHEN r = 1 THEN nr ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN r = 2 THEN nr ELSE 0 END) AS BIGINT) AS n2
+      |  FROM spec GROUP BY source)
+      |SELECT source, v_obs, t_tokens, n1, n2,
+      |  CAST((n1 * 1000000) // t_tokens AS BIGINT) AS p0_ppm,
+      |  CAST(v_obs + (n1 * (n1 - 1)) // (2 * (n2 + 1)) AS BIGINT) AS chao1
+      |FROM agg ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q203_vocab_coverage" -> q203,
     "q155_selfrep_block_dedup" -> q155,
     "q156_padding_waste" -> q156,
     "q153_fim_transform" -> q153,
@@ -1217,6 +1275,7 @@ object CorpusQueries {
     "q100_substring_windows" -> q100)
 
   val oracle: Map[String, String] = Map(
+    "q203_vocab_coverage" -> q203Sql,
     "q155_selfrep_block_dedup" -> q155Sql,
     "q156_padding_waste" -> q156Sql,
     "q153_fim_transform" -> q153Sql,

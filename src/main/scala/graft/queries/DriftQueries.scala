@@ -290,15 +290,118 @@ object DriftQueries {
       |            / (CAST(den AS DOUBLE) * CAST(deny AS DOUBLE)) END AS r2
       |FROM f ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q198
+  /** Jensen–Shannon divergence per event type between the first and
+    * second half of the month — the SYMMETRIC, BOUNDED drift score that
+    * completes the monitor family (q171's PSI is unbounded and blows up
+    * on empty-bin asymmetry; q172's KS sees only the worst single point;
+    * JSD ∈ [0, ln 2] weighs the whole distribution and is safe on
+    * disjoint supports). Values are binned into the FIXED domain
+    * `cents div 2048` clamped to [0, 19] (no stats pass — same bins at
+    * every scale, open top bin per the q171 clamp rule) with add-one
+    * smoothing over the full 20-bin spine.
+    *
+    * Integer-exactness: the textbook JSD = ½KL(p‖m) + ½KL(q‖m) has
+    * NEGATIVE per-term logs, and Spark's `div` (truncate-to-zero) vs
+    * DuckDB's `//` need not agree on negative numerators — so this uses
+    * the entropy decomposition JSD = H(m) − (H(p)+H(q))/2, where every
+    * term is x·ln(1/x) with x ∈ (0,1]: ALL logs and ALL division
+    * numerators are non-negative, so truncation direction is moot. Each
+    * log is the q121/q124 floor-ln micro-nat (floor(10⁶·ln) of an
+    * IDENTICAL double ratio of integers in both engines):
+    *   hp_t = a1·lnm(na/a1) div na            (per-bin, summed)
+    *   hq_t = b1·lnm(nb/b1) div nb
+    *   hm_t = (a1·nb + b1·na)·lnm(2·na·nb/(a1·nb + b1·na)) div (2·na·nb)
+    *   jsd_micro = Σhm − (Σhp + Σhq) div 2    (≤ ln 2 ≈ 693147 µnats)
+    * Work: one corpus scan → (type, bin, side) hash agg (≤ types·20·2
+    * rows); everything after is spine-sized. Long bound: hm's numerator
+    * peaks at 2·na·nb·14·10⁶ — Guard.require fails loudly past ~18k rows
+    * per side per type at Long width; the same DECIMAL(38) promotion as
+    * q171 is the documented path beyond (the guard is per-term and
+    * in-plan, costing no extra pass). */
+  private val q198: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(col("event_type"),
+      least(expr("CAST(CAST(value AS DECIMAL(15,2)) * 100 AS BIGINT) div 2048L"),
+        lit(19L)).as("bin"),
+      (dayofmonth(col("ts")) <= 15).as("is_ref"))
+    val counts = ev.groupBy("event_type", "bin")
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("a"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("b"))
+    val spine = Tables.events(s, d).select(col("event_type")).distinct()
+      .crossJoin(s.range(20).select(col("id").as("bin")))
+    val filled = spine.join(counts, Seq("event_type", "bin"), "left")
+      .select(col("event_type"), col("bin"),
+        (coalesce(col("a"), lit(0L)) + 1).as("a1"),
+        (coalesce(col("b"), lit(0L)) + 1).as("b1"))
+    val totals = filled.groupBy("event_type")
+      .agg(sum(col("a1")).as("na"), sum(col("b1")).as("nb"))
+    val terms = filled.join(totals, Seq("event_type"))
+      .select(col("event_type"), col("na"), col("nb"), col("a1"), col("b1"),
+        expr("CAST(floor(1000000.0 * ln(CAST(na AS DOUBLE) / CAST(a1 AS DOUBLE))) " +
+          "AS BIGINT)").as("lnp"),
+        expr("CAST(floor(1000000.0 * ln(CAST(nb AS DOUBLE) / CAST(b1 AS DOUBLE))) " +
+          "AS BIGINT)").as("lnq"),
+        expr("CAST(floor(1000000.0 * ln((2.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) / " +
+          "(CAST(a1 AS DOUBLE) * CAST(nb AS DOUBLE) + CAST(b1 AS DOUBLE) * CAST(na AS DOUBLE)))) " +
+          "AS BIGINT)").as("lnm"))
+    // hm's numerator (a1*nb + b1*na) * lnm ≤ 2*na*nb*lnm must fit a Long.
+    graft.functions.Guard.require(terms,
+      (col("a1") * col("nb") + col("b1") * col("na")) <=
+        expr("9223372036854775807L div (lnm + 1)"),
+      "q198: integer-exact JSD bound exceeded ((a1*nb + b1*na) * lnm would " +
+        "overflow Long) - promote the term arithmetic to DECIMAL(38)")
+      .groupBy(col("event_type"))
+      .agg(min(col("na") - 20).as("n_ref"), min(col("nb") - 20).as("n_cur"),
+        expr("SUM((a1 * nb + b1 * na) * lnm div (2L * na * nb)) - " +
+          "(SUM(a1 * lnp div na) + SUM(b1 * lnq div nb)) div 2L")
+          .as("jsd_micro"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q198Sql =
+    """WITH ev AS (SELECT event_type,
+      |    least(CAST(CAST(value AS DECIMAL(15,2)) * 100 AS BIGINT) // 2048, 19) AS bin,
+      |    (EXTRACT(day FROM ts) <= 15) AS is_ref
+      |  FROM events),
+      |counts AS (SELECT event_type, bin,
+      |    SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS a,
+      |    SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS b
+      |  FROM ev GROUP BY event_type, bin),
+      |spine AS (SELECT DISTINCT e.event_type, r.bin
+      |          FROM events e, (SELECT UNNEST(range(20)) AS bin) r),
+      |filled AS (SELECT s.event_type, s.bin,
+      |    COALESCE(c.a, 0) + 1 AS a1, COALESCE(c.b, 0) + 1 AS b1
+      |  FROM spine s LEFT JOIN counts c
+      |    ON c.event_type = s.event_type AND c.bin = s.bin),
+      |tot AS (SELECT event_type, SUM(a1) AS na, SUM(b1) AS nb
+      |        FROM filled GROUP BY event_type),
+      |terms AS (SELECT f.event_type, t.na, t.nb, f.a1, f.b1,
+      |    CAST(floor(1000000.0 * ln(CAST(t.na AS DOUBLE) / CAST(f.a1 AS DOUBLE)))
+      |      AS BIGINT) AS lnp,
+      |    CAST(floor(1000000.0 * ln(CAST(t.nb AS DOUBLE) / CAST(f.b1 AS DOUBLE)))
+      |      AS BIGINT) AS lnq,
+      |    CAST(floor(1000000.0 * ln((2.0 * CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE)) /
+      |      (CAST(f.a1 AS DOUBLE) * CAST(t.nb AS DOUBLE) +
+      |       CAST(f.b1 AS DOUBLE) * CAST(t.na AS DOUBLE)))) AS BIGINT) AS lnm
+      |  FROM filled f JOIN tot t ON t.event_type = f.event_type)
+      |SELECT event_type,
+      |  CAST(MIN(na) - 20 AS BIGINT) AS n_ref,
+      |  CAST(MIN(nb) - 20 AS BIGINT) AS n_cur,
+      |  CAST(SUM((a1 * nb + b1 * na) * lnm // (2 * na * nb)) -
+      |       (SUM(a1 * lnp // na) + SUM(b1 * lnq // nb)) // 2 AS BIGINT) AS jsd_micro
+      |FROM terms GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q171_psi_drift" -> q171,
     "q172_ks_drift" -> q172,
     "q175_benford_audit" -> q175,
-    "q183_ols_trend" -> q183)
+    "q183_ols_trend" -> q183,
+    "q198_jsd_drift" -> q198)
 
   val oracle: Map[String, String] = Map(
     "q171_psi_drift" -> q171Sql,
     "q172_ks_drift" -> q172Sql,
     "q175_benford_audit" -> q175Sql,
-    "q183_ols_trend" -> q183Sql)
+    "q183_ols_trend" -> q183Sql,
+    "q198_jsd_drift" -> q198Sql)
 }

@@ -1364,7 +1364,102 @@ object EventQueries {
       |FROM pred FULL OUTER JOIN emp ON emp.a = pred.a AND emp.c = pred.c
       |ORDER BY from_type, to_type""".stripMargin
 
+  // ---------------------------------------------------------------- q204
+  /** Markov stationary distribution — the LONG-RUN companion to q185
+    * (one-step transition probabilities) and q189 (two-step consistency):
+    * five synchronous power-iteration rounds π_{t+1} = π_t·P from the
+    * uniform start, answering "where does user behavior settle?" — the
+    * ergodic summary a journey monitor alerts on. All integer ppm: P is
+    * q185's n·10⁶ div row-total matrix; each step is
+    * π'_j = Σ_i (π_i·p_ij) div 10⁶ with per-term floor BEFORE the
+    * order-free sum (every value non-negative, so engine truncation
+    * direction agrees); δ = Σ_j |π₅ − π₄| in the result row is the
+    * convergence witness. States with no outgoing transitions would leak
+    * mass (absorbing-state caveat, documented) — the events schema has
+    * none.
+    *
+    * Scale shape: the corpus pays EXACTLY q185's one user-keyed window
+    * exchange + hash agg, materialized ONCE by an eager localCheckpoint
+    * of the ≤|types|² matrix (the q189 discipline — five iteration
+    * consumers must not replay the corpus); every round after is a join
+    * of a |types|-row frame with a |types|²-row broadcast. */
+  private val q204: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val m0 = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val p = graft.functions.Guard.require(m0,
+        col("n") <= lit(Long.MaxValue / 1000000L),
+        "q204: transition count exceeds the n*10^6 Long bound - " +
+          "promote p_ppm arithmetic to DECIMAL(38)")
+      .withColumn("p_ppm", expr(
+        "(n * 1000000) div sum(n) OVER (PARTITION BY from_type)"))
+      .select(col("from_type"), col("to_type"), col("p_ppm"))
+      .localCheckpoint(true) // ≤ |types|² rows; 5 consumers below
+    val spine = p.select(col("from_type").as("state")).distinct()
+    val nSt = spine.agg(count(lit(1)).as("n_states"))
+    val pi0 = spine.crossJoin(broadcast(nSt))
+      .select(col("state"), expr("1000000L div n_states").as("pi_ppm"))
+    var prev = pi0
+    var pi = pi0
+    for (_ <- 1 to 5) {
+      prev = pi
+      pi = spine.join(
+        pi.join(broadcast(p), pi("state") === p("from_type"))
+          .groupBy(col("to_type").as("state"))
+          .agg(sum(expr("(pi_ppm * p_ppm) div 1000000L")).as("pi_in")),
+        Seq("state"), "left")
+        .select(col("state"), coalesce(col("pi_in"), lit(0L)).as("pi_ppm"))
+    }
+    pi.select(col("state"), col("pi_ppm"))
+      .join(prev.select(col("state"), col("pi_ppm").as("prev_ppm")), Seq("state"))
+      .join(pi0.select(col("state"), col("pi_ppm").as("pi0_ppm")), Seq("state"))
+      .select(col("state"), col("pi0_ppm"), col("pi_ppm"),
+        abs(col("pi_ppm") - col("prev_ppm")).as("delta_ppm"))
+      .orderBy(col("state"))
+  }
+
+  private val q204Sql = {
+    def step(t: Int): String =
+      s"""pi$t AS (SELECT s.state,
+         |    COALESCE((SELECT SUM((p0.pi_ppm * p.p_ppm) // 1000000)
+         |              FROM pi${t - 1} p0 JOIN p ON p.from_type = p0.state
+         |              WHERE p.to_type = s.state), 0) AS pi_ppm
+         |  FROM spine s)""".stripMargin
+    s"""WITH pr AS (SELECT event_type AS from_type,
+       |    LEAD(event_type) OVER (PARTITION BY user_id
+       |                           ORDER BY ts, event_id) AS to_type
+       |  FROM events),
+       |m AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+       |      FROM pr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       |p AS (SELECT from_type, to_type,
+       |    (n * 1000000) // SUM(n) OVER (PARTITION BY from_type) AS p_ppm
+       |  FROM m),
+       |spine AS (SELECT DISTINCT from_type AS state FROM p),
+       |pi0 AS (SELECT state,
+       |    1000000 // (SELECT COUNT(*) FROM spine) AS pi_ppm FROM spine),
+       |${step(1)},
+       |${step(2)},
+       |${step(3)},
+       |${step(4)},
+       |${step(5)}
+       |SELECT s.state,
+       |  CAST(pi0.pi_ppm AS BIGINT) AS pi0_ppm,
+       |  CAST(pi5.pi_ppm AS BIGINT) AS pi_ppm,
+       |  CAST(ABS(pi5.pi_ppm - pi4.pi_ppm) AS BIGINT) AS delta_ppm
+       |FROM spine s
+       |JOIN pi0 ON pi0.state = s.state
+       |JOIN pi4 ON pi4.state = s.state
+       |JOIN pi5 ON pi5.state = s.state
+       |ORDER BY s.state""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q204_markov_stationary" -> q204,
     "q189_chapman_kolmogorov" -> q189,
     "q185_transition_matrix" -> q185,
     "q186_weighted_quantiles" -> q186,
@@ -1402,6 +1497,7 @@ object EventQueries {
     "q62_pipeline_daily_index_counts" -> q62)
 
   val oracle: Map[String, String] = Map(
+    "q204_markov_stationary" -> q204Sql,
     "q189_chapman_kolmogorov" -> q189Sql,
     "q185_transition_matrix" -> q185Sql,
     "q186_weighted_quantiles" -> q186Sql,

@@ -543,13 +543,179 @@ object GraphQueries {
       |    // ((m * sdx2 - sdx * sdx) // 1000000) AS BIGINT) AS r_ppm
       |FROM s""".stripMargin
 
+  // ---------------------------------------------------------------- q199
+  /** Adamic–Adar link prediction — the MISSING-EDGE operator completing
+    * the graph family (the other seven score nodes, communities, or
+    * existing edges; this scores pairs that are NOT yet edges): for every
+    * non-adjacent pair (u, v) with at least one common neighbor, the
+    * Adamic–Adar index Σ_{w ∈ N(u)∩N(v)} 1/ln(deg w) — rare shared
+    * neighbors are strong evidence, hub co-membership is weak. Top-20
+    * predicted links over the part co-purchase graph (q162's derivation,
+    * same l_linenumber ≤ 3 linear-growth bound).
+    *
+    * Integer-exactness: each apex contributes the double-floored
+    * t(w) = 10¹² div floor(10⁶·ln(deg w)) micro-score (floor-ln of an
+    * identical double in both engines, then a pure integer division —
+    * everything non-negative, so Spark `div`/DuckDB `//` agree); the
+    * per-pair score is an order-free integer SUM. deg w ≥ 2 always (a
+    * wedge apex has two distinct neighbors), so ln ≥ ln 2 > 0 — no
+    * division by zero by construction; the deg ≥ 2 filter makes that
+    * bound explicit and prunes leaf apexes before the self-join.
+    *
+    * Scale shape: the apex score attaches to the adjacency list BEFORE
+    * the self-join (node-linear join), the wedge self-join shuffles ONCE
+    * on the apex key and its volume is Σ C(deg w, 2) — wedge-bounded
+    * exactly like q162 (measured there: wedges track edges 10.2× at 10×
+    * data because co-purchase degree is bounded; on heavy-hub graphs the
+    * standard mitigation is an apex-degree cap, which drops only
+    * hub-mediated near-zero AA terms). The candidate set then collapses
+    * by one (u, v) hash agg, existing edges leave via LEFT ANTI against
+    * the canonical edge list, and the top-20 rides
+    * TakeOrderedAndProject under the (aa_micro DESC, u, v) total order —
+    * never a global sort. */
+  private val q199: Q = (s, d) => {
+    val e0 = Tables.lineitem(s, d)
+      .filter(col("l_linenumber") <= 3)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    val ed = e0.as("a").join(e0.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("x"), col("b.p").as("y")).distinct()
+    val sym = ed.select(col("x").as("w"), col("y").as("n"))
+      .unionByName(ed.select(col("y").as("w"), col("x").as("n")))
+    val score = sym.groupBy(col("w")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 2)
+      .select(col("w"), expr("1000000000000L div CAST(floor(1000000.0 * " +
+        "ln(CAST(deg AS DOUBLE))) AS BIGINT)").as("t"))
+    val nbrs = sym.join(score, Seq("w"))
+    val cand = nbrs.as("a").join(nbrs.as("b"),
+        col("a.w") === col("b.w") && col("a.n") < col("b.n"))
+      .select(col("a.n").as("u"), col("b.n").as("v"), col("a.t").as("t"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("n_common"), sum(col("t")).as("aa_micro"))
+    cand.join(ed, cand("u") === ed("x") && cand("v") === ed("y"), "left_anti")
+      .orderBy(col("aa_micro").desc, col("u"), col("v"))
+      .limit(20)
+  }
+
+  private val q199Sql =
+    """WITH e0 AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
+      |            WHERE l_linenumber <= 3),
+      |ed AS (SELECT DISTINCT a.p AS x, b.p AS y
+      |       FROM e0 a JOIN e0 b ON a.o = b.o AND a.p < b.p),
+      |sym AS (SELECT x AS w, y AS n FROM ed UNION ALL SELECT y, x FROM ed),
+      |score AS (SELECT w,
+      |    1000000000000 // CAST(floor(1000000.0 * ln(CAST(COUNT(*) AS DOUBLE)))
+      |      AS BIGINT) AS t
+      |  FROM sym GROUP BY w HAVING COUNT(*) >= 2),
+      |nbrs AS (SELECT sym.w, sym.n, score.t FROM sym JOIN score ON score.w = sym.w),
+      |cand AS (SELECT a.n AS u, b.n AS v,
+      |    CAST(COUNT(*) AS BIGINT) AS n_common, CAST(SUM(a.t) AS BIGINT) AS aa_micro
+      |  FROM nbrs a JOIN nbrs b ON a.w = b.w AND a.n < b.n
+      |  GROUP BY a.n, b.n)
+      |SELECT u, v, n_common, aa_micro FROM cand
+      |WHERE NOT EXISTS (SELECT 1 FROM ed WHERE ed.x = cand.u AND ed.y = cand.v)
+      |ORDER BY aa_micro DESC, u, v LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q202
+  /** Luby maximal-independent-set rounds — the SYMMETRY-BREAKING operator
+    * class the graph family was missing (components/PageRank/LPA/k-core/
+    * k-truss all propagate or peel; MIS must break ties between
+    * neighbors that look identical, the primitive under distributed
+    * coloring, scheduling, and pick-at-most-one-per-neighborhood
+    * curation rules — e.g. "keep a maximal set of mutually
+    * non-co-purchased parts"). Three rounds of Luby's algorithm with
+    * DETERMINISTIC priorities (prio = md5Bucket60(node) — both engines
+    * replay the identical 60-bit hash, the q171 split discipline, so the
+    * "random" draw needs no RNG): a node joins the MIS when its priority
+    * is STRICTLY below every active neighbor's (isolated actives always
+    * join); winners and their neighbors then leave the active set.
+    * Strict < makes hash ties SAFE for independence — equal-priority
+    * neighbors block each other and retry next round — so a collision
+    * costs a round, never correctness. Census per round: selections,
+    * removals, survivors.
+    *
+    * Scale shape per round: one arc-keyed min-aggregate (the neighbor
+    * minimum — map-side combined), one anti-join and two LEFT SEMI joins,
+    * all keyed on the node id; per-round frames ride the
+    * CheckpointTracker lazy-checkpoint discipline (without it round r
+    * embeds round r−1 five times — the q179/q184/q187 5^r blowup), the
+    * 3-row census is eagerly checkpointed by ONE action, and every
+    * tracked block is released before returning. */
+  private val q202: Q = (s, d) => {
+    val e0 = Tables.lineitem(s, d)
+      .filter(col("l_linenumber") <= 3)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    val ed = e0.as("a").join(e0.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("x"), col("b.p").as("y")).distinct()
+    val tracker = new graft.operators.CheckpointTracker(Tables.lineitem(s, d))
+    var arcs = tracker.lazyCkpt(ed.select(col("x").as("u"), col("y").as("v"))
+      .unionByName(ed.select(col("y").as("u"), col("x").as("v"))))
+    var act = tracker.lazyCkpt(graft.operators.LubyMis.init(arcs))
+    var rounds = Vector.empty[DataFrame]
+    for (r <- 1 to 3) {
+      val lr = graft.operators.LubyMis.round(act, arcs, tracker)
+      rounds :+= lr.win.agg(count(lit(1)).as("n_selected"))
+        .crossJoin(lr.removed.agg(count(lit(1)).as("n_removed")))
+        .crossJoin(lr.active.agg(count(lit(1)).as("n_active_after")))
+        .select(lit(r.toLong).as("round"), col("n_selected"),
+          col("n_removed"), col("n_active_after"))
+      act = lr.active
+      arcs = lr.arcs
+    }
+    // One eager action runs all three rounds while the lazy blocks are
+    // alive; the 3-row census outlives them (CheckpointTracker contract).
+    val out = rounds.reduce(_ unionByName _).orderBy(col("round"))
+      .localCheckpoint(true)
+    tracker.releaseAll()
+    out
+  }
+
+  private val q202Sql = {
+    def round(r: Int): String =
+      s"""win$r AS MATERIALIZED (SELECT a.node FROM act$r a LEFT JOIN (
+         |    SELECT e.u AS node, MIN(p.prio) AS mp
+         |    FROM arcs$r e JOIN act$r p ON p.node = e.v GROUP BY e.u) m
+         |  ON m.node = a.node WHERE m.mp IS NULL OR a.prio < m.mp),
+         |rm$r AS MATERIALIZED (SELECT node FROM win$r
+         |  UNION SELECT e.v FROM arcs$r e JOIN win$r w ON w.node = e.u),
+         |act${r + 1} AS MATERIALIZED (SELECT a.node, a.prio FROM act$r a
+         |  WHERE a.node NOT IN (SELECT node FROM rm$r)),
+         |arcs${r + 1} AS MATERIALIZED (SELECT e.u, e.v FROM arcs$r e
+         |  WHERE e.u IN (SELECT node FROM act${r + 1})
+         |    AND e.v IN (SELECT node FROM act${r + 1}))""".stripMargin
+    def census(r: Int): String =
+      s"""SELECT CAST($r AS BIGINT) AS round,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM win$r) AS n_selected,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM rm$r) AS n_removed,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM act${r + 1}) AS n_active_after""".stripMargin
+    s"""WITH e0 AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
+       |            WHERE l_linenumber <= 3),
+       |ed AS MATERIALIZED (SELECT DISTINCT a.p AS x, b.p AS y
+       |       FROM e0 a JOIN e0 b ON a.o = b.o AND a.p < b.p),
+       |arcs1 AS MATERIALIZED (SELECT x AS u, y AS v FROM ed
+       |                       UNION ALL SELECT y, x FROM ed),
+       |act1 AS MATERIALIZED (SELECT node,
+       |    CAST(('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 15)) AS BIGINT) AS prio
+       |  FROM (SELECT DISTINCT u AS node FROM arcs1)),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |${census(1)}
+       |UNION ALL ${census(2)}
+       |UNION ALL ${census(3)}
+       |ORDER BY round""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q162_triangle_census" -> q162,
     "q179_bfs_distance_census" -> q179,
     "q184_label_propagation" -> q184,
     "q187_kcore_peel" -> q187,
     "q191_degree_assortativity" -> q191,
-    "q196_ktruss_peel" -> q196)
+    "q196_ktruss_peel" -> q196,
+    "q199_adamic_adar" -> q199,
+    "q202_luby_mis" -> q202)
 
   val oracle: Map[String, String] = Map(
     "q162_triangle_census" -> q162Sql,
@@ -557,5 +723,7 @@ object GraphQueries {
     "q184_label_propagation" -> q184Sql,
     "q187_kcore_peel" -> q187Sql,
     "q191_degree_assortativity" -> q191Sql,
-    "q196_ktruss_peel" -> q196Sql)
+    "q196_ktruss_peel" -> q196Sql,
+    "q199_adamic_adar" -> q199Sql,
+    "q202_luby_mis" -> q202Sql)
 }

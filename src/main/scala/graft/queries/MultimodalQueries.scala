@@ -175,17 +175,70 @@ object MultimodalQueries {
       | agg.n_keyframes, agg.tot_frame_bytes, agg.max_frame_bytes
       |FROM t JOIN agg ON agg.doc_id = t.doc_id ORDER BY t.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q206
+  /** Audio silence-run segmentation (VAD shape) — the SEGMENTATION leg
+    * the audio family lacked: q152 measures energy, this finds the
+    * quiet-run structure a curation pipeline keys on (trim leading
+    * silence, drop mostly-silent clips, split on long pauses). Per
+    * object: silent-sample count (|s16| < half scale), runs of ≥ 8
+    * consecutive silent samples, the longest run, and the leading run
+    * (the trim offset). Same q152/q63 contract: sample values are
+    * deterministic in (doc_id, index), so the oracle replays the
+    * run-length logic via gaps-and-islands SQL while the Spark side must
+    * EARN the samples through the RIFF/s16le byte parse — then folds the
+    * entire run census in ONE single-pass codegen kernel
+    * (`wav_vad(wav_for(...))`: scan → one WholeStageCodegen projection →
+    * sort, no per-sample explode, no window exchange — the oracle pays
+    * the per-sample UNNEST + island window the kernel exists to avoid).
+    * Map-only; one bounded feature row per object regardless of
+    * duration. */
+  private val q206: Q = (s, d) => {
+    graft.multimodal.AudioKernels.register(s)
+    Tables.documents(s, d)
+      .filter(col("n_chars") >= 1)
+      .select(col("doc_id"),
+        expr("wav_vad(wav_for(doc_id, n_chars))").as("f"))
+      .select(col("doc_id"), col("f.n_samples").as("n_samples"),
+        col("f.n_silent").as("n_silent"), col("f.n_runs").as("n_runs"),
+        col("f.max_run").as("max_run"), col("f.lead_run").as("lead_run"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q206Sql =
+    """WITH t AS (SELECT doc_id, n_chars AS n FROM documents WHERE n_chars >= 1),
+      |s AS (SELECT doc_id, n, UNNEST(range(n)) AS i FROM t),
+      |sil AS (SELECT doc_id, i,
+      |    i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+      |  FROM s WHERE ABS((doc_id * 31 + i * 7) % 65536 - 32768) < 16384),
+      |runs AS (SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS len,
+      |    MIN(i) AS run_start
+      |  FROM sil GROUP BY doc_id, grp),
+      |agg AS (SELECT doc_id, SUM(len) AS n_silent,
+      |    COUNT(CASE WHEN len >= 8 THEN 1 END) AS n_runs,
+      |    MAX(len) AS max_run,
+      |    COALESCE(MAX(CASE WHEN run_start = 0 THEN len END), 0) AS lead_run
+      |  FROM runs GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(t.n AS BIGINT) AS n_samples,
+      |  CAST(COALESCE(agg.n_silent, 0) AS BIGINT) AS n_silent,
+      |  CAST(COALESCE(agg.n_runs, 0) AS BIGINT) AS n_runs,
+      |  CAST(COALESCE(agg.max_run, 0) AS BIGINT) AS max_run,
+      |  CAST(COALESCE(agg.lead_run, 0) AS BIGINT) AS lead_run
+      |FROM t LEFT JOIN agg ON agg.doc_id = t.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q63_multimodal_features" -> q63,
     "q64_multimodal_meta_agg" -> q64,
     "q79_frame_sample" -> q79,
     "q152_audio_energy" -> q152,
-    "q159_video_index_walk" -> q159)
+    "q159_video_index_walk" -> q159,
+    "q206_audio_vad" -> q206)
 
   val oracle: Map[String, String] = Map(
     "q63_multimodal_features" -> q63Sql,
     "q64_multimodal_meta_agg" -> q64Sql,
     "q79_frame_sample" -> q79Sql,
     "q152_audio_energy" -> q152Sql,
-    "q159_video_index_walk" -> q159Sql)
+    "q159_video_index_walk" -> q159Sql,
+    "q206_audio_vad" -> q206Sql)
 }

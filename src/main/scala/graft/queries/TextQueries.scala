@@ -1285,8 +1285,84 @@ object TextQueries {
       |  CAST(SUM(c) AS BIGINT) AS total_occ
       |FROM occ GROUP BY phrase ORDER BY phrase""".stripMargin
 
+  // ---------------------------------------------------------------- q200
+  /** PMI collocation mining — the NORMALIZED companion to q31's raw
+    * bigram counts: pointwise mutual information
+    * PMI(x,y) = ln(p(x,y) / (p(x)·p(y))) scores how much more often two
+    * words appear ADJACENT than their marginal frequencies predict, the
+    * standard collocation/phrase-discovery statistic (raw counts just
+    * resurface the head of the unigram distribution; PMI surfaces the
+    * genuinely bound pairs). Support floor c_xy ≥ 20 kills the
+    * low-count PMI explosion (a hapax pair has near-maximal PMI), then
+    * top-20 under the (pmi_micro DESC, bigram) total order.
+    *
+    * Integer-exactness: counts are exact; the single log is the
+    * q121/q124 floor-ln micro-nat of one IDENTICAL double ratio of
+    * integers in both engines —
+    * pmi_micro = floor(10⁶·ln((c_xy·T_u·T_u) / (c_x·c_y·T_bg))) — and is
+    * never divided further, so its (possibly negative) sign needs no
+    * truncation-direction care.
+    *
+    * Scale shape: two corpus passes (unigram + bigram hash aggs, both
+    * map-side combined), each collapsing to a VOCABULARY-sized frame
+    * that is eagerly localCheckpoint'ed — every downstream consumer
+    * (the two 1-row totals, the two marginal joins) reuses the
+    * materialized counts instead of replaying the corpus (the q189
+    * one-corpus-pass discipline; checkpointed frames are vocab- and
+    * vocab²-bounded, NOT corpus-sized). Marginals attach via broadcast
+    * joins on the word key; totals ride 1-row broadcast cross-joins;
+    * the top-20 is TakeOrderedAndProject, never a global sort. */
+  private val q200: Q = (s, d) => {
+    graft.functions.TextKernels.register(s)
+    val uniCounts = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      .localCheckpoint(true)
+    val bgCounts = Tables.documents(s, d)
+      .filter(size(split(col("text"), " ")) >= 2)
+      .select(explode(expr("word_ngrams(text, 2)")).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("cxy"))
+      .localCheckpoint(true)
+    val tu = uniCounts.agg(sum(col("cw")).as("tu"))
+    val tb = bgCounts.agg(sum(col("cxy")).as("tb"))
+    bgCounts.filter(col("cxy") >= 20)
+      .withColumn("x", split(col("bigram"), " ")(0))
+      .withColumn("y", split(col("bigram"), " ")(1))
+      .join(broadcast(uniCounts.select(col("w").as("x"), col("cw").as("cx"))), Seq("x"))
+      .join(broadcast(uniCounts.select(col("w").as("y"), col("cw").as("cy"))), Seq("y"))
+      .crossJoin(broadcast(tu)).crossJoin(broadcast(tb))
+      .select(col("bigram"), col("cxy"), col("cx"), col("cy"),
+        expr("CAST(floor(1000000.0 * ln((CAST(cxy AS DOUBLE) * CAST(tu AS DOUBLE) * " +
+          "CAST(tu AS DOUBLE)) / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE) * " +
+          "CAST(tb AS DOUBLE)))) AS BIGINT)").as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("bigram"))
+      .limit(20)
+  }
+
+  private val q200Sql =
+    """WITH uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cw FROM (
+      |    SELECT UNNEST(string_split(text, ' ')) AS w FROM documents) GROUP BY w),
+      |bg AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cxy FROM (
+      |    SELECT UNNEST(list_transform(range(1, len(w)),
+      |        i -> w[i] || ' ' || w[i + 1])) AS bigram
+      |    FROM (SELECT string_split(text, ' ') AS w FROM documents)
+      |    WHERE len(w) >= 2) GROUP BY bigram),
+      |tu AS (SELECT SUM(cw) AS tu FROM uni),
+      |tb AS (SELECT SUM(cxy) AS tb FROM bg)
+      |SELECT bigram, cxy, ux.cw AS cx, uy.cw AS cy,
+      |  CAST(floor(1000000.0 * ln((CAST(cxy AS DOUBLE) * CAST(tu AS DOUBLE) *
+      |    CAST(tu AS DOUBLE)) / (CAST(ux.cw AS DOUBLE) * CAST(uy.cw AS DOUBLE) *
+      |    CAST(tb AS DOUBLE)))) AS BIGINT) AS pmi_micro
+      |FROM bg
+      |JOIN uni ux ON ux.w = string_split(bigram, ' ')[1]
+      |JOIN uni uy ON uy.w = string_split(bigram, ' ')[2]
+      |CROSS JOIN tu CROSS JOIN tb
+      |WHERE cxy >= 20
+      |ORDER BY pmi_micro DESC, bigram LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q181_phrase_search" -> q181,
+    "q200_pmi_collocations" -> q200,
     "q145_copair_mining" -> q145,
     "q138_bpe_merge_candidates" -> q138,
     "q194_bpe_vocab_trainer" -> q194,
@@ -1314,6 +1390,7 @@ object TextQueries {
 
   val oracle: Map[String, String] = Map(
     "q181_phrase_search" -> q181Sql,
+    "q200_pmi_collocations" -> q200Sql,
     "q145_copair_mining" -> q145Sql,
     "q138_bpe_merge_candidates" -> q138Sql,
     "q194_bpe_vocab_trainer" -> q194Sql,

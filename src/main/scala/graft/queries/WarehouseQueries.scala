@@ -529,8 +529,163 @@ object WarehouseQueries {
       |LEFT JOIN ex ON ex.et_a = p.et_a AND ex.et_b = p.et_b
       |ORDER BY p.et_a, p.et_b""".stripMargin
 
+  // ---------------------------------------------------------------- q201
+  /** Frequent 3-itemsets with the A-Priori monotonicity prune — basket
+    * mining over ORDERS (each order's DISTINCT parts form the basket). A
+    * triple is frequent at minsup 2; by downward closure each of its
+    * three sub-pairs must also be frequent, and the query PROVES that
+    * in-plan: the result attaches every sub-pair's support via INNER
+    * joins against the frequent-pair list, so a triple surviving to the
+    * output IS the monotonicity witness (a missing sub-pair would drop
+    * the row, and the spec asserts sup ≤ min of the three).
+    *
+    * Shape notes, learned the hard way: the textbook 3-way self-join of
+    * the (order, part) stream on the order key is a PLANNER TRAP — the
+    * second join carries one equality + one inequality and DuckDB
+    * mis-plans it into a 24 GB blowup (and multiset baskets silently
+    * double-count triples through within-order duplicate parts — a part
+    * appearing twice in one order made every strict-< triple through it
+    * "support 2" from a single basket). So baskets are built ONCE as
+    * sorted DISTINCT part arrays (one hash agg over the fact scan —
+    * basket width is bounded by the order schema, not by scale) and
+    * pairs/triples explode by index arithmetic over that array: per
+    * basket C(w,2)/C(w,3) with bounded w, so both streams grow LINEARLY
+    * with orders and there is no join before the vocabulary-sized count
+    * frames. The basket frame rides the CheckpointTracker lazy-ckpt
+    * (two consumers — pair and triple explode — must not re-scan the
+    * fact table); the frequent-pair frame (minsup already applied —
+    * orders of magnitude smaller than the pair universe) is BROADCAST
+    * into the three sub-pair joins. Output is support-total-ordered
+    * (sup DESC, x, y, z) — deterministic without a LIMIT because minsup
+    * already bounds it. */
+  private val q201: Q = (s, d) => {
+    val tracker = new graft.operators.CheckpointTracker(Tables.lineitem(s, d))
+    val bk = tracker.lazyCkpt(Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps")))
+    val freqPairs = tracker.lazyCkpt(bk.filter(size(col("ps")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(sequence(0, size(ps) - 2), i -> " +
+          "transform(sequence(i + 1, size(ps) - 1), j -> " +
+          "named_struct('x', ps[i], 'y', ps[j]))))")).as("s"))
+      .groupBy(col("s.x").as("x"), col("s.y").as("y"))
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= 2))
+    val triples = bk.filter(size(col("ps")) >= 3)
+      .select(explode(expr(
+        "flatten(flatten(transform(sequence(0, size(ps) - 3), i -> " +
+          "transform(sequence(i + 1, size(ps) - 2), j -> " +
+          "transform(sequence(j + 1, size(ps) - 1), k -> " +
+          "named_struct('x', ps[i], 'y', ps[j], 'z', ps[k]))))))")).as("s"))
+      .groupBy(col("s.x").as("x"), col("s.y").as("y"), col("s.z").as("z"))
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= 2)
+    val out = triples
+      .join(broadcast(freqPairs.select(col("x"), col("y"), col("sup").as("sup_xy"))),
+        Seq("x", "y"))
+      .join(broadcast(freqPairs.select(col("x"), col("y").as("z"),
+        col("sup").as("sup_xz"))), Seq("x", "z"))
+      .join(broadcast(freqPairs.select(col("x").as("y"), col("y").as("z"),
+        col("sup").as("sup_yz"))), Seq("y", "z"))
+      .select(col("x"), col("y"), col("z"), col("sup"),
+        col("sup_xy"), col("sup_xz"), col("sup_yz"))
+      .orderBy(col("sup").desc, col("x"), col("y"), col("z"))
+      // One eager action runs both explodes off the materialized baskets;
+      // the minsup-bounded result outlives them (CheckpointTracker contract).
+      .localCheckpoint(true)
+    tracker.releaseAll()
+    out
+  }
+
+  private val q201Sql =
+    """WITH bk AS (SELECT l_orderkey AS o,
+      |    list_sort(list_distinct(list(l_partkey))) AS ps
+      |  FROM lineitem GROUP BY l_orderkey),
+      |fp AS (SELECT s.x AS x, s.y AS y, CAST(COUNT(*) AS BIGINT) AS sup FROM (
+      |    SELECT UNNEST(flatten(list_transform(range(1, len(ps)), i ->
+      |      list_transform(range(i + 1, len(ps) + 1), j ->
+      |        {'x': ps[i], 'y': ps[j]})))) AS s
+      |    FROM bk WHERE len(ps) >= 2)
+      |  GROUP BY s.x, s.y HAVING COUNT(*) >= 2),
+      |tr AS (SELECT s.x AS x, s.y AS y, s.z AS z, CAST(COUNT(*) AS BIGINT) AS sup FROM (
+      |    SELECT UNNEST(flatten(flatten(list_transform(range(1, len(ps) - 1), i ->
+      |      list_transform(range(i + 1, len(ps)), j ->
+      |        list_transform(range(j + 1, len(ps) + 1), k ->
+      |          {'x': ps[i], 'y': ps[j], 'z': ps[k]})))))) AS s
+      |    FROM bk WHERE len(ps) >= 3)
+      |  GROUP BY s.x, s.y, s.z HAVING COUNT(*) >= 2)
+      |SELECT tr.x, tr.y, tr.z, tr.sup,
+      |  pxy.sup AS sup_xy, pxz.sup AS sup_xz, pyz.sup AS sup_yz
+      |FROM tr
+      |JOIN fp pxy ON pxy.x = tr.x AND pxy.y = tr.y
+      |JOIN fp pxz ON pxz.x = tr.x AND pxz.y = tr.z
+      |JOIN fp pyz ON pyz.x = tr.y AND pyz.y = tr.z
+      |ORDER BY tr.sup DESC, tr.x, tr.y, tr.z""".stripMargin
+
+  // ---------------------------------------------------------------- q205
+  /** Exponential time-decay popularity — the RECENCY-WEIGHTED ranking a
+    * feed / sampling pipeline runs instead of raw lifetime totals (a part
+    * selling heavily six years ago should not outrank one selling now):
+    * each lineitem contributes its revenue halved per 180 days of age,
+    * top-15 parts by decayed score. The decay is EXACT integer — a
+    * half-life is a binary right-shift, term = cents >> (age_days div
+    * 180) — no floating exp(), no truncation ambiguity (all values
+    * non-negative), and the order-free integer SUM makes the aggregate
+    * partition-invariant, which a float exp-decay sum is NOT (the same
+    * reason q121/q171 floor first). The age anchor is the corpus max
+    * ship date (a 1-row broadcast), so the query is deterministic from
+    * the data alone; shift amounts are data-bounded (~14 here) and
+    * guarded ≤ 62 where the Long shift would wrap.
+    *
+    * Scale shape: one fact scan → map-side-combined (part) hash agg;
+    * the anchor rides a broadcast cross-join BELOW the agg (scalar, no
+    * exchange); top-15 = TakeOrderedAndProject. retained_ppm in the
+    * result is the decay-vs-raw audit witness. */
+  private val q205: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).select(col("l_partkey"),
+      (money(col("l_extendedprice")) * 100).cast("long").as("cents"),
+      to_date(col("l_shipdate")).as("ship"))
+    val anchor = li.agg(max(col("ship")).as("anchor"))
+    val terms = li.crossJoin(broadcast(anchor))
+      .select(col("l_partkey"), col("cents"),
+        expr("datediff(anchor, ship) div 180").as("hl"))
+    graft.functions.Guard.require(terms,
+        col("hl") >= 0L && col("hl") <= 62L,
+        "q205: decay shift outside [0, 62] (future-dated row or >30-year " +
+          "age) - widen the half-life or clamp explicitly")
+      .select(col("l_partkey"), col("cents"),
+        expr("shiftright(cents, CAST(hl AS INT))").as("dec"))
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("cents")).as("raw_cents"),
+        sum(col("dec")).as("decayed_cents"))
+      .select(col("l_partkey"), col("n_lines"), col("raw_cents"),
+        col("decayed_cents"),
+        expr("(decayed_cents * 1000000) div raw_cents").as("retained_ppm"))
+      .orderBy(col("decayed_cents").desc, col("l_partkey"))
+      .limit(15)
+  }
+
+  private val q205Sql =
+    """WITH li AS (SELECT l_partkey,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS cents,
+      |    CAST(l_shipdate AS DATE) AS ship
+      |  FROM lineitem),
+      |a AS (SELECT MAX(ship) AS anchor FROM li),
+      |t AS (SELECT l_partkey, cents,
+      |    cents >> (DATEDIFF('day', ship, (SELECT anchor FROM a)) // 180) AS dec
+      |  FROM li),
+      |g AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |    CAST(SUM(cents) AS BIGINT) AS raw_cents,
+      |    CAST(SUM(dec) AS BIGINT) AS decayed_cents
+      |  FROM t GROUP BY l_partkey)
+      |SELECT l_partkey, n_lines, raw_cents, decayed_cents,
+      |  CAST((decayed_cents * 1000000) // raw_cents AS BIGINT) AS retained_ppm
+      |FROM g ORDER BY decayed_cents DESC, l_partkey LIMIT 15""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q182_kmv_overlap" -> q182,
+    "q201_apriori_triples" -> q201,
+    "q205_decayed_popularity" -> q205,
     "q160_zorder_layout_audit" -> q160,
     "q161_incremental_agg_merge" -> q161,
     "q163_pivot_wide" -> q163,
@@ -541,6 +696,8 @@ object WarehouseQueries {
 
   val oracle: Map[String, String] = Map(
     "q182_kmv_overlap" -> q182Sql,
+    "q201_apriori_triples" -> q201Sql,
+    "q205_decayed_popularity" -> q205Sql,
     "q160_zorder_layout_audit" -> q160Sql,
     "q161_incremental_agg_merge" -> q161Sql,
     "q163_pivot_wide" -> q163Sql,

@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.{CheckpointTracker, LubyMis}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic pins for the Luby MIS operator behind q202: run to an EMPTY
+  * active set, the selected nodes must form a maximal independent set of
+  * the input graph — independence (no edge joins two selections) and
+  * maximality (every unselected node has a selected neighbor) are the two
+  * halves the per-round census can't see on its own. The oracle pins the
+  * 3-round census numbers; this pins the SET the rounds converge to.
+  */
+class LubyMisSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Symmetric arc frame from undirected (x, y) pairs. */
+  private def arcsOf(edges: Seq[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    val ed = edges.toDF("x", "y")
+    ed.select(col("x").as("u"), col("y").as("v"))
+      .unionByName(ed.select(col("y").as("u"), col("x").as("v")))
+  }
+
+  /** Run Luby rounds until the active set drains (bounded), returning the
+    * selected node set. */
+  private def misOf(edges: Seq[(Long, Long)]): (Set[Long], Int) = {
+    val tracker = new CheckpointTracker(arcsOf(edges))
+    var arcs = tracker.lazyCkpt(arcsOf(edges))
+    var act = tracker.lazyCkpt(LubyMis.init(arcs))
+    var selected = Set.empty[Long]
+    var roundsUsed = 0
+    var remaining = act.count()
+    while (remaining > 0 && roundsUsed < 16) {
+      val lr = LubyMis.round(act, arcs, tracker)
+      selected ++= lr.win.collect().map(_.getLong(0))
+      remaining = lr.active.count()
+      act = lr.active
+      arcs = lr.arcs
+      roundsUsed += 1
+    }
+    tracker.releaseAll()
+    assert(remaining === 0L, s"active set failed to drain in $roundsUsed rounds")
+    (selected, roundsUsed)
+  }
+
+  test("path + triangle + star: the converged selection is a maximal independent set") {
+    // path 1-2-3-4-5, triangle 10-11-12, star 20-{21,22,23,24}
+    val edges = Seq[(Long, Long)](
+      (1, 2), (2, 3), (3, 4), (4, 5),
+      (10, 11), (11, 12), (10, 12),
+      (20, 21), (20, 22), (20, 23), (20, 24))
+    val (mis, _) = misOf(edges)
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    // independence: no input edge joins two selected nodes
+    val violations = edges.filter(e => mis(e._1) && mis(e._2))
+    assert(violations.isEmpty, s"selected neighbors: $violations")
+    // maximality: every unselected node has a selected neighbor
+    val nbrs = edges.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupMap(_._1)(_._2)
+    val uncovered = (nodes -- mis).filterNot(n => nbrs(n).exists(mis))
+    assert(uncovered.isEmpty, s"unselected nodes with no selected neighbor: $uncovered")
+    // a triangle contributes exactly one selection; a star at most its
+    // center or its leaves, never both
+    assert(Seq(10L, 11L, 12L).count(mis) === 1)
+    assert(!(mis(20L) && Seq(21L, 22L, 23L, 24L).exists(mis)))
+  }
+
+  test("equal-priority ties block each other instead of breaking independence") {
+    // Adjacent equal priorities can't arise from md5 on distinct ids in a
+    // 9-node fixture, so pin the TIE RULE directly: with strict <, a
+    // 2-clique of equal priorities selects nobody in that round.
+    import spark.implicits._
+    val arcs = Seq((1L, 2L), (2L, 1L)).toDF("u", "v")
+    val act = Seq((1L, 7L), (2L, 7L)).toDF("node", "prio")
+    val tracker = new CheckpointTracker(arcs)
+    val lr = LubyMis.round(act, arcs, tracker)
+    assert(lr.win.count() === 0L,
+      "equal-priority neighbors must block each other (strict <)")
+    tracker.releaseAll()
+  }
+}

@@ -109,7 +109,8 @@ class QueryInventorySpec extends AnyFunSuite {
       "q115_canonical_dedup", "q126_pagerank", "q129_quantiles_histogram",
       "q174_equidepth_histogram", "q179_bfs_distance_census",
       "q184_label_propagation", "q187_kcore_peel", "q193_cluster_safe_split",
-      "q194_bpe_vocab_trainer", "q195_bpe_tokenize_audit", "q196_ktruss_peel")
+      "q194_bpe_vocab_trainer", "q195_bpe_tokenize_audit", "q196_ktruss_peel",
+      "q202_luby_mis")
     val oversize = iterative.flatMap { name =>
       val len = SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString.length
@@ -161,6 +162,23 @@ class QueryInventorySpec extends AnyFunSuite {
       s"q189 returned plan re-reads the corpus:\n${exec.take(2000)}")
     assert(!exec.contains("SortAggregate"),
       "q189 matrix aggregation fell off the hash path")
+  }
+
+  test("q201's surviving triples satisfy the A-Priori monotonicity bound") {
+    // Downward closure is the operator's whole point: a triple's support
+    // can never exceed any sub-pair's. The INNER joins enforce presence;
+    // this pins the inequality (run at sf0.01 — sf0.001 has no frequent
+    // triples, which would vacuously pass).
+    val rows = SparkEntry.queries("q201_apriori_triples")(
+      spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty, "expected frequent triples at sf0.01")
+    val bad = rows.filter { r =>
+      val sup = r.getLong(r.fieldIndex("sup"))
+      sup > math.min(r.getLong(r.fieldIndex("sup_xy")),
+        math.min(r.getLong(r.fieldIndex("sup_xz")),
+          r.getLong(r.fieldIndex("sup_yz"))))
+    }
+    assert(bad.isEmpty, s"triples violating downward closure: ${bad.mkString(";")}")
   }
 
   test("no query plans a global (partition-less) window") {
