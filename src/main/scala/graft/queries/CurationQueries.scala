@@ -317,7 +317,10 @@ object CurationQueries {
         expr("n_true_matched * 1000000 div n_true").as("recall_ppm"))
   }
 
-  private val q173Sql =
+  /** Shared CTE prefix (records → blocking → candidate union) for the
+    * q173/q207 oracles — byte-identical to what q173Sql always inlined,
+    * so the q173 hash is unchanged. */
+  private val linkageCandSql =
     """WITH base AS (SELECT c_custkey AS entity, c_name AS name,
       |  c_nationkey AS nat, c_mktsegment AS seg,
       |  CAST(CAST(c_acctbal AS DECIMAL(15,2)) * 100 AS BIGINT) AS cents
@@ -350,7 +353,10 @@ object CurationQueries {
       | UNION ALL
       | SELECT a.entity, b.entity, a.name, b.name, a.nat, b.nat, a.cents, b.cents
       | FROM recs a JOIN recs b ON a.b3 = b.b3 AND a.rec_id < b.rec_id
-      |   AND a.b1 <> b.b1 AND a.b2 <> b.b2),
+      |   AND a.b1 <> b.b1 AND a.b2 <> b.b2)""".stripMargin
+
+  private val q173Sql = linkageCandSql +
+    """,
       |scored AS (SELECT *,
       |   CASE WHEN levenshtein(na, nb) <= 1 AND abs(ca - cb) <= 10
       |             AND nata = natb THEN 1 ELSE 0 END AS matched
@@ -368,15 +374,115 @@ object CurationQueries {
       | CAST(n_true_matched * 1000000 // n_true AS BIGINT) AS recall_ppm
       |FROM nr, census, truth""".stripMargin
 
+  // ---------------------------------------------------------------- q207
+  /** Fellegi–Sunter field weights — the LEARNING half of the linkage
+    * pipeline q173 runs with a hand-set matcher: from the SAME blocked
+    * candidate pairs (shared `linkageRecords`/`linkageCandidates`
+    * helpers, so the weights describe exactly the comparison space q173
+    * scores) and the ground truth (two records of one entity), estimate
+    * per-field m = P(agree | match) and u = P(agree | non-match) with
+    * Laplace smoothing, and the agreement log-weight w = ln(m/u) — the
+    * quantity a production linker THRESHOLDS instead of hand-tuned
+    * rules, and the audit that shows WHICH field carries the signal
+    * (name and balance discriminate; nation barely does, because
+    * blocking already conditions on it — the classic
+    * blocking-bias-in-u caveat, visible in the row).
+    *
+    * Exactness: counts are exact integers; m/u are ppm integer divs;
+    * w_micro = floor(10⁶·ln((a_m+1)(n_u+2) / ((a_u+1)(n_m+2)))) — one
+    * floor-ln of an all-integer ratio (identical double both engines),
+    * never divided further so its sign needs no truncation care.
+    *
+    * Scale shape: everything q173 already pays (blocked candidates,
+    * never a cross product) plus ONE map-side-combined 1-row aggregate
+    * of six flag sums; the 3-row output assembles from that 1-row frame
+    * by three constant projections. */
+  private val q207: Q = (s, d) => {
+    val cand = linkageCandidates(linkageRecords(s, d))
+    val agg = cand.select(
+        (col("ea") === col("eb")).cast("long").as("m"),
+        (levenshtein(col("na"), col("nb")) <= 1).cast("long").as("f_name"),
+        (abs(col("ca") - col("cb")) <= 10).cast("long").as("f_bal"),
+        (col("nata") === col("natb")).cast("long").as("f_nat"))
+      .agg(sum(col("m")).as("n_match"),
+        (count(lit(1)) - sum(col("m"))).as("n_non"),
+        sum(col("m") * col("f_name")).as("am_name"),
+        sum((lit(1) - col("m")) * col("f_name")).as("au_name"),
+        sum(col("m") * col("f_bal")).as("am_bal"),
+        sum((lit(1) - col("m")) * col("f_bal")).as("au_bal"),
+        sum(col("m") * col("f_nat")).as("am_nat"),
+        sum((lit(1) - col("m")) * col("f_nat")).as("au_nat"))
+      .localCheckpoint(true) // 1 row; three projections below
+    def row(field: String, am: String, au: String) =
+      agg.select(lit(field).as("field"), col("n_match"), col("n_non"),
+        col(am).as("a_match"), col(au).as("a_nonmatch"),
+        expr(s"($am + 1) * 1000000 div (n_match + 2)").as("m_ppm"),
+        expr(s"($au + 1) * 1000000 div (n_non + 2)").as("u_ppm"),
+        expr(s"CAST(floor(1000000.0 * ln(((CAST($am AS DOUBLE) + 1.0) * " +
+          s"(CAST(n_non AS DOUBLE) + 2.0)) / ((CAST($au AS DOUBLE) + 1.0) * " +
+          s"(CAST(n_match AS DOUBLE) + 2.0)))) AS BIGINT)").as("w_micro"))
+    row("balance", "am_bal", "au_bal")
+      .unionByName(row("name", "am_name", "au_name"))
+      .unionByName(row("nation", "am_nat", "au_nat"))
+      .orderBy(col("field"))
+  }
+
+  private val q207Sql = linkageCandSql +
+    """,
+      |fl AS (SELECT CASE WHEN ea = eb THEN 1 ELSE 0 END AS m,
+      |   CASE WHEN levenshtein(na, nb) <= 1 THEN 1 ELSE 0 END AS f_name,
+      |   CASE WHEN abs(ca - cb) <= 10 THEN 1 ELSE 0 END AS f_bal,
+      |   CASE WHEN nata = natb THEN 1 ELSE 0 END AS f_nat
+      | FROM cand),
+      |agg AS (SELECT CAST(SUM(m) AS BIGINT) AS n_match,
+      |   CAST(COUNT(*) - SUM(m) AS BIGINT) AS n_non,
+      |   CAST(SUM(m * f_name) AS BIGINT) AS am_name,
+      |   CAST(SUM((1 - m) * f_name) AS BIGINT) AS au_name,
+      |   CAST(SUM(m * f_bal) AS BIGINT) AS am_bal,
+      |   CAST(SUM((1 - m) * f_bal) AS BIGINT) AS au_bal,
+      |   CAST(SUM(m * f_nat) AS BIGINT) AS am_nat,
+      |   CAST(SUM((1 - m) * f_nat) AS BIGINT) AS au_nat
+      | FROM fl),
+      |rows_out AS (
+      | SELECT 'balance' AS field, n_match, n_non,
+      |   am_bal AS a_match, au_bal AS a_nonmatch,
+      |   (am_bal + 1) * 1000000 // (n_match + 2) AS m_ppm,
+      |   (au_bal + 1) * 1000000 // (n_non + 2) AS u_ppm,
+      |   CAST(floor(1000000.0 * ln(((CAST(am_bal AS DOUBLE) + 1.0) *
+      |     (CAST(n_non AS DOUBLE) + 2.0)) / ((CAST(au_bal AS DOUBLE) + 1.0) *
+      |     (CAST(n_match AS DOUBLE) + 2.0)))) AS BIGINT) AS w_micro
+      | FROM agg
+      | UNION ALL
+      | SELECT 'name', n_match, n_non, am_name, au_name,
+      |   (am_name + 1) * 1000000 // (n_match + 2),
+      |   (au_name + 1) * 1000000 // (n_non + 2),
+      |   CAST(floor(1000000.0 * ln(((CAST(am_name AS DOUBLE) + 1.0) *
+      |     (CAST(n_non AS DOUBLE) + 2.0)) / ((CAST(au_name AS DOUBLE) + 1.0) *
+      |     (CAST(n_match AS DOUBLE) + 2.0)))) AS BIGINT)
+      | FROM agg
+      | UNION ALL
+      | SELECT 'nation', n_match, n_non, am_nat, au_nat,
+      |   (am_nat + 1) * 1000000 // (n_match + 2),
+      |   (au_nat + 1) * 1000000 // (n_non + 2),
+      |   CAST(floor(1000000.0 * ln(((CAST(am_nat AS DOUBLE) + 1.0) *
+      |     (CAST(n_non AS DOUBLE) + 2.0)) / ((CAST(au_nat AS DOUBLE) + 1.0) *
+      |     (CAST(n_match AS DOUBLE) + 2.0)))) AS BIGINT)
+      | FROM agg)
+      |SELECT CAST(m_ppm AS BIGINT) AS m_ppm, CAST(u_ppm AS BIGINT) AS u_ppm,
+      |  field, n_match, n_non, a_match, a_nonmatch, w_micro
+      |FROM rows_out ORDER BY field""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q166_pareto_skyline" -> q166,
     "q167_priority_sample" -> q167,
     "q169_negative_mining" -> q169,
-    "q173_record_linkage" -> q173)
+    "q173_record_linkage" -> q173,
+    "q207_linkage_weights" -> q207)
 
   val oracle: Map[String, String] = Map(
     "q166_pareto_skyline" -> q166Sql,
     "q167_priority_sample" -> q167Sql,
     "q169_negative_mining" -> q169Sql,
-    "q173_record_linkage" -> q173Sql)
+    "q173_record_linkage" -> q173Sql,
+    "q207_linkage_weights" -> q207Sql)
 }

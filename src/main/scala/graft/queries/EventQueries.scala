@@ -1458,7 +1458,92 @@ object EventQueries {
        |ORDER BY s.state""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q209
+  /** Kaplan–Meier time-to-conversion survival curve — the CENSORING-aware
+    * operator the funnel family lacked (q132 counts converters, q134
+    * buckets retention by calendar month; neither handles users still
+    * under observation): entry = a user's first event, conversion = their
+    * first purchase, censoring = their last observed event if they never
+    * purchase. Per distinct conversion day t: users at risk n_t (duration
+    * ≥ t, converted or not), conversions d_t, same-day censorings c_t,
+    * and the curve itself in LOG SPACE —
+    * −ln S(t) = Σ_{t'≤t} ln(n_{t'}/(n_{t'}−d_{t'})) in micro-nats — so
+    * the KM product becomes an order-free integer SUM of per-day
+    * floor-ln terms (each ratio all-integer and ≥ 1 → every term
+    * non-negative, both engines floor the identical double; a float
+    * running product would be order-sensitive). n−d is clamped to ≥ 1
+    * (an everyone-converts-on-the-last-day corpus would otherwise
+    * ln(∞)); the clamp only fires when S hits exact zero and is
+    * replayed identically by the oracle.
+    *
+    * Scale shape: ONE user-keyed hash agg over the corpus (min/max/
+    * conditional-min — map-side combined, no window) collapses events to
+    * a per-user row; everything after lives on the ≤ observation-span
+    * day frame. The at-risk suffix sum and the −ln S prefix sum are
+    * BROADCAST theta self-joins on that ≤31-row frame (the q166
+    * suffix-max discipline — the repo bans partition-less windows, and
+    * at ≤31² pairs the join is cheaper than any exchange). */
+  private val q209: Q = (s, d) => {
+    val perUser = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("entry"), max(col("ts")).as("last"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("death"))
+    val durs = perUser.select(
+      when(col("death").isNotNull,
+        datediff(to_date(col("death")), to_date(col("entry"))))
+        .otherwise(datediff(to_date(col("last")), to_date(col("entry"))))
+        .cast("long").as("day"),
+      col("death").isNotNull.cast("long").as("conv"))
+    val byDay = durs.groupBy(col("day"))
+      .agg(sum(col("conv")).as("d"),
+        (count(lit(1)) - sum(col("conv"))).as("c"),
+        count(lit(1)).as("tot"))
+      .localCheckpoint(true) // ≤ observation-span rows; two joins below
+    val risk = byDay.as("a")
+      .join(broadcast(byDay.as("b")), col("b.day") >= col("a.day"))
+      .groupBy(col("a.day").as("day"), col("a.d").as("d"), col("a.c").as("c"))
+      .agg(sum(col("b.tot")).as("n_risk"))
+    val terms = risk.filter(col("d") > 0)
+      .withColumn("lt", expr("CAST(floor(1000000.0 * " +
+        "ln(CAST(n_risk AS DOUBLE) / CAST(greatest(n_risk - d, 1L) AS DOUBLE)))" +
+        " AS BIGINT)"))
+    terms.as("x")
+      .join(broadcast(terms.as("y")), col("y.day") <= col("x.day"))
+      .groupBy(col("x.day").as("day"), col("x.n_risk").as("n_risk"),
+        col("x.d").as("d_events"), col("x.c").as("c_censored"))
+      .agg(sum(col("y.lt")).as("nls_micro"))
+      .orderBy(col("day"))
+  }
+
+  private val q209Sql =
+    """WITH pu AS (SELECT user_id, MIN(ts) AS entry, MAX(ts) AS last,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS death
+      |  FROM events GROUP BY user_id),
+      |du AS (SELECT CASE WHEN death IS NOT NULL
+      |      THEN DATEDIFF('day', CAST(entry AS DATE), CAST(death AS DATE))
+      |      ELSE DATEDIFF('day', CAST(entry AS DATE), CAST(last AS DATE))
+      |    END AS day,
+      |    CASE WHEN death IS NOT NULL THEN 1 ELSE 0 END AS conv
+      |  FROM pu),
+      |bd AS (SELECT day, CAST(SUM(conv) AS BIGINT) AS d,
+      |    CAST(COUNT(*) - SUM(conv) AS BIGINT) AS c,
+      |    CAST(COUNT(*) AS BIGINT) AS tot
+      |  FROM du GROUP BY day),
+      |rk AS (SELECT a.day, a.d, a.c, CAST(SUM(b.tot) AS BIGINT) AS n_risk
+      |  FROM bd a JOIN bd b ON b.day >= a.day GROUP BY a.day, a.d, a.c),
+      |tm AS (SELECT day, n_risk, d, c,
+      |    CAST(floor(1000000.0 * ln(CAST(n_risk AS DOUBLE) /
+      |      CAST(greatest(n_risk - d, 1) AS DOUBLE))) AS BIGINT) AS lt
+      |  FROM rk WHERE d > 0)
+      |SELECT x.day, x.n_risk, x.d AS d_events, x.c AS c_censored,
+      |  CAST(SUM(y.lt) AS BIGINT) AS nls_micro
+      |FROM tm x JOIN tm y ON y.day <= x.day
+      |GROUP BY x.day, x.n_risk, x.d, x.c
+      |ORDER BY x.day""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q209_survival_curve" -> q209,
     "q204_markov_stationary" -> q204,
     "q189_chapman_kolmogorov" -> q189,
     "q185_transition_matrix" -> q185,
@@ -1497,6 +1582,7 @@ object EventQueries {
     "q62_pipeline_daily_index_counts" -> q62)
 
   val oracle: Map[String, String] = Map(
+    "q209_survival_curve" -> q209Sql,
     "q204_markov_stationary" -> q204Sql,
     "q189_chapman_kolmogorov" -> q189Sql,
     "q185_transition_matrix" -> q185Sql,

@@ -1360,8 +1360,92 @@ object TextQueries {
       |WHERE cxy >= 20
       |ORDER BY pmi_micro DESC, bigram LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- q208
+  /** Cross-source language-model cross-entropy matrix — the data-MIXING
+    * signal (which source looks like which, and how much novelty each
+    * adds): train q121's add-one bigram LM on every source, evaluate
+    * every source's bigram stream under every model,
+    * H(eval‖model) = Σ_t n_eval(t)·ln((C_m(head)+V)/(C_m(t)+1)) / T_eval
+    * in floor-ln micro-nats. The diagonal is each source's self-entropy
+    * baseline; off-diagonal excess measures distribution shift — the
+    * matrix DSIR-style mixture tuning starts from.
+    *
+    * Exactness: the q121 discipline exactly — per-term
+    * floor(10⁶·ln(integer ratio)) with identical operands in both
+    * engines (C_bg ≤ C_head always, so the ratio is ≥ 1 and every term
+    * non-negative: truncation direction agrees), then order-free
+    * integer sums and one final div by the token total.
+    *
+    * Scale shape: TWO corpus passes build the per-source bigram and
+    * head count frames (map-side-combined hash aggs, vocab²·sources and
+    * vocab·sources rows, both eagerly checkpointed — each has two
+    * consumers: model side and eval side / V-derivation). The matrix
+    * assembles entirely on those frames: eval counts cross-join the
+    * ≤|sources| model list, LEFT joins attach model counts by (model,
+    * bigram)/(model, head) key (unseen → 0 via coalesce, the smoothing
+    * handles it), and one (model, eval) hash agg emits ≤|sources|² rows.
+    * The corpus is never touched after the two builds. */
+  private val q208: Q = (s, d) => {
+    graft.functions.TextKernels.register(s)
+    val bgCounts = Tables.documents(s, d)
+      .filter(size(split(col("text"), " ")) >= 2)
+      .select(col("source"), explode(expr("word_ngrams(text, 2)")).as("bigram"))
+      .groupBy(col("source"), col("bigram")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val headCounts = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("head"))
+      .filter(col("head") =!= "")
+      .groupBy(col("source"), col("head")).agg(count(lit(1)).as("nh"))
+      .localCheckpoint(true)
+    val vDf = headCounts.select(col("head")).distinct()
+      .agg(count(lit(1)).as("v"))
+    val models = bgCounts.select(col("source").as("model_src")).distinct()
+    val terms = bgCounts
+      .select(col("source").as("eval_src"), col("bigram"), col("n"),
+        substring_index(col("bigram"), " ", 1).as("head"))
+      .crossJoin(broadcast(models))
+      .join(broadcast(bgCounts.select(col("source").as("model_src"),
+        col("bigram"), col("n").as("c_bg"))), Seq("model_src", "bigram"), "left")
+      .join(broadcast(headCounts.select(col("source").as("model_src"),
+        col("head"), col("nh").as("c_uni"))), Seq("model_src", "head"), "left")
+      .crossJoin(broadcast(vDf))
+      .select(col("model_src"), col("eval_src"), col("n"),
+        expr("CAST(floor(1000000.0 * ln(CAST(coalesce(c_uni, 0L) + v AS DOUBLE) / " +
+          "CAST(coalesce(c_bg, 0L) + 1 AS DOUBLE))) AS BIGINT)").as("lnm"))
+    terms.groupBy(col("model_src"), col("eval_src"))
+      .agg(sum(col("n")).as("t_bigrams"),
+        expr("SUM(n * lnm) div SUM(n)").as("xent_micro"))
+      .orderBy(col("model_src"), col("eval_src"))
+  }
+
+  private val q208Sql =
+    """WITH bg AS (SELECT source, bigram, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      |    SELECT source, UNNEST(list_transform(range(1, len(w)),
+      |        i -> w[i] || ' ' || w[i + 1])) AS bigram
+      |    FROM (SELECT source, string_split(text, ' ') AS w FROM documents)
+      |    WHERE len(w) >= 2) GROUP BY source, bigram),
+      |hc AS (SELECT source, head, CAST(COUNT(*) AS BIGINT) AS nh FROM (
+      |    SELECT source, UNNEST(string_split(text, ' ')) AS head FROM documents)
+      |  WHERE head <> '' GROUP BY source, head),
+      |v AS (SELECT CAST(COUNT(DISTINCT head) AS BIGINT) AS v FROM hc),
+      |models AS (SELECT DISTINCT source AS model_src FROM bg),
+      |terms AS (SELECT m.model_src, e.source AS eval_src, e.n,
+      |    CAST(floor(1000000.0 * ln(CAST(COALESCE(h.nh, 0) + v.v AS DOUBLE) /
+      |      CAST(COALESCE(mb.n, 0) + 1 AS DOUBLE))) AS BIGINT) AS lnm
+      |  FROM bg e
+      |  CROSS JOIN models m
+      |  LEFT JOIN bg mb ON mb.source = m.model_src AND mb.bigram = e.bigram
+      |  LEFT JOIN hc h ON h.source = m.model_src
+      |    AND h.head = string_split(e.bigram, ' ')[1]
+      |  CROSS JOIN v)
+      |SELECT model_src, eval_src, CAST(SUM(n) AS BIGINT) AS t_bigrams,
+      |  CAST(SUM(n * lnm) // SUM(n) AS BIGINT) AS xent_micro
+      |FROM terms GROUP BY model_src, eval_src
+      |ORDER BY model_src, eval_src""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q181_phrase_search" -> q181,
+    "q208_source_crossentropy" -> q208,
     "q200_pmi_collocations" -> q200,
     "q145_copair_mining" -> q145,
     "q138_bpe_merge_candidates" -> q138,
@@ -1390,6 +1474,7 @@ object TextQueries {
 
   val oracle: Map[String, String] = Map(
     "q181_phrase_search" -> q181Sql,
+    "q208_source_crossentropy" -> q208Sql,
     "q200_pmi_collocations" -> q200Sql,
     "q145_copair_mining" -> q145Sql,
     "q138_bpe_merge_candidates" -> q138Sql,
