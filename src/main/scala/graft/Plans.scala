@@ -100,7 +100,10 @@ object Plans {
     "q206_audio_vad" -> "VAD: scan -> one WholeStageCodegen wav_vad(wav_for(...)) projection -> sort; run census folds in-kernel, no per-sample explode or island window",
     "q207_linkage_weights" -> "FS weights: q173's blocked candidates (never a cross product) + ONE 1-row flag aggregate; 3-row output = constant projections off the checkpointed agg",
     "q208_source_crossentropy" -> "cross-entropy matrix: two corpus passes -> checkpointed per-source count frames; 400-cell matrix = broadcast joins on those frames only, corpus never re-read",
-    "q209_survival_curve" -> "KM curve: ONE user-keyed hash agg (no window) collapses the corpus; suffix/prefix sums ride broadcast theta self-joins on the <=31-row day frame")
+    "q209_survival_curve" -> "KM curve: ONE user-keyed hash agg (no window) collapses the corpus; suffix/prefix sums ride broadcast theta self-joins on the <=31-row day frame",
+    "q210_ann_ivfpq" -> "IVF-PQ: map-only NearestCode encode + broadcast probe list + broadcast ADC table; one co-keyed vec_id shuffle; raw floats touched only by the <=10x|Q| rerank join",
+    "q211_dup_spectrum" -> "dup spectrum: q101's LSH+components once (lazy ckpt), then spectrum-sized aggs to one row; slope = one double division of exact floor-ln integers",
+    "q212_peak_concurrency" -> "two-level prefix sum: day-partitioned cumulative window + broadcast theta join day offsets - the global running sum without a partition-less window")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

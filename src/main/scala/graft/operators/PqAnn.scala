@@ -126,17 +126,28 @@ object PqAnn {
     (codes, codebookDf)
   }
 
+  /** Per-query asymmetric-distance table: (qId, s, code, d_u) — exact
+    * integer L2² of the query's quantized subvector to every codebook
+    * centroid. Tiny (|Q|·m·k rows) and broadcastable; shared by [[search]]
+    * and the IVF-PQ composition (q210), so both score with the identical
+    * table. */
+  def queryTable(codebook: DataFrame, queries: DataFrame,
+      qIdCol: String, qVecCol: String, m: Int, dim: Int): DataFrame = {
+    graft.functions.VectorOps.register(queries.sparkSession)
+    val sub = dim / m
+    queries
+      .select(col(qIdCol), explode(array((0 until m).map(lit): _*)).as("s"), col(qVecCol).as("__v"))
+      .select(col(qIdCol), col("s"), expr(quantSlice("__v", sub)).as("xu"))
+      .join(broadcast(codebook), Seq("s"))
+      .select(col(qIdCol), col("s"), col("code"), expr(IntDist).as("d_u"))
+  }
+
   /** Asymmetric-distance top-`topK` per query over the encoded corpus. */
   def search(codes: DataFrame, codebook: DataFrame, queries: DataFrame,
       qIdCol: String, qVecCol: String, idCol: String,
       m: Int, dim: Int, topK: Int): DataFrame = {
     graft.functions.VectorOps.register(codes.sparkSession)
-    val sub = dim / m
-    val qTable = queries
-      .select(col(qIdCol), explode(array((0 until m).map(lit): _*)).as("s"), col(qVecCol).as("__v"))
-      .select(col(qIdCol), col("s"), expr(quantSlice("__v", sub)).as("xu"))
-      .join(broadcast(codebook), Seq("s"))
-      .select(col(qIdCol), col("s"), col("code"), expr(IntDist).as("d_u"))
+    val qTable = queryTable(codebook, queries, qIdCol, qVecCol, m, dim)
     val wTop = Window.partitionBy(col(qIdCol)).orderBy(col("adist_u"), col(idCol))
     codes.join(broadcast(qTable), Seq("s", "code"))
       .filter(col(qIdCol) =!= col(idCol))

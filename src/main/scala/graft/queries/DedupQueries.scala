@@ -904,7 +904,92 @@ object DedupQueries {
        |      ELSE n_detected * 1000000 // n_true END AS BIGINT) AS recall_ppm
        |FROM c""".stripMargin
 
+  // ---------------------------------------------------------------- q211
+  /** Duplicate-cluster size spectrum — the DISTRIBUTION audit over the
+    * q101 near-dup clustering (the family has per-cluster operators —
+    * collapse, canonical pick, cluster-safe split — but no answer to
+    * "how duplicated IS this corpus, and how is the duplication
+    * shaped?"): cluster-size spectrum N_s, the removable-duplicate mass
+    * (Σ(s−1)·N_s and its ppm — exactly what a dedup pass would delete),
+    * singleton count, and the log-log OLS slope of the s ≥ 2 spectrum
+    * tail (web-scale corpora show a power-law duplication tail; a flat
+    * slope means a few giant boilerplate clusters dominate and exact
+    * collapse beats near-dup effort). Slope inputs are floor-ln
+    * micro-nat integers (the q121 rule) so both engines feed OLS the
+    * identical Longs; the slope itself is ONE double division of those
+    * exact integers — bit-identical, no truncation-direction concern
+    * (the numerator is legitimately negative) — NULL when the tail has
+    * < 2 points or zero variance.
+    *
+    * Scale shape: pairs and labels are exactly q193's machinery
+    * (bucketed LSH + distributed label propagation, lazily checkpointed
+    * once); everything after the (label) count is spectrum-sized (≤
+    * distinct cluster sizes), ending in one 1-row frame. */
+  private val q211: Q = (s, d) => {
+    val tracker = new graft.operators.CheckpointTracker(Tables.documents(s, d))
+    val pairs = tracker.lazyCkpt(
+      lshVerifiedPairs(s, d).select(col("id_a"), col("id_b")))
+    val nodes = Tables.documents(s, d).select(col("doc_id"))
+    val spec = graft.operators.ConnectedComponents.run(nodes, pairs)
+      .groupBy(col("label")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz")).agg(count(lit(1)).as("ns"))
+      .localCheckpoint(true) // ≤ distinct-sizes rows; two aggregates below
+    tracker.releaseAll()
+    val base = spec.agg(
+      sum(col("sz") * col("ns")).as("n_docs"),
+      sum(col("ns")).as("n_clusters"),
+      coalesce(sum(when(col("sz") === 1, col("ns"))), lit(0L)).as("n_singletons"),
+      sum((col("sz") - 1) * col("ns")).as("dup_excess"))
+    val ols = spec.filter(col("sz") >= 2)
+      .select(
+        expr("CAST(floor(1000000.0 * ln(CAST(sz AS DOUBLE))) AS BIGINT)").as("x"),
+        expr("CAST(floor(1000000.0 * ln(CAST(ns AS DOUBLE))) AS BIGINT)").as("y"))
+      .agg(count(lit(1)).as("m"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+    base.crossJoin(broadcast(ols))
+      .select(col("n_docs"), col("n_clusters"), col("n_singletons"),
+        col("dup_excess"),
+        expr("dup_excess * 1000000 div n_docs").as("dup_ppm"),
+        expr("""CASE WHEN m >= 2 AND (m * sxx - sx * sx) <> 0
+                THEN CAST(m * sxy - sx * sy AS DOUBLE)
+                     / CAST(m * sxx - sx * sx AS DOUBLE)
+                ELSE NULL END""").as("zipf_slope"))
+  }
+
+  private val q211Sql =
+    s"""WITH RECURSIVE $lshPairsCte,
+       |e AS (SELECT id_a AS u, id_b AS v FROM p
+       |      UNION ALL SELECT id_b AS u, id_a AS v FROM p),
+       |reach AS (SELECT doc_id AS node, doc_id AS r FROM documents
+       |          UNION
+       |          SELECT e.u AS node, reach.r FROM e JOIN reach ON reach.node = e.v),
+       |lab AS (SELECT node, MIN(r) AS cluster FROM reach GROUP BY node),
+       |cz AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS sz FROM lab GROUP BY cluster),
+       |spec AS (SELECT sz, CAST(COUNT(*) AS BIGINT) AS ns FROM cz GROUP BY sz),
+       |base AS (SELECT CAST(SUM(sz * ns) AS BIGINT) AS n_docs,
+       |    CAST(SUM(ns) AS BIGINT) AS n_clusters,
+       |    CAST(COALESCE(SUM(CASE WHEN sz = 1 THEN ns END), 0) AS BIGINT)
+       |      AS n_singletons,
+       |    CAST(SUM((sz - 1) * ns) AS BIGINT) AS dup_excess
+       |  FROM spec),
+       |pts AS (SELECT
+       |    CAST(floor(1000000.0 * ln(CAST(sz AS DOUBLE))) AS BIGINT) AS x,
+       |    CAST(floor(1000000.0 * ln(CAST(ns AS DOUBLE))) AS BIGINT) AS y
+       |  FROM spec WHERE sz >= 2),
+       |ols AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+       |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |    CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+       |  FROM pts)
+       |SELECT n_docs, n_clusters, n_singletons, dup_excess,
+       |  CAST(dup_excess * 1000000 // n_docs AS BIGINT) AS dup_ppm,
+       |  CASE WHEN m >= 2 AND (m * sxx - sx * sx) <> 0
+       |       THEN CAST(m * sxy - sx * sy AS DOUBLE)
+       |            / CAST(m * sxx - sx * sx AS DOUBLE)
+       |       ELSE NULL END AS zipf_slope
+       |FROM base, ols""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q211_dup_spectrum" -> q211,
     "q157_sampled_recall_eval" -> q157,
     "q147_lsh_recall_eval" -> q147,
     "q123_embedding_neardup" -> q123,
@@ -933,6 +1018,7 @@ object DedupQueries {
     "q38_simhash_hamming" -> q38)
 
   val oracle: Map[String, String] = Map(
+    "q211_dup_spectrum" -> q211Sql,
     "q157_sampled_recall_eval" -> q157Sql,
     "q147_lsh_recall_eval" -> q147Sql,
     "q123_embedding_neardup" -> q123Sql,

@@ -1542,7 +1542,90 @@ object EventQueries {
       |GROUP BY x.day, x.n_risk, x.d, x.c
       |ORDER BY x.day""".stripMargin
 
+  // ---------------------------------------------------------------- q212
+  /** Peak concurrency sweep-line — "how many sessions were open at
+    * once?", the load-sizing operator the session family lacked (q25/q136
+    * find the sessions; this finds their OVERLAP): 30-minute-gap
+    * sessions per user become ±1 deltas at their start / end+1 minutes,
+    * and the top-10 peak minutes fall out of the running sum.
+    *
+    * The interesting part at 100 TB is the RUNNING SUM: it is global by
+    * definition, and the repo bans partition-less windows (one task
+    * sorting the world). This implements the classic TWO-LEVEL
+    * distributed prefix sum instead: minute deltas aggregate per epoch
+    * DAY, the within-day cumulative runs under a day-PARTITIONED window
+    * (parallel across days), day-level offsets come from a broadcast
+    * theta self-join over the ≤ observation-span day frame (the
+    * q166/q209 discipline), and the global running value is
+    * offset + within-day cumulative. Same segmented-scan shape GPU/MPP
+    * scans use; exact integers throughout, so order and engine cannot
+    * drift.
+    *
+    * Work: one user-keyed window pass (the event family's standard
+    * exchange) for sessionization, one (minute) hash agg, then
+    * day-bounded frames only. */
+  private val q212: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val wU = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // exact integer MICROSECONDS on both sides: Spark's unix_timestamp
+    // truncates to seconds while DuckDB's epoch() keeps the fraction —
+    // and every synthetic ts carries microseconds, so a seconds-based
+    // gap test would disagree at the 1800 s boundary.
+    val sess = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(wU)))
+      .withColumn("new_s",
+        when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(wU))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(expr("unix_micros(min(ts)) div 60000000").as("m0"),
+        expr("unix_micros(max(ts)) div 60000000").as("m1"))
+    val deltas = sess.select(col("m0").as("minute"), lit(1L).as("d"))
+      .unionByName(sess.select((col("m1") + 1).as("minute"), lit(-1L).as("d")))
+      .groupBy(col("minute")).agg(sum(col("d")).as("net"))
+      .withColumn("day", expr("minute div 1440"))
+      .localCheckpoint(true) // minute-spine frame; three consumers below
+    val wDay = Window.partitionBy(col("day")).orderBy(col("minute"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withinDay = deltas.withColumn("cum", sum(col("net")).over(wDay))
+    val dayTot = deltas.groupBy(col("day")).agg(sum(col("net")).as("dnet"))
+    val dayOff = dayTot.as("a")
+      .join(broadcast(dayTot.as("b")), col("b.day") < col("a.day"), "left")
+      .groupBy(col("a.day").as("day"))
+      .agg(coalesce(sum(col("b.dnet")), lit(0L)).as("off"))
+    withinDay.join(broadcast(dayOff), Seq("day"))
+      .select(col("minute"), (col("off") + col("cum")).as("conc"))
+      .orderBy(col("conc").desc, col("minute"))
+      .limit(10)
+  }
+
+  private val q212Sql =
+    """WITH lagd AS (SELECT user_id, ts,
+      |    CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+      |                                       ORDER BY ts, event_id)) > 1800000000
+      |           OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |         THEN 1 ELSE 0 END AS new_s,
+      |    event_id
+      |  FROM events),
+      |sid AS (SELECT user_id, ts,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+      |  FROM lagd),
+      |sess AS (SELECT user_id, sid,
+      |    CAST(epoch_us(MIN(ts)) // 60000000 AS BIGINT) AS m0,
+      |    CAST(epoch_us(MAX(ts)) // 60000000 AS BIGINT) AS m1
+      |  FROM sid GROUP BY user_id, sid),
+      |deltas AS (SELECT minute, CAST(SUM(d) AS BIGINT) AS net FROM (
+      |    SELECT m0 AS minute, 1 AS d FROM sess
+      |    UNION ALL SELECT m1 + 1, -1 FROM sess) GROUP BY minute),
+      |cum AS (SELECT minute,
+      |    SUM(net) OVER (ORDER BY minute) AS conc
+      |  FROM deltas)
+      |SELECT minute, CAST(conc AS BIGINT) AS conc FROM cum
+      |ORDER BY conc DESC, minute LIMIT 10""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q212_peak_concurrency" -> q212,
     "q209_survival_curve" -> q209,
     "q204_markov_stationary" -> q204,
     "q189_chapman_kolmogorov" -> q189,
@@ -1582,6 +1665,7 @@ object EventQueries {
     "q62_pipeline_daily_index_counts" -> q62)
 
   val oracle: Map[String, String] = Map(
+    "q212_peak_concurrency" -> q212Sql,
     "q209_survival_curve" -> q209Sql,
     "q204_markov_stationary" -> q204Sql,
     "q189_chapman_kolmogorov" -> q189Sql,

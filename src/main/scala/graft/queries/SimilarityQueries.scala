@@ -258,8 +258,12 @@ object SimilarityQueries {
     * element-wise integer-mean refinement (empty codes keep seeds),
     * re-assignment, then integer ADC sums. Both engines truncate integer
     * division toward zero, so the means match exactly. */
-  private val q90Sql: String =
-    """WITH st AS (SELECT greatest(1, (SELECT COUNT(*) FROM embeddings) // 64) AS stride),
+  /** Shared PQ CTE chain (quantize → seed → one Lloyd step → codes +
+    * per-query distance table `qt`) for the q90/q210 oracles —
+    * byte-identical to what q90Sql always inlined, so the q90 hash is
+    * unchanged. Starts after a caller-provided WITH. */
+  private val pqCteSql: String =
+    """st AS (SELECT greatest(1, (SELECT COUNT(*) FROM embeddings) // 64) AS stride),
       |xu AS (SELECT vec_id, s,
       |          list_transform(list_slice(embedding, s * 4 + 1, s * 4 + 4),
       |                         x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xu
@@ -288,7 +292,10 @@ object SimilarityQueries {
       |codes AS (SELECT vec_id, s, code FROM (
       |    SELECT vec_id, s, code, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rk
       |    FROM d1) WHERE rk = 1),
-      |qt AS (SELECT vec_id AS q_id, s, code, d FROM d1 WHERE vec_id < 5),
+      |qt AS (SELECT vec_id AS q_id, s, code, d FROM d1 WHERE vec_id < 5)""".stripMargin
+
+  private val q90Sql: String = "WITH " + pqCteSql +
+    """,
       |adc AS (SELECT qt.q_id, c.vec_id, CAST(SUM(qt.d) AS BIGINT) AS adist_u
       |        FROM codes c JOIN qt ON qt.s = c.s AND qt.code = c.code
       |        WHERE c.vec_id <> qt.q_id
@@ -297,6 +304,108 @@ object SimilarityQueries {
       |        CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist_u, vec_id) AS BIGINT) AS rank
       |      FROM adc)
       |SELECT q_id, rank, vec_id, adist_u FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- q210
+  /** IVF-PQ two-stage ANN — the PRODUCTION index shape (the FAISS
+    * `IVFx,PQy` default), composing the family's two scale levers that
+    * q51 and q90 each prove alone: IVF list pruning cuts WHICH vectors
+    * are scored (~nprobe/k of the corpus), PQ compression cuts WHAT is
+    * read per scored vector (m one-byte codes instead of dim floats),
+    * and an exact top-10 rerank on the shortlist restores rounded-cosine
+    * precision. Same constants as the parents (16 lists / nprobe 4;
+    * m=16 × k=64 codes, one Lloyd step), same shared operators
+    * ([[graft.operators.IvfAnn]].build, [[graft.operators.PqAnn]].build/
+    * queryTable), so the oracle replays both builds verbatim (q51's IVF
+    * CTEs + q90's PQ chain, the latter refactored into a shared string —
+    * q90's hash unchanged).
+    *
+    * Scale shape: both builds are the parents' (broadcast centroids /
+    * map-only NearestCode encode); search joins the code stream to the
+    * corpus cid map on vec_id (one co-keyed shuffle), prunes by the
+    * BROADCAST probe list, attaches the BROADCAST per-query ADC table on
+    * (q_id, s, code), and collapses by one (q_id, vec_id) hash agg;
+    * the ≤10·|Q|-row shortlist alone fetches raw vectors for the exact
+    * rerank (broadcast query side, bounded window). At 100 TB nothing
+    * after the two builds reads a float except the shortlist join. */
+  private val q210: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d)
+    val (assigned, cents) = graft.operators.IvfAnn.build(e, "vec_id", "embedding", k = 16)
+    val cidMap = assigned.select(col("vec_id"), col("cid"))
+    val (codes, codebook) = graft.operators.PqAnn.build(
+      e, "vec_id", "embedding", m = 16, k = 64, dim = 64, iters = 1)
+    val qs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("cdot").desc, col("cid"))
+    val probes = qs.crossJoin(broadcast(cents))
+      .withColumn("cdot", round(expr("dot_f(q_emb, centroid)"), 4))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= 4)
+      .select(col("q_id"), col("cid"))
+    val qTable = graft.operators.PqAnn.queryTable(
+      codebook, qs, "q_id", "q_emb", m = 16, dim = 64)
+    val wShort = Window.partitionBy(col("q_id")).orderBy(col("adist_u"), col("vec_id"))
+    val shortlist = codes.join(cidMap, Seq("vec_id"))
+      .join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(qTable), Seq("q_id", "s", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("d_u")).as("adist_u"))
+      .withColumn("rk", row_number().over(wShort))
+      .filter(col("rk") <= 10)
+      .drop("rk")
+    val wFinal = Window.partitionBy(col("q_id")).orderBy(col("cos4").desc, col("vec_id"))
+    shortlist
+      .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(qs), Seq("q_id"))
+      .withColumn("cos4", round(expr("dot_f(embedding, q_emb)"), 4))
+      .withColumn("rank", row_number().over(wFinal).cast("long"))
+      .select(col("q_id"), col("rank"), col("vec_id"), col("adist_u"), col("cos4"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val q210Sql: String =
+    """WITH ivs AS (SELECT greatest(1, (SELECT COUNT(*) FROM embeddings) // 16) AS stride),
+      |cents AS (SELECT CAST(vec_id // ivs.stride AS INT) AS cid, embedding AS centroid
+      |          FROM embeddings, ivs
+      |          WHERE vec_id % ivs.stride = 0 AND vec_id // ivs.stride < 16),
+      |au AS (SELECT e.vec_id, c.cid, UNNEST(e.embedding) AS x, UNNEST(c.centroid) AS y
+      |       FROM embeddings e, cents c),
+      |ad AS (SELECT vec_id, cid, round(SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 4) AS cdot
+      |       FROM au GROUP BY vec_id, cid),
+      |assign AS (SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cid) AS rk FROM ad)
+      |  WHERE rk = 1),
+      |probes AS (SELECT vec_id AS q_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cid) AS rk
+      |    FROM ad WHERE vec_id < 5)
+      |  WHERE rk <= 4),
+      |""".stripMargin + pqCteSql +
+    """,
+      |cand AS (SELECT p.q_id, a.vec_id FROM probes p JOIN assign a ON a.cid = p.cid
+      |         WHERE a.vec_id <> p.q_id),
+      |adc AS (SELECT cd.q_id, cd.vec_id, CAST(SUM(qt.d) AS BIGINT) AS adist_u
+      |        FROM cand cd JOIN codes c ON c.vec_id = cd.vec_id
+      |             JOIN qt ON qt.q_id = cd.q_id AND qt.s = c.s AND qt.code = c.code
+      |        GROUP BY cd.q_id, cd.vec_id),
+      |sl AS (SELECT q_id, vec_id, adist_u FROM (
+      |    SELECT q_id, vec_id, adist_u,
+      |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist_u, vec_id) AS rk
+      |    FROM adc) WHERE rk <= 10),
+      |cu AS (SELECT sl.q_id, sl.vec_id, sl.adist_u,
+      |          UNNEST(ev.embedding) AS x, UNNEST(eq.embedding) AS y
+      |       FROM sl JOIN embeddings eq ON eq.vec_id = sl.q_id
+      |            JOIN embeddings ev ON ev.vec_id = sl.vec_id),
+      |sims AS (SELECT q_id, vec_id, adist_u,
+      |            round(SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 4) AS cos4
+      |         FROM cu GROUP BY q_id, vec_id, adist_u)
+      |SELECT q_id,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos4 DESC, vec_id) AS BIGINT)
+      |    AS rank,
+      |  vec_id, adist_u, cos4
+      |FROM sims ORDER BY q_id, rank""".stripMargin
 
   // ---------------------------------------------------------------- q98
   /** Corpus clustering: exact-integer Lloyd k-means
@@ -1048,6 +1157,7 @@ object SimilarityQueries {
     "q43_ann_lsh_bucketed" -> q43,
     "q51_ann_ivf" -> q51,
     "q90_ann_pq" -> q90,
+    "q210_ann_ivfpq" -> q210,
     "q98_kmeans_clusters" -> q98,
     "q108_semdedup" -> q108)
 
@@ -1067,6 +1177,7 @@ object SimilarityQueries {
     "q42_embedding_neardup" -> q42Sql,
     "q43_ann_lsh_bucketed" -> q43Sql,
     "q51_ann_ivf" -> q51Sql,
+    "q210_ann_ivfpq" -> q210Sql,
     "q90_ann_pq" -> q90Sql,
     "q98_kmeans_clusters" -> q98Sql,
     "q108_semdedup" -> q108Sql)

@@ -557,7 +557,10 @@ object WarehouseQueries {
     * orders of magnitude smaller than the pair universe) is BROADCAST
     * into the three sub-pair joins. Output is support-total-ordered
     * (sup DESC, x, y, z) — deterministic without a LIMIT because minsup
-    * already bounds it. */
+    * already bounds it. Data note: sf0.01 has 12 frequent triples; the
+    * sf0.1 corpus (key-shifted replica growth) genuinely has none and
+    * both engines agree on the empty answer — the non-degenerate case
+    * is spec-pinned at sf0.01 (QueryInventorySpec monotonicity test). */
   private val q201: Q = (s, d) => {
     val tracker = new graft.operators.CheckpointTracker(Tables.lineitem(s, d))
     val bk = tracker.lazyCkpt(Tables.lineitem(s, d)
