@@ -103,7 +103,10 @@ object Plans {
     "q209_survival_curve" -> "KM curve: ONE user-keyed hash agg (no window) collapses the corpus; suffix/prefix sums ride broadcast theta self-joins on the <=31-row day frame",
     "q210_ann_ivfpq" -> "IVF-PQ: map-only NearestCode encode + broadcast probe list + broadcast ADC table; one co-keyed vec_id shuffle; raw floats touched only by the <=10x|Q| rerank join",
     "q211_dup_spectrum" -> "dup spectrum: q101's LSH+components once (lazy ckpt), then spectrum-sized aggs to one row; slope = one double division of exact floor-ln integers",
-    "q212_peak_concurrency" -> "two-level prefix sum: day-partitioned cumulative window + broadcast theta join day offsets - the global running sum without a partition-less window")
+    "q212_peak_concurrency" -> "two-level prefix sum: day-partitioned cumulative window + broadcast theta join day offsets - the global running sum without a partition-less window",
+    "q213_robust_means" -> "robust means: ONE type-partitioned rank window + ONE hash agg; boundary values as conditional MINs at exact ranks",
+    "q214_burstiness" -> "burstiness: one per-type lag window -> one moment hash agg; DECIMAL(38) products, Guard-enforced",
+    "q215_auc_ranksum" -> "exact AUC: one corpus scan -> score-domain frames; below(s) via the q212 two-level prefix sum (block window + broadcast offsets)")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

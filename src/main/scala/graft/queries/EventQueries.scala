@@ -1624,7 +1624,69 @@ object EventQueries {
       |SELECT minute, CAST(conc AS BIGINT) AS conc FROM cum
       |ORDER BY conc DESC, minute LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------- q214
+  /** Inter-arrival burstiness audit per event type — "is this stream
+    * Poisson?", the capacity-planning and anomaly-baseline question
+    * (q183 fits a level trend; this characterizes the ARRIVAL PROCESS):
+    * per type, the inter-arrival gaps' squared coefficient of variation
+    * CV² = Var/Mean² in exact ppm — CV² ≈ 1 is exponential/Poisson
+    * arrivals (memoryless), ≪ 1 is pacing/batch-emission, ≫ 1 is
+    * bursts. Gaps are exact integer MICROSECONDS (the q212 lesson:
+    * Spark's unix_timestamp truncates where DuckDB's epoch() keeps the
+    * fraction); CV²_ppm = 10⁶·(n·Σg² − (Σg)²) div (Σg)² rides
+    * DECIMAL(38)/HUGEINT products (the q183/q191 discipline — Σg ~ 10¹³
+    * µs per type at sf1 squares past Long), and the variance identity
+    * keeps the numerator non-negative so engine truncation agrees.
+    *
+    * Scale shape: one per-type window exchange (lag over the (ts,
+    * event_id) total order) → one (type) hash agg carrying the moment
+    * sums. Nothing after the scan is corpus-sized. */
+  private val q214: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val wT = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    val gaps = Tables.events(s, d)
+      .select(col("event_type"), col("event_id"), col("ts"))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(wT)))
+      .filter(col("gap_us").isNotNull)
+    val sums = gaps.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap_us")).as("min_gap_us"),
+        max(col("gap_us")).as("max_gap_us"),
+        sum(col("gap_us").cast("decimal(19,0)")).as("sg"),
+        sum(expr("CAST(gap_us AS DECIMAL(19,0)) * CAST(gap_us AS DECIMAL(19,0))"))
+          .as("sg2"))
+    graft.functions.Guard.require(sums,
+        col("n_gaps") >= 2 && expr("sg > 0"),
+        "q214: CV^2 undefined (fewer than 2 gaps or zero total time) - " +
+          "emit NULL explicitly if a degenerate type must flow through")
+      .select(col("event_type"), col("n_gaps"), col("min_gap_us"), col("max_gap_us"),
+        expr("CAST(sg div n_gaps AS BIGINT)").as("mean_gap_us"),
+        expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) *
+                (CAST(n_gaps AS DECIMAL(38,0)) * sg2 - sg * sg))
+                div (sg * sg) AS BIGINT)""").as("cv2_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q214Sql =
+    """WITH g AS (SELECT event_type,
+      |    epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY event_type
+      |                                          ORDER BY ts, event_id)) AS gap_us
+      |  FROM events),
+      |s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+      |    CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+      |    CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+      |    CAST(SUM(CAST(gap_us AS HUGEINT)) AS HUGEINT) AS sg,
+      |    CAST(SUM(CAST(gap_us AS HUGEINT) * gap_us) AS HUGEINT) AS sg2
+      |  FROM g WHERE gap_us IS NOT NULL GROUP BY event_type)
+      |SELECT event_type, n_gaps, min_gap_us, max_gap_us,
+      |  CAST(sg // n_gaps AS BIGINT) AS mean_gap_us,
+      |  CAST((1000000 * (CAST(n_gaps AS HUGEINT) * sg2 - sg * sg))
+      |       // (sg * sg) AS BIGINT) AS cv2_ppm
+      |FROM s ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q214_burstiness" -> q214,
     "q212_peak_concurrency" -> q212,
     "q209_survival_curve" -> q209,
     "q204_markov_stationary" -> q204,
@@ -1665,6 +1727,7 @@ object EventQueries {
     "q62_pipeline_daily_index_counts" -> q62)
 
   val oracle: Map[String, String] = Map(
+    "q214_burstiness" -> q214Sql,
     "q212_peak_concurrency" -> q212Sql,
     "q209_survival_curve" -> q209Sql,
     "q204_markov_stationary" -> q204Sql,

@@ -577,24 +577,35 @@ object GraphQueries {
     val e0 = Tables.lineitem(s, d)
       .filter(col("l_linenumber") <= 3)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-    val ed = e0.as("a").join(e0.as("b"),
+    // The edge derivation (fact self-join + DISTINCT) has FIVE downstream
+    // consumers (both sym arms, the degree agg via sym, both sides of the
+    // wedge self-join, the LEFT ANTI) — without the tracked checkpoint it
+    // re-executed per consumer (measured 22.4 s at sf1, 2.9 s after).
+    val tracker = new graft.operators.CheckpointTracker(Tables.lineitem(s, d))
+    val ed = tracker.lazyCkpt(e0.as("a").join(e0.as("b"),
         col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("x"), col("b.p").as("y")).distinct()
+      .select(col("a.p").as("x"), col("b.p").as("y")).distinct())
     val sym = ed.select(col("x").as("w"), col("y").as("n"))
       .unionByName(ed.select(col("y").as("w"), col("x").as("n")))
     val score = sym.groupBy(col("w")).agg(count(lit(1)).as("deg"))
       .filter(col("deg") >= 2)
       .select(col("w"), expr("1000000000000L div CAST(floor(1000000.0 * " +
         "ln(CAST(deg AS DOUBLE))) AS BIGINT)").as("t"))
-    val nbrs = sym.join(score, Seq("w"))
+    val nbrs = tracker.lazyCkpt(sym.join(score, Seq("w")))
     val cand = nbrs.as("a").join(nbrs.as("b"),
         col("a.w") === col("b.w") && col("a.n") < col("b.n"))
       .select(col("a.n").as("u"), col("b.n").as("v"), col("a.t").as("t"))
       .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("n_common"), sum(col("t")).as("aa_micro"))
-    cand.join(ed, cand("u") === ed("x") && cand("v") === ed("y"), "left_anti")
+    val out = cand
+      .join(ed, cand("u") === ed("x") && cand("v") === ed("y"), "left_anti")
       .orderBy(col("aa_micro").desc, col("u"), col("v"))
       .limit(20)
+      // One eager action runs the pipeline while the lazy blocks are
+      // alive; the 20-row result outlives them (CheckpointTracker contract).
+      .localCheckpoint(true)
+    tracker.releaseAll()
+    out
   }
 
   private val q199Sql =

@@ -1129,7 +1129,71 @@ object RelationalQueries {
       | CAST(SUM(cur_cents) AS BIGINT) AS sum_cents
       |FROM m GROUP BY action ORDER BY action""".stripMargin
 
+  // ---------------------------------------------------------------- q213
+  /** Trimmed and winsorized means per event type — the ROBUST location
+    * estimators the aggregation family lacked (q27/q81 give exact
+    * medians/quantiles; q144 flags outliers; this reports the mean WITH
+    * the outliers' influence bounded, the estimator monitoring actually
+    * alerts on): k = n div 20 (5 %) values are cut from each tail for
+    * the trimmed mean and CLAMPED to the tail boundary values for the
+    * winsorized mean. Exact integers throughout: ranks come from ONE
+    * event_type-partitioned window under the (cents, event_id) total
+    * order (deterministic ties — never a partition-less window), the
+    * boundary values are conditional MINs at exact ranks k+1 / n−k, and
+    * every mean is an integer div of exact sums.
+    *
+    * Scale shape: one corpus scan → one per-type window exchange (the
+    * event family's standard shuffle, bounded groups per the q81
+    * caveat) → one (type) hash agg. At unbounded value domains the q129
+    * histogram refinement substitutes for the rank window with identical
+    * rank arithmetic. */
+  private val q213: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val wR = Window.partitionBy(col("event_type"))
+      .orderBy(col("cents"), col("event_id"))
+    val wN = Window.partitionBy(col("event_type"))
+    val ranked = Tables.events(s, d)
+      .select(col("event_type"), col("event_id"),
+        (graft.functions.Exact.money(col("value")) * 100).cast("long").as("cents"))
+      .withColumn("rk", row_number().over(wR).cast("long"))
+      .withColumn("n", count(lit(1)).over(wN))
+      .withColumn("k", expr("n div 20"))
+    ranked.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), max(col("k")).as("k"),
+        sum(col("cents")).as("sum_cents"),
+        sum(when(col("rk") > col("k") && col("rk") <= col("n") - col("k"),
+          col("cents"))).as("mid_sum"),
+        min(when(col("rk") === col("k") + 1, col("cents"))).as("v_lo"),
+        min(when(col("rk") === col("n") - col("k"), col("cents"))).as("v_hi"))
+      .select(col("event_type"), col("n"), col("k"),
+        expr("sum_cents div n").as("mean_cents"),
+        expr("mid_sum div (n - 2 * k)").as("trimmed_cents"),
+        expr("(mid_sum + k * v_lo + k * v_hi) div n").as("winsor_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q213Sql =
+    """WITH r AS (SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(15,2)) * 100 AS BIGINT) AS cents,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+      |                            ORDER BY CAST(CAST(value AS DECIMAL(15,2)) * 100
+      |                                          AS BIGINT), event_id) AS BIGINT) AS rk,
+      |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      |  FROM events),
+      |g AS (SELECT event_type, MAX(n) AS n, MAX(n // 20) AS k,
+      |    SUM(cents) AS sum_cents,
+      |    SUM(CASE WHEN rk > n // 20 AND rk <= n - n // 20 THEN cents END) AS mid_sum,
+      |    MIN(CASE WHEN rk = n // 20 + 1 THEN cents END) AS v_lo,
+      |    MIN(CASE WHEN rk = n - n // 20 THEN cents END) AS v_hi
+      |  FROM r GROUP BY event_type)
+      |SELECT event_type, n, k,
+      |  CAST(sum_cents // n AS BIGINT) AS mean_cents,
+      |  CAST(mid_sum // (n - 2 * k) AS BIGINT) AS trimmed_cents,
+      |  CAST((mid_sum + k * v_lo + k * v_hi) // n AS BIGINT) AS winsor_cents
+      |FROM g ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q213_robust_means" -> q213,
     "q149_cdc_merge_census" -> q149,
     "q140_join_skew_audit" -> q140,
     "q126_pagerank" -> q126,
@@ -1175,6 +1239,7 @@ object RelationalQueries {
     "q89_typed_dataset" -> q89)
 
   val oracle: Map[String, String] = Map(
+    "q213_robust_means" -> q213Sql,
     "q149_cdc_merge_census" -> q149Sql,
     "q140_join_skew_audit" -> q140Sql,
     "q126_pagerank" -> q126Sql,

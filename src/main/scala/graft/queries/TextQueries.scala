@@ -101,16 +101,17 @@ object TextQueries {
       .withColumn("quality_ppm",
         expr("(4 * stop_ppm + 6 * least(avg_len_ppm div 10, 1000000L)) div 10"))
 
-  /** DuckDB CTE `qual(doc_id, source, tokens, quality_ppm)` replaying
-    * [[withQualityPpm]] on `documents` — compose as
-    * `WITH $qualityPpmCte, ...`. */
+  /** DuckDB CTE `qual(doc_id, source, lang, tokens, quality_ppm)`
+    * replaying [[withQualityPpm]] on `documents` — compose as
+    * `WITH $qualityPpmCte, ...`. (lang added for q215; existing
+    * consumers project their own columns, so the widening is inert.) */
   val qualityPpmCte: String =
     """qual AS (
-      | SELECT doc_id, source, tokens,
+      | SELECT doc_id, source, lang, tokens,
       |  (4 * (occ_the * 1000000 // tokens) +
       |   6 * least(((n_chars - (tokens - 1)) * 1000000 // tokens) // 10, 1000000)) // 10
       |    AS quality_ppm
-      | FROM (SELECT doc_id, source,
+      | FROM (SELECT doc_id, source, lang,
       |   CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
       |   CAST(length(text) AS BIGINT) AS n_chars,
       |   CAST((length(text) - length(replace(text, ' the ', ''))) // 5 AS BIGINT) AS occ_the
@@ -1443,7 +1444,74 @@ object TextQueries {
       |FROM terms GROUP BY model_src, eval_src
       |ORDER BY model_src, eval_src""".stripMargin
 
+  // ---------------------------------------------------------------- q215
+  /** Exact AUC by rank-sum (Mann–Whitney U) — the CLASSIFIER-EVAL
+    * operator the curation stack was missing: every quality/weak-label
+    * score in this repo (q33, q141, q148) eventually gets thresholded,
+    * and AUC is the threshold-free answer to "does the score separate
+    * the classes at all?". Here: does quality_ppm separate lang = 'en'
+    * documents from the rest? AUC = P(score_pos > score_neg) + ½ ties,
+    * computed EXACTLY in integers — never a sampled estimate:
+    * auc2 = Σ_s [2·np(s)·below(s) + np(s)·nn(s)] over distinct scores,
+    * auc_ppm = auc2·10⁶ div (2·NP·NN).
+    *
+    * The rank machinery is the q212 two-level prefix sum, reused because
+    * `below(s)` (negatives strictly under score s) is a GLOBAL running
+    * sum over the score domain and partition-less windows are banned:
+    * within-block (score div 4096) cumulative under a block-partitioned
+    * window, block offsets from a broadcast theta self-join over the
+    * ≤245-block frame. Everything after the one corpus scan is
+    * score-domain-bounded. Guard: auc2·10⁶ needs NP·NN ≤ 4.6·10¹² —
+    * fails loudly past ~4M docs per class (DECIMAL(38) is the
+    * promotion). */
+  private val q215: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val perScore = withQualityPpm(Tables.documents(s, d))
+      .select(col("quality_ppm").as("sc"),
+        (col("lang") === "en").cast("long").as("pos"))
+      .groupBy(col("sc"))
+      .agg(sum(col("pos")).as("np"),
+        (count(lit(1)) - sum(col("pos"))).as("nn"))
+      .withColumn("blk", expr("sc div 4096"))
+      .localCheckpoint(true) // score-domain-bounded; three consumers below
+    val wB = Window.partitionBy(col("blk")).orderBy(col("sc"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = perScore.withColumn("cumw", sum(col("nn")).over(wB))
+    val blkTot = perScore.groupBy(col("blk")).agg(sum(col("nn")).as("bn"))
+    val off = blkTot.as("a")
+      .join(broadcast(blkTot.as("b")), col("b.blk") < col("a.blk"), "left")
+      .groupBy(col("a.blk").as("blk"))
+      .agg(coalesce(sum(col("b.bn")), lit(0L)).as("off"))
+    val tot = perScore.agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"))
+    val auc2 = withCum.join(broadcast(off), Seq("blk"))
+      .select(col("np"), col("nn"), (col("off") + col("cumw") - col("nn")).as("below"))
+      .agg(sum(expr("2 * np * below + np * nn")).as("auc2"))
+    graft.functions.Guard.require(auc2.crossJoin(broadcast(tot)),
+        expr("n_pos * n_neg") <= lit(4611686018427387L),
+        "q215: auc2 * 10^6 would overflow Long past ~4.6e12 pos*neg pairs " +
+          "- promote the AUC arithmetic to DECIMAL(38)")
+      .select(col("n_pos"), col("n_neg"),
+        expr("auc2 * 1000000 div (2 * n_pos * n_neg)").as("auc_ppm"))
+  }
+
+  private val q215Sql =
+    s"""WITH $qualityPpmCte,
+       |ps AS (SELECT quality_ppm AS sc,
+       |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS np,
+       |    CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS nn
+       |  FROM qual GROUP BY quality_ppm),
+       |cum AS (SELECT sc, np, nn,
+       |    SUM(nn) OVER (ORDER BY sc) - nn AS below
+       |  FROM ps),
+       |tot AS (SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+       |               CAST(SUM(nn) AS BIGINT) AS n_neg FROM ps),
+       |a2 AS (SELECT CAST(SUM(2 * np * below + np * nn) AS BIGINT) AS auc2 FROM cum)
+       |SELECT n_pos, n_neg,
+       |  CAST(auc2 * 1000000 // (2 * n_pos * n_neg) AS BIGINT) AS auc_ppm
+       |FROM a2, tot""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q215_auc_ranksum" -> q215,
     "q181_phrase_search" -> q181,
     "q208_source_crossentropy" -> q208,
     "q200_pmi_collocations" -> q200,
@@ -1473,6 +1541,7 @@ object TextQueries {
     "q69_levenshtein_neardup" -> q69)
 
   val oracle: Map[String, String] = Map(
+    "q215_auc_ranksum" -> q215Sql,
     "q181_phrase_search" -> q181Sql,
     "q208_source_crossentropy" -> q208Sql,
     "q200_pmi_collocations" -> q200Sql,

@@ -110,7 +110,8 @@ class QueryInventorySpec extends AnyFunSuite {
       "q174_equidepth_histogram", "q179_bfs_distance_census",
       "q184_label_propagation", "q187_kcore_peel", "q193_cluster_safe_split",
       "q194_bpe_vocab_trainer", "q195_bpe_tokenize_audit", "q196_ktruss_peel",
-      "q202_luby_mis")
+      "q199_adamic_adar", "q201_apriori_triples", "q202_luby_mis",
+      "q204_markov_stationary", "q211_dup_spectrum")
     val oversize = iterative.flatMap { name =>
       val len = SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString.length
