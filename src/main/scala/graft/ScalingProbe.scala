@@ -219,6 +219,51 @@ object ScalingProbe {
     val (q173MaxBlock, q173B2PairVol) =
       (q173BlockStats.getLong(0), q173BlockStats.getLong(1))
 
+    // q199: wedge volume Σ C(deg,2) (the rows the candidate aggregate
+    // carries — the exact-Adamic-Adar floor) and the distinct candidate
+    // pair count it collapses to. Degree is co-purchase-bounded, so both
+    // must track edges ~linearly (measured: edges and wedges both exactly
+    // 10.0× at 10× data, max degree flat at 62 — BASELINE round-12).
+    val q199E0 = Tables.lineitem(spark, sfDir)
+      .filter(col("l_linenumber") <= 3)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    val q199Ed = q199E0.as("a").join(q199E0.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("x"), col("b.p").as("y")).distinct()
+      .localCheckpoint(true)
+    val q199Deg = q199Ed.select(col("x").as("w"))
+      .unionByName(q199Ed.select(col("y").as("w")))
+      .groupBy(col("w")).agg(count(lit(1)).as("deg"))
+    val q199Wedges = q199Deg
+      .agg(coalesce(sum(expr("deg * (deg - 1) div 2")), lit(0L))).head().getLong(0)
+    val q199Nbrs = q199Ed.select(col("x").as("w"), col("y").as("n"))
+      .unionByName(q199Ed.select(col("y").as("w"), col("x").as("n")))
+    val q199Cand = q199Nbrs.as("a").join(q199Nbrs.as("b"),
+        col("a.w") === col("b.w") && col("a.n") < col("b.n"))
+      .select(col("a.n").as("u"), col("b.n").as("v")).distinct().count()
+    q199Ed.unpersist()
+
+    // q201: basket explode volumes Σ C(w,2) / Σ C(w,3) — per-basket width
+    // w is bounded by the order schema, so both must grow linearly with
+    // orders (the reason the array-explode shape replaced the mis-planned
+    // 3-way self-join).
+    val q201Widths = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(count_distinct(col("l_partkey")).as("w"))
+    val q201Row = q201Widths.agg(
+      coalesce(sum(expr("w * (w - 1) div 2")), lit(0L)).as("p"),
+      coalesce(sum(expr("w * (w - 1) * (w - 2) div 6")), lit(0L)).as("t"),
+      coalesce(max(col("w")), lit(0L)).as("mx")).head()
+    val (q201PairVol, q201TripleVol, q201MaxBasket) =
+      (q201Row.getLong(0), q201Row.getLong(1), q201Row.getLong(2))
+
+    // q215: distinct score values — everything after the corpus scan is
+    // bounded by THIS (the two-level prefix sum runs on it), so it must
+    // stay ≪ corpus (it is value-domain-bounded at ≤ 10⁶ by construction).
+    val q215Scores = queries.TextQueries
+      .withQualityPpm(Tables.documents(spark, sfDir))
+      .select(col("quality_ppm")).distinct().count()
+
     println(s"""{"sf":"$sfDir","docs":$nDocs,"shingles":$totShingles,""" +
       s""""q86_cand":$q86Cand,"q86_pairs":$q86Pairs,""" +
       s""""q103_cand":$q103Cand,"q103_pairs":$q103Pairs,""" +
@@ -236,7 +281,10 @@ object ScalingProbe {
       s""""q164_cells":$q164Cells,"q164_pairs":$q164Pairs,""" +
       s""""q166_survivors":$q166Survivors,"q166_skyline":$q166Skyline,""" +
       s""""q173_cand":$q173Cand,"q173_b2_maxblock":$q173MaxBlock,""" +
-      s""""q173_b2_pairvol":$q173B2PairVol}""")
+      s""""q173_b2_pairvol":$q173B2PairVol,""" +
+      s""""q199_wedges":$q199Wedges,"q199_cand":$q199Cand,""" +
+      s""""q201_pairvol":$q201PairVol,"q201_triplevol":$q201TripleVol,""" +
+      s""""q201_maxbasket":$q201MaxBasket,"q215_scores":$q215Scores}""")
     spark.stop()
   }
 }
