@@ -67,6 +67,31 @@ class LubyMisSpec extends AnyFunSuite {
     assert(!(mis(20L) && Seq(21L, 22L, 23L, 24L).exists(mis)))
   }
 
+  test("random graphs: the converged selection is always a maximal independent set") {
+    // Deterministic LCG-generated graphs (fixed seeds, ~25 nodes, edge
+    // prob 1/8) — the fixture test pins known shapes; this sweeps
+    // irregular ones. Properties checked are the operator's full
+    // contract: independence AND maximality at fixpoint.
+    for (seed <- Seq(1L, 7L, 42L)) {
+      var s = seed
+      def nextBit(): Boolean = { s = s * 6364136223846793005L + 1442695040888963407L; (s >>> 60) == 0 }
+      val edges = (for {
+        u <- 1L to 25L; v <- (u + 1) to 25L
+        if nextBit()
+      } yield (u, v)).toSeq
+      if (edges.nonEmpty) {
+        val (mis, _) = misOf(edges)
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSet
+        val violations = edges.filter(e => mis(e._1) && mis(e._2))
+        assert(violations.isEmpty, s"seed=$seed selected neighbors: $violations")
+        val nbrs = edges.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+          .groupMap(_._1)(_._2)
+        val uncovered = (nodes -- mis).filterNot(n => nbrs(n).exists(mis))
+        assert(uncovered.isEmpty, s"seed=$seed uncovered: $uncovered")
+      }
+    }
+  }
+
   test("equal-priority ties block each other instead of breaking independence") {
     // Adjacent equal priorities can't arise from md5 on distinct ids in a
     // 9-node fixture, so pin the TIE RULE directly: with strict <, a
