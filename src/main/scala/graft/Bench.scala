@@ -1,5 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Suite benchmark. One timed `toRdd.count()` per query, median of N
+  * consecutive passes, headline total + per-query map as JSON on stdout.
+  *
+  * READ THIS before citing a number (canonical statement — PLANS.md's
+  * header points here): bench medians are CONSTRUCTION-inclusive for the
+  * iterative/tracker queries (q179, q184, q194, q196, q199, q202, …) —
+  * their driver-side loops (BFS rounds, BPE merges, k-truss peels) run
+  * while the query FRAME is being built, so each bench pass pays the
+  * full pipeline again. ExecPlan walls for the same queries are
+  * MATERIALIZATION-only (the returned frame is LogicalRDD-rooted — the
+  * loop already ran). Both numbers are honest; they measure different
+  * things. Cross-round comparisons must compare like with like: bench
+  * median vs bench median, ExecPlan wall vs ExecPlan wall. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -109,6 +123,19 @@ object Bench {
     val contention = s""""load_start":"$loadStart","load_end":"$loadEnd",""" +
       s""""spread_total":${f3(spreadTotal)},"spread_max_q":"${shortKey(worstQ)}","spread_max_s":${f3(worstSpread)}"""
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","passes":$passes,$contention,"queries":$qs,"sf":"$sfDir"}""")
+    // The driver captures only the ~3 KB TAIL of stdout — and the tail
+    // keeps the END. With 208+ short keys the full line above is itself
+    // ~3 KB, so the tail now STARTS mid-map and the headline total that
+    // round 4 moved to the front scrolled out of the window again
+    // (BENCH_r11/BENCH_r12 `parsed: null`). Repeat the headline as a
+    // compact FINAL line whose queries map holds only the 5 slowest
+    // medians (bounded forever, still schema-complete) so the capture
+    // window always ends with complete, parseable JSON. The full line
+    // above stays for humans and the calm-pair archives.
+    val top5 = results.sortBy(-_._2).take(5)
+      .map { case (k, v, _) => "\"" + shortKey(k) + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","passes":$passes,$contention,"queries":$top5,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -320,9 +320,14 @@ object DriftQueries {
     * q171 is the documented path beyond (the guard is per-term and
     * in-plan, costing no extra pass). */
   private val q198: Q = (s, d) => {
+    // greatest(..,0) mirrors the least(..,19) open-top-bin rule on the
+    // bottom: for a NEGATIVE value Spark's `div` truncates toward zero
+    // (bin 0) while DuckDB's `//` floors (bin -1, silently dropped by the
+    // 0-19 spine) — the clamp makes parity independent of value's sign.
     val ev = Tables.events(s, d).select(col("event_type"),
-      least(expr("CAST(CAST(value AS DECIMAL(15,2)) * 100 AS BIGINT) div 2048L"),
-        lit(19L)).as("bin"),
+      least(greatest(
+        expr("CAST(CAST(value AS DECIMAL(15,2)) * 100 AS BIGINT) div 2048L"),
+        lit(0L)), lit(19L)).as("bin"),
       (dayofmonth(col("ts")) <= 15).as("is_ref"))
     val counts = ev.groupBy("event_type", "bin")
       .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("a"),
@@ -360,7 +365,8 @@ object DriftQueries {
 
   private val q198Sql =
     """WITH ev AS (SELECT event_type,
-      |    least(CAST(CAST(value AS DECIMAL(15,2)) * 100 AS BIGINT) // 2048, 19) AS bin,
+      |    least(greatest(
+      |      CAST(CAST(value AS DECIMAL(15,2)) * 100 AS BIGINT) // 2048, 0), 19) AS bin,
       |    (EXTRACT(day FROM ts) <= 15) AS is_ref
       |  FROM events),
       |counts AS (SELECT event_type, bin,

@@ -1656,9 +1656,15 @@ object EventQueries {
         sum(col("gap_us").cast("decimal(19,0)")).as("sg"),
         sum(expr("CAST(gap_us AS DECIMAL(19,0)) * CAST(gap_us AS DECIMAL(19,0))"))
           .as("sg2"))
-    graft.functions.Guard.require(sums,
-        col("n_gaps") >= 2 && expr("sg > 0"),
-        "q214: CV^2 undefined (fewer than 2 gaps or zero total time) - " +
+    // A type with exactly 2 events has ONE gap — a variance of a single
+    // sample is vacuous (both engines would emit cv2_ppm = 0), so the
+    // contract EXCLUDES <2-gap types in BOTH engines rather than guarding
+    // them into a crash the oracle cannot mirror (round-12 advisor). The
+    // guard keeps only the genuinely-undefined case: zero total time.
+    val defined = sums.filter(col("n_gaps") >= 2)
+    graft.functions.Guard.require(defined,
+        expr("sg > 0"),
+        "q214: CV^2 undefined (zero total inter-arrival time) - " +
           "emit NULL explicitly if a degenerate type must flow through")
       .select(col("event_type"), col("n_gaps"), col("min_gap_us"), col("max_gap_us"),
         expr("CAST(sg div n_gaps AS BIGINT)").as("mean_gap_us"),
@@ -1678,7 +1684,8 @@ object EventQueries {
       |    CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
       |    CAST(SUM(CAST(gap_us AS HUGEINT)) AS HUGEINT) AS sg,
       |    CAST(SUM(CAST(gap_us AS HUGEINT) * gap_us) AS HUGEINT) AS sg2
-      |  FROM g WHERE gap_us IS NOT NULL GROUP BY event_type)
+      |  FROM g WHERE gap_us IS NOT NULL GROUP BY event_type
+      |  HAVING COUNT(*) >= 2)
       |SELECT event_type, n_gaps, min_gap_us, max_gap_us,
       |  CAST(sg // n_gaps AS BIGINT) AS mean_gap_us,
       |  CAST((1000000 * (CAST(n_gaps AS HUGEINT) * sg2 - sg * sg))

@@ -1413,9 +1413,22 @@ object TextQueries {
       .select(col("model_src"), col("eval_src"), col("n"),
         expr("CAST(floor(1000000.0 * ln(CAST(coalesce(c_uni, 0L) + v AS DOUBLE) / " +
           "CAST(coalesce(c_bg, 0L) + 1 AS DOUBLE))) AS BIGINT)").as("lnm"))
-    terms.groupBy(col("model_src"), col("eval_src"))
+    // Overflow bound for the Σ n·lnm accumulator (the q198/q214 Guard
+    // discipline): lnm >= 0 here (c_bg <= c_uni and v >= 1 make the ratio
+    // >= 1), so Σ n·lnm <= (Σn)·max(lnm); requiring t_bigrams <=
+    // Long.MaxValue div (max_lnm + 1) proves the sum never wrapped —
+    // trips past ~5·10^11 bigrams per (model, eval) cell at the ~1.6·10^7
+    // µnat ceiling of a 10^7-word vocabulary; DECIMAL(38) is the
+    // documented promotion beyond.
+    val cells = terms.groupBy(col("model_src"), col("eval_src"))
       .agg(sum(col("n")).as("t_bigrams"),
-        expr("SUM(n * lnm) div SUM(n)").as("xent_micro"))
+        expr("SUM(n * lnm) div SUM(n)").as("xent_micro"),
+        max(col("lnm")).as("max_lnm"))
+    graft.functions.Guard.require(cells,
+        col("t_bigrams") <= expr("9223372036854775807L div (max_lnm + 1)"),
+        "q208: SUM(n * lnm) would overflow Long for this (model, eval) " +
+          "cell - promote the cross-entropy accumulation to DECIMAL(38)")
+      .select(col("model_src"), col("eval_src"), col("t_bigrams"), col("xent_micro"))
       .orderBy(col("model_src"), col("eval_src"))
   }
 
@@ -1486,8 +1499,11 @@ object TextQueries {
     val auc2 = withCum.join(broadcast(off), Seq("blk"))
       .select(col("np"), col("nn"), (col("off") + col("cumw") - col("nn")).as("below"))
       .agg(sum(expr("2 * np * below + np * nn")).as("auc2"))
+    // Long.MaxValue div (2 * 10^6): auc2 <= 2*n_pos*n_neg, so auc2*10^6
+    // stays in Long iff n_pos*n_neg <= this bound (round-12 advisor: the
+    // first cut was 1000x too lax and let a silent-overflow window open).
     graft.functions.Guard.require(auc2.crossJoin(broadcast(tot)),
-        expr("n_pos * n_neg") <= lit(4611686018427387L),
+        expr("n_pos * n_neg") <= lit(4611686018427L),
         "q215: auc2 * 10^6 would overflow Long past ~4.6e12 pos*neg pairs " +
           "- promote the AUC arithmetic to DECIMAL(38)")
       .select(col("n_pos"), col("n_neg"),

@@ -530,71 +530,104 @@ object WarehouseQueries {
       |ORDER BY p.et_a, p.et_b""".stripMargin
 
   // ---------------------------------------------------------------- q201
-  /** Frequent 3-itemsets with the A-Priori monotonicity prune — basket
-    * mining over ORDERS (each order's DISTINCT parts form the basket). A
-    * triple is frequent at minsup 2; by downward closure each of its
-    * three sub-pairs must also be frequent, and the query PROVES that
-    * in-plan: the result attaches every sub-pair's support via INNER
-    * joins against the frequent-pair list, so a triple surviving to the
-    * output IS the monotonicity witness (a missing sub-pair would drop
-    * the row, and the spec asserts sup ≤ min of the three).
+  /** Frequent 3-itemsets with a SCALE-ADAPTIVE quantile minsup — basket
+    * mining over ORDERS (each order's DISTINCT parts form the basket).
+    * Round 12 shipped an absolute `minsup = 2`, which breaks in BOTH
+    * scale directions: at sf ≥ 0.1 the key-shifted replica corpus has no
+    * repeated triple (hash-green but empty — demonstrates nothing at
+    * bench scale) and at real 100 TB density an absolute 2 makes nearly
+    * every itemset "frequent". The fix is the q145 discipline: minsup is
+    * the exact ceil-quantile p99.995 of the TRIPLE-support distribution,
+    * derived from the data in-plan and re-derived identically by the
+    * oracle — a corpus where triples repeat gets a proportionally high
+    * bar (the A-Priori prune stays effective), a diversity-dominated one
+    * degrades gracefully to minsup 1 instead of going empty. The output
+    * is the top-20 surviving triples under the total order (sup DESC, x,
+    * y, z) with each sub-pair's RAW support attached: by downward
+    * closure sup(sub-pair) ≥ sup(triple) ≥ minsup, so the three INNER
+    * joins never drop a row — they are the monotonicity witness (the
+    * spec asserts sup ≤ min of the three), which also licenses taking
+    * the top-20 BEFORE the joins: the witness attach then runs over a
+    * broadcast 20-row frame instead of the full triple frame.
+    *
+    * Quantile machinery (partition-safe): support histogram (sup, cnt)
+    * — provably ≤ √(2T) rows for T counted triples, since distinct
+    * positive-integer supports summing ≤ T number at most √(2T) (~1.5M
+    * rows even at T = 10¹²) — then the q212/q215 two-level prefix sum
+    * over it (blk = sup div 4096 cumulative window + broadcast
+    * block-offset theta join; never a partition-less window), and
+    * minsup = MIN sup whose cum_le reaches idx = (T·99995) div 100000
+    * (floored at 1; T·99995 fits Long to T ≈ 9·10¹³).
     *
     * Shape notes, learned the hard way: the textbook 3-way self-join of
     * the (order, part) stream on the order key is a PLANNER TRAP — the
     * second join carries one equality + one inequality and DuckDB
     * mis-plans it into a 24 GB blowup (and multiset baskets silently
-    * double-count triples through within-order duplicate parts — a part
-    * appearing twice in one order made every strict-< triple through it
-    * "support 2" from a single basket). So baskets are built ONCE as
-    * sorted DISTINCT part arrays (one hash agg over the fact scan —
-    * basket width is bounded by the order schema, not by scale) and
-    * pairs/triples explode by index arithmetic over that array: per
-    * basket C(w,2)/C(w,3) with bounded w, so both streams grow LINEARLY
-    * with orders and there is no join before the vocabulary-sized count
-    * frames. The basket frame rides the CheckpointTracker lazy-ckpt
-    * (two consumers — pair and triple explode — must not re-scan the
-    * fact table); the frequent-pair frame (minsup already applied —
-    * orders of magnitude smaller than the pair universe) is BROADCAST
-    * into the three sub-pair joins. Output is support-total-ordered
-    * (sup DESC, x, y, z) — deterministic without a LIMIT because minsup
-    * already bounds it. Data note: sf0.01 has 12 frequent triples; the
-    * sf0.1 corpus (key-shifted replica growth) genuinely has none and
-    * both engines agree on the empty answer — the non-degenerate case
-    * is spec-pinned at sf0.01 (QueryInventorySpec monotonicity test). */
+    * double-count triples through within-order duplicate parts). So
+    * baskets are built ONCE as sorted DISTINCT part arrays and pairs/
+    * triples explode by index arithmetic: per basket C(w,2)/C(w,3) with
+    * schema-bounded w, both streams LINEAR in orders (ScalingProbe pins
+    * the volumes at exactly 10× for 10× data), and no join touches
+    * anything basket-sized — the classical pre-count candidate prune is
+    * unnecessary when the candidate stream is linear by construction.
+    * CheckpointTracker materializes the basket frame (pair + triple
+    * explode consumers), the triple-count frame (histogram + top-k
+    * consumers) and the pair-count frame (three witness-join consumers,
+    * each a map-side lookup against the broadcast top-20). */
   private val q201: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
     val tracker = new graft.operators.CheckpointTracker(Tables.lineitem(s, d))
     val bk = tracker.lazyCkpt(Tables.lineitem(s, d)
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps")))
-    val freqPairs = tracker.lazyCkpt(bk.filter(size(col("ps")) >= 2)
+    val pairCounts = tracker.lazyCkpt(bk.filter(size(col("ps")) >= 2)
       .select(explode(expr(
         "flatten(transform(sequence(0, size(ps) - 2), i -> " +
           "transform(sequence(i + 1, size(ps) - 1), j -> " +
           "named_struct('x', ps[i], 'y', ps[j]))))")).as("s"))
       .groupBy(col("s.x").as("x"), col("s.y").as("y"))
-      .agg(count(lit(1)).as("sup"))
-      .filter(col("sup") >= 2))
-    val triples = bk.filter(size(col("ps")) >= 3)
+      .agg(count(lit(1)).as("sup")))
+    val tripleCounts = tracker.lazyCkpt(bk.filter(size(col("ps")) >= 3)
       .select(explode(expr(
         "flatten(flatten(transform(sequence(0, size(ps) - 3), i -> " +
           "transform(sequence(i + 1, size(ps) - 2), j -> " +
           "transform(sequence(j + 1, size(ps) - 1), k -> " +
           "named_struct('x', ps[i], 'y', ps[j], 'z', ps[k]))))))")).as("s"))
       .groupBy(col("s.x").as("x"), col("s.y").as("y"), col("s.z").as("z"))
-      .agg(count(lit(1)).as("sup"))
-      .filter(col("sup") >= 2)
-    val out = triples
-      .join(broadcast(freqPairs.select(col("x"), col("y"), col("sup").as("sup_xy"))),
-        Seq("x", "y"))
-      .join(broadcast(freqPairs.select(col("x"), col("y").as("z"),
-        col("sup").as("sup_xz"))), Seq("x", "z"))
-      .join(broadcast(freqPairs.select(col("x").as("y"), col("y").as("z"),
-        col("sup").as("sup_yz"))), Seq("y", "z"))
-      .select(col("x"), col("y"), col("z"), col("sup"),
-        col("sup_xy"), col("sup_xz"), col("sup_yz"))
+      .agg(count(lit(1)).as("sup")))
+    val hist = tracker.lazyCkpt(tripleCounts.groupBy(col("sup"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("blk", expr("sup div 4096")))
+    val wB = Window.partitionBy(col("blk")).orderBy(col("sup"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = hist.withColumn("cumw", sum(col("cnt")).over(wB))
+    val blkTot = hist.groupBy(col("blk")).agg(sum(col("cnt")).as("bn"))
+    val off = blkTot.as("a")
+      .join(broadcast(blkTot.as("b")), col("b.blk") < col("a.blk"), "left")
+      .groupBy(col("a.blk").as("blk"))
+      .agg(coalesce(sum(col("b.bn")), lit(0L)).as("off"))
+    val nTr = hist.agg(sum(col("cnt")).as("n_tr"))
+    val minsupDf = withCum.join(broadcast(off), Seq("blk"))
+      .crossJoin(broadcast(nTr))
+      .filter(col("off") + col("cumw") >=
+        expr("greatest(1L, (n_tr * 99995L) div 100000L)"))
+      .agg(min(col("sup")).as("minsup"))
+    val top = tripleCounts.crossJoin(broadcast(minsupDf))
+      .filter(col("sup") >= col("minsup"))
       .orderBy(col("sup").desc, col("x"), col("y"), col("z"))
-      // One eager action runs both explodes off the materialized baskets;
-      // the minsup-bounded result outlives them (CheckpointTracker contract).
+      .limit(20)
+    val out = broadcast(top)
+      .join(pairCounts.select(col("x"), col("y"), col("sup").as("sup_xy")),
+        Seq("x", "y"))
+      .join(pairCounts.select(col("x"), col("y").as("z"),
+        col("sup").as("sup_xz")), Seq("x", "z"))
+      .join(pairCounts.select(col("x").as("y"), col("y").as("z"),
+        col("sup").as("sup_yz")), Seq("y", "z"))
+      .select(col("x"), col("y"), col("z"), col("sup"),
+        col("sup_xy"), col("sup_xz"), col("sup_yz"), col("minsup"))
+      .orderBy(col("sup").desc, col("x"), col("y"), col("z"))
+      // One eager action runs the explodes off the materialized baskets;
+      // the ≤20-row result outlives them (CheckpointTracker contract).
       .localCheckpoint(true)
     tracker.releaseAll()
     out
@@ -604,26 +637,34 @@ object WarehouseQueries {
     """WITH bk AS (SELECT l_orderkey AS o,
       |    list_sort(list_distinct(list(l_partkey))) AS ps
       |  FROM lineitem GROUP BY l_orderkey),
-      |fp AS (SELECT s.x AS x, s.y AS y, CAST(COUNT(*) AS BIGINT) AS sup FROM (
+      |pc AS (SELECT s.x AS x, s.y AS y, CAST(COUNT(*) AS BIGINT) AS sup FROM (
       |    SELECT UNNEST(flatten(list_transform(range(1, len(ps)), i ->
       |      list_transform(range(i + 1, len(ps) + 1), j ->
       |        {'x': ps[i], 'y': ps[j]})))) AS s
       |    FROM bk WHERE len(ps) >= 2)
-      |  GROUP BY s.x, s.y HAVING COUNT(*) >= 2),
-      |tr AS (SELECT s.x AS x, s.y AS y, s.z AS z, CAST(COUNT(*) AS BIGINT) AS sup FROM (
+      |  GROUP BY s.x, s.y),
+      |tc AS (SELECT s.x AS x, s.y AS y, s.z AS z, CAST(COUNT(*) AS BIGINT) AS sup FROM (
       |    SELECT UNNEST(flatten(flatten(list_transform(range(1, len(ps) - 1), i ->
       |      list_transform(range(i + 1, len(ps)), j ->
       |        list_transform(range(j + 1, len(ps) + 1), k ->
       |          {'x': ps[i], 'y': ps[j], 'z': ps[k]})))))) AS s
       |    FROM bk WHERE len(ps) >= 3)
-      |  GROUP BY s.x, s.y, s.z HAVING COUNT(*) >= 2)
-      |SELECT tr.x, tr.y, tr.z, tr.sup,
-      |  pxy.sup AS sup_xy, pxz.sup AS sup_xz, pyz.sup AS sup_yz
-      |FROM tr
-      |JOIN fp pxy ON pxy.x = tr.x AND pxy.y = tr.y
-      |JOIN fp pxz ON pxz.x = tr.x AND pxz.y = tr.z
-      |JOIN fp pyz ON pyz.x = tr.y AND pyz.y = tr.z
-      |ORDER BY tr.sup DESC, tr.x, tr.y, tr.z""".stripMargin
+      |  GROUP BY s.x, s.y, s.z),
+      |hist AS (SELECT sup, CAST(COUNT(*) AS BIGINT) AS cnt FROM tc GROUP BY sup),
+      |n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_tr FROM hist),
+      |cum AS (SELECT sup, SUM(cnt) OVER (ORDER BY sup) AS cum_le FROM hist),
+      |ms AS (SELECT CAST(MIN(sup) AS BIGINT) AS minsup FROM cum, n
+      |       WHERE cum_le >= greatest(1, (n_tr * 99995) // 100000)),
+      |top AS (SELECT tc.x, tc.y, tc.z, tc.sup, ms.minsup FROM tc, ms
+      |        WHERE tc.sup >= ms.minsup
+      |        ORDER BY tc.sup DESC, tc.x, tc.y, tc.z LIMIT 20)
+      |SELECT t.x, t.y, t.z, t.sup,
+      |  pxy.sup AS sup_xy, pxz.sup AS sup_xz, pyz.sup AS sup_yz, t.minsup
+      |FROM top t
+      |JOIN pc pxy ON pxy.x = t.x AND pxy.y = t.y
+      |JOIN pc pxz ON pxz.x = t.x AND pxz.y = t.z
+      |JOIN pc pyz ON pyz.x = t.y AND pyz.y = t.z
+      |ORDER BY t.sup DESC, t.x, t.y, t.z""".stripMargin
 
   // ---------------------------------------------------------------- q205
   /** Exponential time-decay popularity — the RECENCY-WEIGHTED ranking a
