@@ -360,6 +360,13 @@ object DriftQueries {
         expr("SUM((a1 * nb + b1 * na) * lnm div (2L * na * nb)) - " +
           "(SUM(a1 * lnp div na) + SUM(b1 * lnq div nb)) div 2L")
           .as("jsd_micro"))
+      // In-band invariant (Round12InvariantsSpec's bound, enforced on
+      // every oracle run too): JSD ∈ [0, ln 2]; floor-ln truncation can
+      // undershoot 0 by at most the 40 per-bin micro-nat floors.
+      .transform(f => graft.functions.Guard.require(f,
+        col("jsd_micro") >= -40L && col("jsd_micro") <= 693147L,
+        "q198: jsd_micro outside [0-eps, ln 2] - the entropy " +
+          "decomposition invariant is broken"))
       .orderBy(col("event_type"))
   }
 

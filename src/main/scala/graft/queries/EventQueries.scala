@@ -1420,6 +1420,13 @@ object EventQueries {
       .join(pi0.select(col("state"), col("pi_ppm").as("pi0_ppm")), Seq("state"))
       .select(col("state"), col("pi0_ppm"), col("pi_ppm"),
         abs(col("pi_ppm") - col("prev_ppm")).as("delta_ppm"))
+      // In-band invariant (Round12InvariantsSpec's bound, enforced on
+      // every oracle run too): per-term floors only LOSE mass, so each
+      // stationary component stays a sub-probability in ppm.
+      .transform(f => graft.functions.Guard.require(f,
+        col("pi_ppm") >= 0L && col("pi_ppm") <= 1000000L,
+        "q204: stationary component outside [0, 1e6] ppm - truncating " +
+          "power iteration created probability mass"))
       .orderBy(col("state"))
   }
 
@@ -1513,6 +1520,14 @@ object EventQueries {
       .groupBy(col("x.day").as("day"), col("x.n_risk").as("n_risk"),
         col("x.d").as("d_events"), col("x.c").as("c_censored"))
       .agg(sum(col("y.lt")).as("nls_micro"))
+      // In-band invariant (Round12InvariantsSpec's bound, enforced on
+      // every oracle run too): every −ln S term is ≥ 0 (each per-day
+      // ratio ≥ 1) and conversions never exceed the at-risk set. The
+      // cross-row monotonicity stays in the spec (needs a second pass).
+      .transform(f => graft.functions.Guard.require(f,
+        col("nls_micro") >= 0L && col("n_risk") >= col("d_events"),
+        "q209: negative -ln S(t) or conversions exceeding the at-risk " +
+          "set - the KM construction is broken"))
       .orderBy(col("day"))
   }
 

@@ -705,6 +705,14 @@ object WarehouseQueries {
       .select(col("l_partkey"), col("n_lines"), col("raw_cents"),
         col("decayed_cents"),
         expr("(decayed_cents * 1000000) div raw_cents").as("retained_ppm"))
+      // In-band invariant (Round12InvariantsSpec's bound, enforced on
+      // every oracle run too): a right-shift only loses mass, so the
+      // decayed total can never exceed the raw total. O(rows), rides
+      // the plan as a tautological predicate.
+      .transform(f => graft.functions.Guard.require(f,
+        col("decayed_cents") >= 0L && col("decayed_cents") <= col("raw_cents"),
+        "q205: decayed_cents outside [0, raw_cents] - the shift-decay " +
+          "invariant is broken"))
       .orderBy(col("decayed_cents").desc, col("l_partkey"))
       .limit(15)
   }
