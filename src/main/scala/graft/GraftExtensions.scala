@@ -106,6 +106,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "kmv_sketch(hash60, k) - k smallest distinct hashes (bottom-k/theta sketch)"),
       ((es: Seq[Expression]) =>
         KmvSketchAgg(es(0), intLit(es(1))).toAggregateExpression())))
+    ext.injectFunction((FunctionIdentifier("kll_quantiles"),
+      info("kll_quantiles",
+        "kll_quantiles(col, k, array(ppm...)) - mergeable KLL/MRL quantile sketch"),
+      ((es: Seq[Expression]) =>
+        KllQuantilesAgg(es(0), intLit(es(1)),
+          KllSketch.ppmList(es(2))).toAggregateExpression())))
     ext.injectFunction((FunctionIdentifier("nfc_normalize"),
       info("nfc_normalize", "nfc_normalize(text) - Unicode canonical composition (NFC)"),
       (es: Seq[Expression]) => NfcNormalize(es.head)))

@@ -734,10 +734,96 @@ object WarehouseQueries {
       |  CAST((decayed_cents * 1000000) // raw_cents AS BIGINT) AS retained_ppm
       |FROM g ORDER BY decayed_cents DESC, l_partkey LIMIT 15""".stripMargin
 
+  // ---------------------------------------------------------------- q216
+  /** Mergeable KLL quantile sketch, exact-witnessed — completes the
+    * sketch family's planner-statistics story: HLL distinct (q44), CMS
+    * frequency (q119), Misra-Gries heavy hitters (q105), KMV overlap
+    * (q182) — and now first-class mergeable QUANTILES, the state a
+    * 100 TB deployment stores per day/source and unions at question
+    * time instead of re-sorting the corpus (`percentile_approx` answers
+    * once per scan; a [[graft.functions.KllQuantilesAgg]] state
+    * composes, and q174's exact equi-depth boundaries calibrate what
+    * the sketch trades away). Per event type: the sketch estimates
+    * p25/p50/p75/p90/p99 of the value cents; the output carries the
+    * EXACT order statistics (the q81 ceil-rank convention, oracle-
+    * replayed) plus an in-band boolean per quantile — the q44/q165
+    * discipline: the estimate itself is not oracle-portable (compaction
+    * depends on merge order), but "its true rank lies within 3 %·n of
+    * the target" is a stable fact the oracle states as literal TRUE,
+    * with the 3 % ceiling ≥ the deterministic worst-case envelope
+    * n·L/(2k) for k = 256 at every driver scale (KllSketchSpec
+    * property-tests the bound under adversarial partitionings).
+    *
+    * Shape: one hash agg builds the 5 sketches (O(k·log n) state,
+    * map-side combinable); the estimate rows explode to ≤ 25 and
+    * BROADCAST into one witness pass computing each estimate's exact
+    * rank interval (two conditional sums); the exact quantiles pay
+    * q81's per-type window sort — the honest exact-witness cost the
+    * sketch exists to avoid at scale. */
+  private val q216: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    graft.functions.KllSketch.register(s)
+    val ppms = Seq(250000L, 500000L, 750000L, 900000L, 990000L)
+    val ppmSql = s"array(${ppms.mkString(", ")})"
+    val ev = Tables.events(s, d).select(col("event_type"), col("event_id"),
+      (money(col("value")) * 100).cast("long").as("cents"))
+    val sk = ev.groupBy(col("event_type"))
+      .agg(expr(s"kll_quantiles(cents, 256, $ppmSql)").as("est"),
+        count(lit(1)).as("n"))
+    val estRows = sk.select(col("event_type"), col("n"),
+        posexplode(col("est")).as(Seq("pi", "est_v")))
+      .select(col("event_type"), col("n"),
+        element_at(expr(ppmSql), col("pi") + 1).as("p_ppm"), col("est_v"))
+    val witness = ev.join(broadcast(estRows), Seq("event_type"))
+      .groupBy(col("event_type"), col("p_ppm"))
+      .agg(min(col("n")).as("n"), min(col("est_v")).as("est_v"),
+        sum((col("cents") < col("est_v")).cast("long")).as("rank_lt"),
+        sum((col("cents") <= col("est_v")).cast("long")).as("rank_le"))
+      .select(col("event_type"), col("p_ppm"), col("n"),
+        expr("greatest(1L, (n * p_ppm + 999999L) div 1000000L)").as("target"),
+        expr("greatest((n * 3L) div 100L, 16L)").as("tol"),
+        col("rank_lt"), col("rank_le"))
+      .select(col("event_type"), col("p_ppm"), col("n"),
+        (col("rank_lt") < col("target") + col("tol") &&
+          col("rank_le") >= col("target") - col("tol")).as("in_band"))
+    val wr = Window.partitionBy(col("event_type"))
+      .orderBy(col("cents"), col("event_id"))
+    val wn = Window.partitionBy(col("event_type"))
+    val exact = ev.withColumn("rn", row_number().over(wr))
+      .withColumn("n", count(lit(1)).over(wn))
+      .crossJoin(broadcast(ppms.toDF("p_ppm")))
+      .filter(col("rn") ===
+        expr("greatest(1L, (n * p_ppm + 999999L) div 1000000L)"))
+      .select(col("event_type"), col("p_ppm"), col("cents").as("exact_cents"))
+    witness.join(exact, Seq("event_type", "p_ppm"))
+      .select(col("event_type"), col("p_ppm"), col("n"),
+        col("exact_cents"), col("in_band"))
+      .orderBy(col("event_type"), col("p_ppm"))
+  }
+
+  private val q216Sql =
+    """WITH e AS (SELECT event_type, event_id,
+      |    CAST(CAST(value AS DECIMAL(15,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |o AS (SELECT event_type, cents,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |                       ORDER BY cents, event_id) AS rn,
+      |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      |  FROM e),
+      |p AS (SELECT CAST(UNNEST([250000, 500000, 750000, 900000, 990000])
+      |             AS BIGINT) AS p_ppm)
+      |SELECT o.event_type, p.p_ppm, o.n,
+      |  CAST(o.cents AS BIGINT) AS exact_cents, TRUE AS in_band
+      |FROM o CROSS JOIN p
+      |WHERE o.rn = greatest(1, (o.n * p.p_ppm + 999999) // 1000000)
+      |ORDER BY o.event_type, p.p_ppm""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q182_kmv_overlap" -> q182,
     "q201_apriori_triples" -> q201,
     "q205_decayed_popularity" -> q205,
+    "q216_kll_quantiles" -> q216,
     "q160_zorder_layout_audit" -> q160,
     "q161_incremental_agg_merge" -> q161,
     "q163_pivot_wide" -> q163,
@@ -750,6 +836,7 @@ object WarehouseQueries {
     "q182_kmv_overlap" -> q182Sql,
     "q201_apriori_triples" -> q201Sql,
     "q205_decayed_popularity" -> q205Sql,
+    "q216_kll_quantiles" -> q216Sql,
     "q160_zorder_layout_audit" -> q160Sql,
     "q161_incremental_agg_merge" -> q161Sql,
     "q163_pivot_wide" -> q163Sql,
