@@ -472,17 +472,133 @@ object CurationQueries {
       |  field, n_match, n_non, a_match, a_nonmatch, w_micro
       |FROM rows_out ORDER BY field""".stripMargin
 
+  // ---------------------------------------------------------------- q219
+  /** Bradley–Terry preference strengths via 5 MM iterations — the
+    * PAIRWISE-PREFERENCE operator the curation stack was missing: q141
+    * votes independent labelers, q148 calibrates a score, q215 grades a
+    * separator — but modern data curation (and RLHF reward modeling)
+    * starts from COMPARISONS: "A beat B", n times. BT fits latent
+    * strengths s with P(i beats j) = s_i/(s_i+s_j); Hunter's MM update
+    * s_i ← W_i / Σ_j c_ij/(s_i+s_j) is monotone in likelihood and needs
+    * only the pair-count matrix. Comparisons here: within each
+    * (user, day), event type A beats B when A's spend strictly exceeds
+    * B's — "which interaction wins a user's day".
+    *
+    * Integer-exact iteration (the q204 power-iteration discipline):
+    * strengths live in ppm (uniform 10⁶ start), each MM step computes
+    * den_i = Σ_j c_ij·10¹² div (s_i+s_j) and raw_i = W_i·10¹² div den_i
+    * then renormalizes to Σ = 10⁶ with a 1-ppm floor (a never-winning
+    * item must not zero a denominator); every div has non-negative
+    * operands so both engines truncate identically, and the oracle
+    * replays all 5 steps as CTEs. Guard: c_ij, W_i ≤ Long.Max/10¹²
+    * (≈ 9.2·10⁶ comparisons per cell) — DECIMAL(38) past that.
+    *
+    * Scale shape: one (user, day, type) hash agg; the comparison
+    * self-join runs per (user, day) key — ≤ |types|² rows per key,
+    * LINEAR overall; the count frames are ≤ |types|² and the 5
+    * iterations run on ≤ |types|-row frames against an eagerly
+    * checkpointed broadcast matrix. The corpus is touched once. */
+  private val q219: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"),
+        expr("CAST(CAST(value AS DECIMAL(15,2)) * 100 AS BIGINT)").as("cents"))
+      .groupBy(col("user_id"), col("day"), col("event_type"))
+      .agg(sum(col("cents")).as("tot"))
+    val wins = daily.as("a")
+      .join(daily.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.day") === col("b.day") &&
+          col("a.tot") > col("b.tot"))
+      .groupBy(col("a.event_type").as("i"), col("b.event_type").as("j"))
+      .agg(count(lit(1)).as("w"))
+      .localCheckpoint(true) // ≤ |types|² rows; three consumers below
+    val comp = wins.select(col("i"), col("j"), col("w"))
+      .union(wins.select(col("j").as("i"), col("i").as("j"), col("w")))
+      .groupBy(col("i"), col("j")).agg(sum(col("w")).as("c"))
+    val compG = graft.functions.Guard.require(comp,
+        col("c") <= lit(9223372L),
+        "q219: pair comparison count exceeds the c*10^12 Long bound - " +
+          "promote the MM arithmetic to DECIMAL(38)")
+      .localCheckpoint(true) // joined by every MM step
+    val wTot = graft.functions.Guard.require(
+        wins.groupBy(col("i")).agg(sum(col("w")).as("wi")),
+        col("wi") <= lit(9223372L),
+        "q219: total win count exceeds the W*10^12 Long bound - " +
+          "promote the MM arithmetic to DECIMAL(38)")
+      .localCheckpoint(true)
+    val spine = compG.select(col("i")).distinct()
+    var sdf = spine.select(col("i"), lit(1000000L).as("s"))
+    for (_ <- 1 to 5) {
+      val den = compG
+        .join(sdf.select(col("i"), col("s").as("si")), Seq("i"))
+        .join(sdf.select(col("i").as("j"), col("s").as("sj")), Seq("j"))
+        .groupBy(col("i"))
+        .agg(sum(expr("c * 1000000000000L div (si + sj)")).as("den"))
+      val raw = wTot.join(den, Seq("i"))
+        .select(col("i"), expr("wi * 1000000000000L div den").as("raw"))
+      val tot = raw.agg(sum(col("raw")).as("traw"))
+      sdf = raw.crossJoin(broadcast(tot))
+        .select(col("i"),
+          expr("greatest(raw * 1000000L div traw, 1L)").as("s"))
+    }
+    val nComp = compG.groupBy(col("i")).agg(sum(col("c")).as("n_comparisons"))
+    sdf.join(wTot, Seq("i")).join(nComp, Seq("i"))
+      .select(col("i").as("event_type"), col("wi").as("n_wins"),
+        col("n_comparisons"), col("s").as("strength_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q219Sql = {
+    def step(t: Int): String =
+      s"""den$t AS MATERIALIZED (SELECT c.i,
+         |    SUM(c.c * 1000000000000 // (si.s + sj.s)) AS den
+         |  FROM comp c JOIN s${t - 1} si ON si.i = c.i
+         |  JOIN s${t - 1} sj ON sj.i = c.j GROUP BY c.i),
+         |raw$t AS MATERIALIZED (SELECT w.i, (w.wi * 1000000000000) // d.den AS raw
+         |  FROM wtot w JOIN den$t d ON d.i = w.i),
+         |s$t AS MATERIALIZED (SELECT i,
+         |    greatest((raw * 1000000) // (SELECT SUM(raw) FROM raw$t), 1) AS s
+         |  FROM raw$t)""".stripMargin
+    s"""WITH daily AS MATERIALIZED (SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+       |    SUM(CAST(CAST(value AS DECIMAL(15,2)) * 100 AS BIGINT)) AS tot
+       |  FROM events GROUP BY 1, 2, 3),
+       |wins AS MATERIALIZED (SELECT a.event_type AS i, b.event_type AS j,
+       |    CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM daily a JOIN daily b ON a.user_id = b.user_id
+       |    AND a.day = b.day AND a.tot > b.tot
+       |  GROUP BY 1, 2),
+       |comp AS MATERIALIZED (SELECT i, j, CAST(SUM(w) AS BIGINT) AS c FROM (
+       |    SELECT i, j, w FROM wins
+       |    UNION ALL SELECT j AS i, i AS j, w FROM wins)
+       |  GROUP BY i, j),
+       |wtot AS MATERIALIZED (SELECT i, CAST(SUM(w) AS BIGINT) AS wi FROM wins GROUP BY i),
+       |spine AS (SELECT DISTINCT i FROM comp),
+       |s0 AS MATERIALIZED (SELECT i, CAST(1000000 AS BIGINT) AS s FROM spine),
+       |${step(1)},
+       |${step(2)},
+       |${step(3)},
+       |${step(4)},
+       |${step(5)},
+       |nc AS (SELECT i, CAST(SUM(c) AS BIGINT) AS n_comparisons
+       |       FROM comp GROUP BY i)
+       |SELECT s5.i AS event_type, w.wi AS n_wins, nc.n_comparisons,
+       |  CAST(s5.s AS BIGINT) AS strength_ppm
+       |FROM s5 JOIN wtot w ON w.i = s5.i JOIN nc ON nc.i = s5.i
+       |ORDER BY event_type""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q166_pareto_skyline" -> q166,
     "q167_priority_sample" -> q167,
     "q169_negative_mining" -> q169,
     "q173_record_linkage" -> q173,
-    "q207_linkage_weights" -> q207)
+    "q207_linkage_weights" -> q207,
+    "q219_bradley_terry" -> q219)
 
   val oracle: Map[String, String] = Map(
     "q166_pareto_skyline" -> q166Sql,
     "q167_priority_sample" -> q167Sql,
     "q169_negative_mining" -> q169Sql,
     "q173_record_linkage" -> q173Sql,
-    "q207_linkage_weights" -> q207Sql)
+    "q207_linkage_weights" -> q207Sql,
+    "q219_bradley_terry" -> q219Sql)
 }

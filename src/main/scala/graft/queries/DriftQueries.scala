@@ -404,17 +404,120 @@ object DriftQueries {
       |       (SUM(a1 * lnp // na) + SUM(b1 * lnq // nb)) // 2 AS BIGINT) AS jsd_micro
       |FROM terms GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q217
+  /** EWMA forecast + anomaly flags per event type — the ONLINE level
+    * monitor the drift family lacked: q171/q172/q198 compare two fixed
+    * windows, q183 fits one global line; operations wants "was TODAY
+    * abnormal given an exponentially-weighted history?" per day. The
+    * smoothing is EXACT INTEGER: with decay ½ per day, the weighted sum
+    * Σ x_i·2^i over day indices i ≤ t is one cumulative window term and
+    * ewma_t = that sum div (2^(t+1) − 1) — a closed form, no float
+    * exp(), no recurrence, partition-invariant (the q205 binary-shift
+    * decay discipline applied to a time series). Day t's anomaly test
+    * compares x_t against the PRIOR day's level (lag(ewma)): ratio_ppm
+    * outside [¼×, 4×] flags — a zero-traffic day under a healthy level
+    * flags too (ratio 0). Days without events gap-fill to 0 through a
+    * type×day spine (the q83/q198 spine rule) so decay sees calendar
+    * time, not event time.
+    *
+    * Long bounds, guarded in-band: x·2^t needs x ≤ 2^62/2^t (shift
+    * guard) and the ratio needs x ≤ Long.Max/10⁶; the observation span
+    * is capped at 63 days (the spine is the fixed range(0,63) filtered
+    * to the data's span, so both engines build it identically without a
+    * scalar-subquery table function). Beyond either bound the documented
+    * promotion is DECIMAL(38) / a longer half-life.
+    *
+    * Scale shape: one corpus scan → (type, day) map-side-combined hash
+    * agg; everything after lives on the ≤ types×63-row spine
+    * (type-partitioned cumulative window — bounded partitions, never
+    * global). */
+  private val q217: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        (money(col("value")) * 100).cast("long").as("cents"))
+    val anchor = daily.agg(min(col("day")).as("d0"),
+      datediff(max(col("day")), min(col("day"))).cast("long").as("max_t"))
+    val g = daily.crossJoin(broadcast(anchor))
+      .select(col("event_type"),
+        datediff(col("day"), col("d0")).cast("long").as("t"), col("cents"))
+      .groupBy(col("event_type"), col("t")).agg(sum(col("cents")).as("x"))
+    val spine = daily.select(col("event_type")).distinct()
+      .crossJoin(s.range(63).select(col("id").as("t")))
+      .crossJoin(broadcast(anchor.select(col("max_t"))))
+      .filter(col("t") <= col("max_t"))
+      .select(col("event_type"), col("t"))
+    val filled = spine.join(g, Seq("event_type", "t"), "left")
+      .select(col("event_type"), col("t"), coalesce(col("x"), lit(0L)).as("x"))
+    val guarded = graft.functions.Guard.require(filled,
+      col("x") <= expr("shiftright(4611686018427387903L, CAST(t AS INT))") &&
+        col("x") <= lit(9223372036854L),
+      "q217: daily total too large for the 2^t decay weight or the ppm " +
+        "ratio at Long width - promote to DECIMAL(38) or shorten the span")
+    val wC = Window.partitionBy(col("event_type")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wL = Window.partitionBy(col("event_type")).orderBy(col("t"))
+    val lev = guarded
+      .withColumn("cum",
+        sum(expr("x * shiftleft(CAST(1 AS BIGINT), CAST(t AS INT))")).over(wC))
+      .withColumn("ewma",
+        expr("cum div (shiftleft(CAST(1 AS BIGINT), CAST(t AS INT) + 1) - 1L)"))
+      .withColumn("fc", lag(col("ewma"), 1).over(wL))
+    lev.select(col("event_type"), col("t"), col("x").as("x_cents"),
+        col("ewma").as("ewma_cents"),
+        when(col("fc").isNull || col("fc") === 0L, lit(null))
+          .otherwise(expr("(x * 1000000L) div fc")).as("ratio_ppm"))
+      .withColumn("is_anomaly",
+        when(col("ratio_ppm").isNull, lit(false))
+          .otherwise(col("ratio_ppm") < 250000L || col("ratio_ppm") > 4000000L))
+      .orderBy(col("event_type"), col("t"))
+  }
+
+  private val q217Sql =
+    """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(CAST(value AS DECIMAL(15,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |a AS (SELECT MIN(day) AS d0,
+      |    CAST(DATEDIFF('day', MIN(day), MAX(day)) AS BIGINT) AS max_t FROM e),
+      |g AS (SELECT event_type,
+      |    CAST(DATEDIFF('day', a.d0, e.day) AS BIGINT) AS t,
+      |    CAST(SUM(cents) AS BIGINT) AS x
+      |  FROM e, a GROUP BY 1, 2),
+      |spine AS (SELECT ty.event_type, CAST(tt.t AS BIGINT) AS t
+      |  FROM (SELECT DISTINCT event_type FROM e) ty,
+      |       (SELECT UNNEST(range(0, 63)) AS t) tt, a
+      |  WHERE tt.t <= a.max_t),
+      |f AS (SELECT s.event_type, s.t, COALESCE(g.x, 0) AS x
+      |  FROM spine s LEFT JOIN g ON g.event_type = s.event_type AND g.t = s.t),
+      |c AS (SELECT event_type, t, x,
+      |    SUM(x * (CAST(1 AS BIGINT) << CAST(t AS INT)))
+      |      OVER (PARTITION BY event_type ORDER BY t) AS cum
+      |  FROM f),
+      |w AS (SELECT event_type, t, x,
+      |    cum // ((CAST(1 AS BIGINT) << (CAST(t AS INT) + 1)) - 1) AS ewma
+      |  FROM c),
+      |z AS (SELECT event_type, t, x, ewma,
+      |    LAG(ewma) OVER (PARTITION BY event_type ORDER BY t) AS fc FROM w)
+      |SELECT event_type, t, x AS x_cents, ewma AS ewma_cents,
+      |  CASE WHEN fc IS NULL OR fc = 0 THEN NULL
+      |       ELSE (x * 1000000) // fc END AS ratio_ppm,
+      |  CASE WHEN fc IS NULL OR fc = 0 THEN FALSE
+      |       ELSE ((x * 1000000) // fc) NOT BETWEEN 250000 AND 4000000
+      |  END AS is_anomaly
+      |FROM z ORDER BY event_type, t""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q171_psi_drift" -> q171,
     "q172_ks_drift" -> q172,
     "q175_benford_audit" -> q175,
     "q183_ols_trend" -> q183,
-    "q198_jsd_drift" -> q198)
+    "q198_jsd_drift" -> q198,
+    "q217_ewma_anomaly" -> q217)
 
   val oracle: Map[String, String] = Map(
     "q171_psi_drift" -> q171Sql,
     "q172_ks_drift" -> q172Sql,
     "q175_benford_audit" -> q175Sql,
     "q183_ols_trend" -> q183Sql,
-    "q198_jsd_drift" -> q198Sql)
+    "q198_jsd_drift" -> q198Sql,
+    "q217_ewma_anomaly" -> q217Sql)
 }

@@ -1707,7 +1707,86 @@ object EventQueries {
       |       // (sg * sg) AS BIGINT) AS cv2_ppm
       |FROM s ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q218
+  /** SCD2 dimension-history build — the SLOWLY-CHANGING-DIMENSION
+    * operator the warehouse family lacked (q149 merges a CDC batch into
+    * a snapshot; this builds the full TYPE-2 HISTORY a warehouse keeps
+    * so facts can join "the state as of then"): each user's event-type
+    * stream, ordered by (ts, event_id), collapses consecutive
+    * duplicates into VERSIONS (a version starts where the state
+    * differs from its predecessor — the q136 gaps-islands change
+    * detector); each version is valid from its first event to the next
+    * version's start, the user's last observed event closing the open
+    * (is_current) version. Emitted as a per-state census — versions,
+    * currently-open versions, total/mean version duration in exact
+    * integer microseconds (the q212 unix_micros rule) — the row a
+    * modeler reads to size the dimension before materializing it.
+    *
+    * Long bound, guarded in-band (the q208 discipline): Σ durations per
+    * state ≤ n_versions·max_duration; the guard proves the sum never
+    * wrapped using the overflow-free factors.
+    *
+    * Scale shape: two user-partitioned windows (lag for change marks,
+    * lead/max for version ends — the event family's standard bounded
+    * partitions, both on the SAME (user, ts, event_id) order so they
+    * share one exchange) and one (type) hash agg. Nothing after the
+    * scan is corpus-sized except the version stream itself, which is
+    * ≤ the event count by construction. */
+  private val q218: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val wU = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val marked = e
+      .withColumn("prev", lag(col("event_type"), 1).over(wU))
+      .withColumn("last_us",
+        max(col("us")).over(Window.partitionBy(col("user_id"))))
+    val starts = marked
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+    val vers = starts
+      .withColumn("next_us", lead(col("us"), 1).over(wU))
+      .select(col("event_type"),
+        (coalesce(col("next_us"), col("last_us")) - col("us")).as("dur_us"),
+        col("next_us").isNull.cast("long").as("cur"))
+    val cells = vers.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_versions"), sum(col("cur")).as("n_current"),
+        sum(col("dur_us")).as("total_dur_us"), max(col("dur_us")).as("max_dur"))
+    graft.functions.Guard.require(cells,
+        col("n_versions") <= expr("9223372036854775807L div (max_dur + 1L)"),
+        "q218: total version duration would overflow Long for this state " +
+          "- promote the duration sum to DECIMAL(38)")
+      .select(col("event_type"), col("n_versions"), col("n_current"),
+        col("total_dur_us"),
+        expr("total_dur_us div n_versions").as("mean_dur_us"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q218Sql =
+    """WITH e AS (SELECT user_id, event_id, ts, event_type, epoch_us(ts) AS us
+      |  FROM events),
+      |m AS (SELECT user_id, event_id, ts, event_type, us,
+      |    LAG(event_type) OVER (PARTITION BY user_id
+      |                          ORDER BY ts, event_id) AS prev,
+      |    MAX(us) OVER (PARTITION BY user_id) AS last_us
+      |  FROM e),
+      |st AS (SELECT user_id, event_id, ts, event_type, us, last_us FROM m
+      |       WHERE prev IS NULL OR prev <> event_type),
+      |v AS (SELECT event_type,
+      |    COALESCE(LEAD(us) OVER (PARTITION BY user_id
+      |                            ORDER BY ts, event_id), last_us) - us AS dur_us,
+      |    CASE WHEN LEAD(us) OVER (PARTITION BY user_id
+      |                             ORDER BY ts, event_id) IS NULL
+      |         THEN 1 ELSE 0 END AS cur
+      |  FROM st)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_versions,
+      |  CAST(SUM(cur) AS BIGINT) AS n_current,
+      |  CAST(SUM(dur_us) AS BIGINT) AS total_dur_us,
+      |  CAST(SUM(dur_us) // COUNT(*) AS BIGINT) AS mean_dur_us
+      |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q218_scd2_history" -> q218,
     "q214_burstiness" -> q214,
     "q212_peak_concurrency" -> q212,
     "q209_survival_curve" -> q209,
@@ -1749,6 +1828,7 @@ object EventQueries {
     "q62_pipeline_daily_index_counts" -> q62)
 
   val oracle: Map[String, String] = Map(
+    "q218_scd2_history" -> q218Sql,
     "q214_burstiness" -> q214Sql,
     "q212_peak_concurrency" -> q212Sql,
     "q209_survival_curve" -> q209Sql,

@@ -1140,7 +1140,106 @@ object SimilarityQueries {
       |FROM nt LEFT JOIN hits ON hits.q_id = nt.q_id
       |ORDER BY nt.q_id""".stripMargin
 
+  // ---------------------------------------------------------------- q220
+  /** Johnson–Lindenstrauss random-projection distortion audit — the
+    * measurement that justifies every dimensionality cut in this family
+    * (q43's hyperplanes, q151's matryoshka truncation, q188's 1-bit
+    * codes): project 64-d embeddings to 16-d with a deterministic ±1
+    * sign matrix (md5 parity per (k, i) cell — the repo's portable-hash
+    * discipline, so both engines build the IDENTICAL matrix) and
+    * histogram the pairwise distance distortion ||Ra−Rb||²/(m·||a−b||²)
+    * over the q42 consecutive-id pair set. E[distortion] = 1 for ±1
+    * rows; the histogram's spread IS the audit — how much distance
+    * structure 4× compression costs before anyone ships it to an index.
+    *
+    * Integer-exact throughout (no float ever): embeddings quantize once
+    * by floor(x·10³) (floor of an identical double — the q121 rule;
+    * NEVER CAST, whose negative-value semantics differ across engines),
+    * so projections, squared distances, and the final ppm ratio are all
+    * Long arithmetic both engines replay bit-for-bit. Bounds: |x_q| ≤
+    * 2·10³ ⇒ d2p ≤ 16·(2·64·10³)² ≈ 2.6·10¹¹ ⇒ d2p·10⁶ ≈ 2.6·10¹⁷ fits
+    * Long with 30× headroom. Identical-after-quantization pairs (d2o=0)
+    * are excluded in both engines — distortion is undefined there.
+    *
+    * Scale shape: the 16×64 sign matrix is a broadcast constant; the
+    * projection is a posexplode + broadcast join + (vec, k) hash agg —
+    * a 16× LINEAR expansion, no shuffle wider than the corpus; the pair
+    * audit joins the 16-row-per-vec projection frames on consecutive
+    * ids (the bounded q42 witness convention — a 100 TB run would
+    * hash-sample pairs the same shape). Output is the ≤16-bucket
+    * distortion histogram. */
+  private val q220: Q = (s, d) => {
+    val signs = s.range(16).select(col("id").as("k"))
+      .crossJoin(s.range(64).select(col("id").as("i")))
+      .select(col("k"), col("i"),
+        when(graft.functions.PortableHash
+            .md5Bucket60(concat_ws("_", col("k"), col("i"))) % 2 === 0, 1L)
+          .otherwise(-1L).as("sgn"))
+    val e = Tables.embeddings(s, d).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))")
+        .as("qe"))
+      .localCheckpoint(true) // two consumers: projection and exact d2o
+    val proj = e.select(col("vec_id"), posexplode(col("qe")).as(Seq("i", "x")))
+      .join(broadcast(signs), Seq("i"))
+      .groupBy(col("vec_id"), col("k"))
+      .agg(sum(col("sgn") * col("x")).as("p"))
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.vec_id") + 1 === col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        expr("aggregate(zip_with(a.qe, b.qe, (x, y) -> (x - y) * (x - y)), " +
+          "CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("d2o"))
+      .filter(col("d2o") > 0L)
+    val d2p = proj.as("pa")
+      .join(proj.as("pb"),
+        col("pa.vec_id") + 1 === col("pb.vec_id") && col("pa.k") === col("pb.k"))
+      .groupBy(col("pa.vec_id").as("va"))
+      .agg(sum((col("pa.p") - col("pb.p")) * (col("pa.p") - col("pb.p")))
+        .as("d2p"))
+    pairs.join(d2p, Seq("va"))
+      .select(expr("(d2p * 1000000L) div (16L * d2o)").as("ratio_ppm"))
+      .select(expr("least(ratio_ppm div 125000L, 15L)").as("bucket"),
+        col("ratio_ppm"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"), min(col("ratio_ppm")).as("min_ppm"),
+        max(col("ratio_ppm")).as("max_ppm"))
+      .orderBy(col("bucket"))
+  }
+
+  private val q220Sql =
+    """WITH signs AS MATERIALIZED (SELECT k.k, i.i,
+      |    CASE WHEN CAST(('0x' || substr(md5(CAST(k.k AS VARCHAR) || '_' ||
+      |                    CAST(i.i AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+      |         THEN 1 ELSE -1 END AS sgn
+      |  FROM (SELECT UNNEST(range(16)) AS k) k,
+      |       (SELECT UNNEST(range(64)) AS i) i),
+      |e AS MATERIALIZED (SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qe
+      |  FROM embeddings),
+      |u AS (SELECT vec_id, UNNEST(qe) AS x,
+      |      UNNEST(range(len(qe))) AS i FROM e),
+      |proj AS MATERIALIZED (SELECT u.vec_id, s.k,
+      |    CAST(SUM(s.sgn * u.x) AS BIGINT) AS p
+      |  FROM u JOIN signs s ON s.i = u.i GROUP BY u.vec_id, s.k),
+      |pr AS (SELECT a.vec_id AS va,
+      |    CAST(list_sum(list_transform(range(1, len(a.qe) + 1),
+      |      ix -> (a.qe[ix] - b.qe[ix]) * (a.qe[ix] - b.qe[ix]))) AS BIGINT) AS d2o
+      |  FROM e a JOIN e b ON a.vec_id + 1 = b.vec_id),
+      |dp AS (SELECT pa.vec_id AS va,
+      |    CAST(SUM((pa.p - pb.p) * (pa.p - pb.p)) AS BIGINT) AS d2p
+      |  FROM proj pa JOIN proj pb
+      |    ON pa.vec_id + 1 = pb.vec_id AND pa.k = pb.k
+      |  GROUP BY pa.vec_id),
+      |r AS (SELECT (d2p * 1000000) // (16 * d2o) AS ratio_ppm
+      |  FROM pr JOIN dp ON dp.va = pr.va WHERE pr.d2o > 0)
+      |SELECT least(ratio_ppm // 125000, 15) AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(MIN(ratio_ppm) AS BIGINT) AS min_ppm,
+      |  CAST(MAX(ratio_ppm) AS BIGINT) AS max_ppm
+      |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q220_jl_distortion" -> q220,
     "q192_bq_recall_eval" -> q192,
     "q188_bq_hamming_rerank" -> q188,
     "q178_embedding_anisotropy" -> q178,
@@ -1162,6 +1261,7 @@ object SimilarityQueries {
     "q108_semdedup" -> q108)
 
   val oracle: Map[String, String] = Map(
+    "q220_jl_distortion" -> q220Sql,
     "q192_bq_recall_eval" -> q192Sql,
     "q188_bq_hamming_rerank" -> q188Sql,
     "q178_embedding_anisotropy" -> q178Sql,
