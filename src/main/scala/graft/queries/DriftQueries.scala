@@ -505,13 +505,114 @@ object DriftQueries {
       |  END AS is_anomaly
       |FROM z ORDER BY event_type, t""".stripMargin
 
+  // ---------------------------------------------------------------- q222
+  /** Theil–Sen robust trend per event type — the BREAKDOWN-resistant
+    * complement of q183's OLS (one corrupted day drags a least-squares
+    * slope arbitrarily; the median of pairwise slopes survives ~29 %
+    * contamination — the trend-side analogue of q144's MAD vs stddev
+    * and q213's trimmed means): per type, the slope is the MEDIAN of
+    * all C(n_days, 2) pairwise daily-total slopes, the intercept the
+    * median residual at that slope.
+    *
+    * Exactness discipline: pairwise slopes are RATIONALS num/den with
+    * den = Δt > 0. Reporting num·10⁶ div den would reintroduce the
+    * negative-numerator truncation divergence (Spark div truncates
+    * toward zero, DuckDB // floors — the q198 lesson), so NO integer
+    * division ever touches a signed value: ordering uses the IEEE
+    * double num/den — bit-identical in both engines for identical Long
+    * inputs — with (num, den, t_a, t_b) as the deterministic tiebreak,
+    * the median residual orders by the EXACT integer x·den − num·t
+    * (den is constant within a type once the median pair is fixed, so
+    * integer order IS rational order), and the reported slope/intercept
+    * are one final round(double, 4) — the house display convention.
+    *
+    * Scale shape: one corpus scan → (type, day) hash agg; the pair
+    * frame is C(span, 2) ≤ ~2k rows per type (observation span, not
+    * corpus size — same bound family as q209/q217); both medians are
+    * type-partitioned windows over span-bounded partitions. */
+  private val q222: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        (money(col("value")) * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).as("x"))
+    val anchor = daily.agg(min(col("day")).as("d0"))
+    val pts = daily.crossJoin(broadcast(anchor))
+      .select(col("event_type"),
+        datediff(col("day"), col("d0")).cast("long").as("t"), col("x"))
+      .localCheckpoint(true) // span-bounded; pair explode + residual pass
+    val pairs = pts.as("a").join(pts.as("b"),
+        col("a.event_type") === col("b.event_type") && col("a.t") < col("b.t"))
+      .select(col("a.event_type").as("event_type"),
+        (col("b.x") - col("a.x")).as("num"),
+        (col("b.t") - col("a.t")).as("den"),
+        col("a.t").as("ta"), col("b.t").as("tb"))
+      .withColumn("sl", col("num").cast("double") / col("den").cast("double"))
+    val wS = Window.partitionBy(col("event_type"))
+      .orderBy(col("sl"), col("num"), col("den"), col("ta"), col("tb"))
+    val wN = Window.partitionBy(col("event_type"))
+    val med = pairs
+      .withColumn("rn", row_number().over(wS))
+      .withColumn("n_pairs", count(lit(1)).over(wN))
+      .filter(col("rn") === expr("(n_pairs + 1L) div 2L"))
+      .select(col("event_type"), col("num"), col("den"), col("n_pairs"))
+    val resid = pts.join(med, Seq("event_type"))
+      .select(col("event_type"), col("num"), col("den"), col("n_pairs"),
+        col("t"), (col("x") * col("den") - col("num") * col("t")).as("r"))
+    val wR = Window.partitionBy(col("event_type")).orderBy(col("r"), col("t"))
+    resid
+      .withColumn("rn", row_number().over(wR))
+      .withColumn("n_days", count(lit(1)).over(wN))
+      .filter(col("rn") === expr("(n_days + 1L) div 2L"))
+      .select(col("event_type"), col("n_days"), col("n_pairs"),
+        round(col("num").cast("double") / col("den").cast("double"), 4)
+          .as("slope_cents_day"),
+        round(col("r").cast("double") / col("den").cast("double"), 4)
+          .as("icept_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q222Sql =
+    """WITH daily AS MATERIALIZED (SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(15,2)) * 100 AS BIGINT))
+      |         AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |a0 AS (SELECT MIN(day) AS d0 FROM daily),
+      |pts AS MATERIALIZED (SELECT event_type,
+      |    CAST(DATEDIFF('day', a0.d0, day) AS BIGINT) AS t, x
+      |  FROM daily, a0),
+      |pr AS (SELECT a.event_type, b.x - a.x AS num, b.t - a.t AS den,
+      |    a.t AS ta, b.t AS tb,
+      |    CAST(b.x - a.x AS DOUBLE) / CAST(b.t - a.t AS DOUBLE) AS sl
+      |  FROM pts a JOIN pts b ON a.event_type = b.event_type AND a.t < b.t),
+      |mr AS (SELECT event_type, num, den,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |                       ORDER BY sl, num, den, ta, tb) AS rn,
+      |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_pairs
+      |  FROM pr),
+      |med AS (SELECT event_type, num, den, n_pairs FROM mr
+      |        WHERE rn = (n_pairs + 1) // 2),
+      |rs AS (SELECT p.event_type, m.num, m.den, m.n_pairs, p.t,
+      |    p.x * m.den - m.num * p.t AS r
+      |  FROM pts p JOIN med m ON m.event_type = p.event_type),
+      |rr AS (SELECT event_type, num, den, n_pairs, r,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY r, t) AS rn,
+      |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days
+      |  FROM rs)
+      |SELECT event_type, n_days, n_pairs,
+      |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 4) AS slope_cents_day,
+      |  round(CAST(r AS DOUBLE) / CAST(den AS DOUBLE), 4) AS icept_cents
+      |FROM rr WHERE rn = (n_days + 1) // 2
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q171_psi_drift" -> q171,
     "q172_ks_drift" -> q172,
     "q175_benford_audit" -> q175,
     "q183_ols_trend" -> q183,
     "q198_jsd_drift" -> q198,
-    "q217_ewma_anomaly" -> q217)
+    "q217_ewma_anomaly" -> q217,
+    "q222_theil_sen" -> q222)
 
   val oracle: Map[String, String] = Map(
     "q171_psi_drift" -> q171Sql,
@@ -519,5 +620,6 @@ object DriftQueries {
     "q175_benford_audit" -> q175Sql,
     "q183_ols_trend" -> q183Sql,
     "q198_jsd_drift" -> q198Sql,
-    "q217_ewma_anomaly" -> q217Sql)
+    "q217_ewma_anomaly" -> q217Sql,
+    "q222_theil_sen" -> q222Sql)
 }

@@ -819,11 +819,136 @@ object WarehouseQueries {
       |WHERE o.rn = greatest(1, (o.n * p.p_ppm + 999999) // 1000000)
       |ORDER BY o.event_type, p.p_ppm""".stripMargin
 
+  // ---------------------------------------------------------------- q221
+  /** MCV-statistics join-cardinality estimation — the PLANNER-side
+    * number everything else here optimizes around: before choosing
+    * broadcast vs shuffle vs salt (q74/q140), an optimizer must GUESS
+    * |A ⋈ B|, and the industry answer (PostgreSQL's eqjoinsel, ANALYZE
+    * stats everywhere) is most-common-values + a uniform remainder.
+    * This runs that estimator against ground truth on a genuinely
+    * skewed join — return-flag 'R' lineitems ⋈ 'A' lineitems on
+    * l_partkey — and reports the error in ppm, next to q170's CMS/AGMS
+    * sketch estimate of the same quantity and q174's exact equi-depth
+    * boundaries: the three ways a 100 TB engine prices a join (MCV
+    * stats, mergeable sketch, exact histogram) on one page.
+    *
+    * Estimator (explicit, integer-exact, both engines replay it):
+    * K = 32 MCVs per side chosen by (count DESC, value ASC) — a
+    * deterministic TakeOrderedAndProject, never a sort of the ndv
+    * frame; rest_X = |X| − Σ mcv counts spread uniformly over
+    * (ndv_X − K) values. est = Σ_{v∈MA∩MB} cA·cB
+    * + rest_per_val_B·Σ_{MA\MB} cA + rest_per_val_A·Σ_{MB\MA} cB
+    * + rest_A·rest_B div greatest(ndv_A−K, ndv_B−K, 1). Products ride
+    * DECIMAL(38) (counts can square past Long at extreme skew), err in
+    * ppm of the exact size.
+    *
+    * Scale shape: two map-side-combined (value) count aggs (ndv-sized
+    * frames), top-32 via TakeOrderedAndProject, the estimator itself on
+    * two 32-row broadcast frames + three scalars; the exact witness is
+    * one keyed join of the two count frames — ndv-sized, never the raw
+    * corpus against itself. */
+  private val q221: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).select(col("l_partkey").as("v"),
+      col("l_returnflag"))
+    def side(flag: String): (DataFrame, DataFrame, DataFrame) = {
+      val counts = li.filter(col("l_returnflag") === flag)
+        .groupBy(col("v")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // consumers: totals, MCV, exact witness
+      val mcv = counts.orderBy(col("c").desc, col("v")).limit(32)
+        .localCheckpoint(true)
+      val tot = counts.agg(sum(col("c")).as("n"),
+        count(lit(1)).as("ndv"))
+      (counts, mcv, tot)
+    }
+    val (ca, mcvA, totA) = side("R")
+    val (cb, mcvB, totB) = side("A")
+    val exact = ca.select(col("v"), col("c").as("xa"))
+      .join(cb.select(col("v"), col("c").as("xb")), Seq("v"))
+      .agg(expr("CAST(SUM(CAST(xa AS DECIMAL(38,0)) * xb) AS BIGINT)")
+        .as("exact_pairs"))
+    // decompose the MCV lists against each other (32x32 broadcast join)
+    val mA = mcvA.select(col("v"), col("c").as("ca"))
+    val mB = mcvB.select(col("v"), col("c").as("cb"))
+    val mcvStats = mA.join(mB, Seq("v"), "full_outer")
+      .agg(
+        expr("CAST(SUM(CASE WHEN ca IS NOT NULL AND cb IS NOT NULL " +
+          "THEN CAST(ca AS DECIMAL(38,0)) * cb ELSE 0 END) AS BIGINT)")
+          .as("hit_pairs"),
+        sum(when(col("cb").isNull, col("ca")).otherwise(0L)).as("ca_only"),
+        sum(when(col("ca").isNull, col("cb")).otherwise(0L)).as("cb_only"),
+        coalesce(sum(col("ca")), lit(0L)).as("mcv_a_mass"),
+        coalesce(sum(col("cb")), lit(0L)).as("mcv_b_mass"))
+    val est = mcvStats
+      .crossJoin(broadcast(totA.select(col("n").as("n_a"), col("ndv").as("ndv_a"))))
+      .crossJoin(broadcast(totB.select(col("n").as("n_b"), col("ndv").as("ndv_b"))))
+      .select(col("n_a"), col("n_b"), col("ndv_a"), col("ndv_b"),
+        col("hit_pairs"), col("ca_only"), col("cb_only"),
+        (col("n_a") - col("mcv_a_mass")).as("rest_a"),
+        (col("n_b") - col("mcv_b_mass")).as("rest_b"))
+      .select(col("n_a"), col("n_b"), col("ndv_a"), col("ndv_b"),
+        (col("hit_pairs")
+          + expr("(rest_b div greatest(ndv_b - 32L, 1L)) * ca_only")
+          + expr("(rest_a div greatest(ndv_a - 32L, 1L)) * cb_only")
+          + expr("CAST(CAST(rest_a AS DECIMAL(38,0)) * rest_b AS DECIMAL(38,0)) " +
+            "div greatest(ndv_a - 32L, ndv_b - 32L, 1L)").cast("long"))
+          .as("est_pairs"))
+    graft.functions.Guard.require(est.crossJoin(broadcast(exact)),
+        col("exact_pairs") > 0L,
+        "q221: the witness join is empty - the estimator error is " +
+          "undefined; pick sides that share keys")
+      .select(col("n_a"), col("n_b"), col("ndv_a"), col("ndv_b"),
+        col("exact_pairs"), col("est_pairs"),
+        expr("abs(est_pairs - exact_pairs) * 1000000L div exact_pairs")
+          .as("err_ppm"))
+  }
+
+  private val q221Sql =
+    """WITH ca AS MATERIALIZED (SELECT l_partkey AS v, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
+      |cb AS MATERIALIZED (SELECT l_partkey AS v, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1),
+      |ta AS (SELECT CAST(SUM(c) AS BIGINT) AS n_a,
+      |       CAST(COUNT(*) AS BIGINT) AS ndv_a FROM ca),
+      |tb AS (SELECT CAST(SUM(c) AS BIGINT) AS n_b,
+      |       CAST(COUNT(*) AS BIGINT) AS ndv_b FROM cb),
+      |ma AS MATERIALIZED (SELECT v, c FROM ca ORDER BY c DESC, v LIMIT 32),
+      |mb AS MATERIALIZED (SELECT v, c FROM cb ORDER BY c DESC, v LIMIT 32),
+      |ex AS (SELECT CAST(SUM(CAST(ca.c AS HUGEINT) * cb.c) AS BIGINT)
+      |         AS exact_pairs
+      |       FROM ca JOIN cb ON ca.v = cb.v),
+      |ms AS (SELECT
+      |    CAST(SUM(CASE WHEN ma.c IS NOT NULL AND mb.c IS NOT NULL
+      |             THEN CAST(ma.c AS HUGEINT) * mb.c ELSE 0 END) AS BIGINT)
+      |      AS hit_pairs,
+      |    CAST(SUM(CASE WHEN mb.c IS NULL THEN ma.c ELSE 0 END) AS BIGINT)
+      |      AS ca_only,
+      |    CAST(SUM(CASE WHEN ma.c IS NULL THEN mb.c ELSE 0 END) AS BIGINT)
+      |      AS cb_only,
+      |    CAST(COALESCE(SUM(ma.c), 0) AS BIGINT) AS mcv_a_mass,
+      |    CAST(COALESCE(SUM(mb.c), 0) AS BIGINT) AS mcv_b_mass
+      |  FROM ma FULL OUTER JOIN mb ON ma.v = mb.v),
+      |est AS (SELECT ta.n_a, tb.n_b, ta.ndv_a, tb.ndv_b,
+      |    CAST(ms.hit_pairs
+      |      + ((ta.n_a - ms.mcv_a_mass) // greatest(ta.ndv_a - 32, 1))
+      |        * ms.cb_only
+      |      + ((tb.n_b - ms.mcv_b_mass) // greatest(tb.ndv_b - 32, 1))
+      |        * ms.ca_only
+      |      + (CAST(ta.n_a - ms.mcv_a_mass AS HUGEINT)
+      |         * (tb.n_b - ms.mcv_b_mass))
+      |        // greatest(ta.ndv_a - 32, tb.ndv_b - 32, 1) AS BIGINT)
+      |      AS est_pairs
+      |  FROM ms, ta, tb)
+      |SELECT e.n_a, e.n_b, e.ndv_a, e.ndv_b, x.exact_pairs, e.est_pairs,
+      |  CAST(abs(e.est_pairs - x.exact_pairs) * 1000000 // x.exact_pairs
+      |       AS BIGINT) AS err_ppm
+      |FROM est e, ex x""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q182_kmv_overlap" -> q182,
     "q201_apriori_triples" -> q201,
     "q205_decayed_popularity" -> q205,
     "q216_kll_quantiles" -> q216,
+    "q221_mcv_join_estimate" -> q221,
     "q160_zorder_layout_audit" -> q160,
     "q161_incremental_agg_merge" -> q161,
     "q163_pivot_wide" -> q163,
@@ -837,6 +962,7 @@ object WarehouseQueries {
     "q201_apriori_triples" -> q201Sql,
     "q205_decayed_popularity" -> q205Sql,
     "q216_kll_quantiles" -> q216Sql,
+    "q221_mcv_join_estimate" -> q221Sql,
     "q160_zorder_layout_audit" -> q160Sql,
     "q161_incremental_agg_merge" -> q161Sql,
     "q163_pivot_wide" -> q163Sql,
