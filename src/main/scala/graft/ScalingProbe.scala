@@ -264,6 +264,55 @@ object ScalingProbe {
       .withQualityPpm(Tables.documents(spark, sfDir))
       .select(col("quality_ppm")).distinct().count()
 
+    // q201 round-13 quantile machinery: the support histogram the
+    // two-level prefix sum runs on must stay ≤ √(2T) rows (distinct
+    // positive-integer supports summing ≤ T) — the bound that makes the
+    // ceil-quantile minsup derivation scale-safe.
+    val q201HistRows = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .filter(size(col("ps")) >= 3)
+      .select(explode(expr(
+        "flatten(flatten(transform(sequence(0, size(ps) - 3), i -> " +
+          "transform(sequence(i + 1, size(ps) - 2), j -> " +
+          "transform(sequence(j + 1, size(ps) - 1), k -> " +
+          "named_struct('x', ps[i], 'y', ps[j], 'z', ps[k]))))))")).as("s"))
+      .groupBy(col("s.x"), col("s.y"), col("s.z")).agg(count(lit(1)).as("sup"))
+      .select(col("sup")).distinct().count()
+
+    // q218: the version stream is ≤ the event count by construction —
+    // linear, with the compression ratio (events per version) flat.
+    val q218Versions = {
+      import org.apache.spark.sql.expressions.Window
+      val wU = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(wU))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .count()
+    }
+
+    // q219: the comparison self-join carries Σ C(m,2) rows with m =
+    // distinct types per (user, day) — schema-bounded m ⇒ linear in
+    // user-days (the same argument as q201's basket explode).
+    val q219Cmp = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count_distinct(col("event_type")).as("m"))
+      .agg(coalesce(sum(expr("m * (m - 1) div 2")), lit(0L))).head().getLong(0)
+
+    // q221: the estimator's inputs are the two ndv-sized count frames
+    // (never the corpus against itself) — ndv growth is the scaling cost.
+    val q221Ndv = Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag").isin("R", "A"))
+      .select(col("l_returnflag"), col("l_partkey")).distinct().count()
+
+    // q222: the pair frame is Σ C(days,2) per type — observation-span-
+    // bounded, so it must stay FLAT as the corpus grows at fixed span.
+    val q222Pairs = Tables.events(spark, sfDir)
+      .select(col("event_type"), to_date(col("ts")).as("day")).distinct()
+      .groupBy(col("event_type")).agg(count(lit(1)).as("nd"))
+      .agg(coalesce(sum(expr("nd * (nd - 1) div 2")), lit(0L))).head().getLong(0)
+
     println(s"""{"sf":"$sfDir","docs":$nDocs,"shingles":$totShingles,""" +
       s""""q86_cand":$q86Cand,"q86_pairs":$q86Pairs,""" +
       s""""q103_cand":$q103Cand,"q103_pairs":$q103Pairs,""" +
@@ -284,7 +333,9 @@ object ScalingProbe {
       s""""q173_b2_pairvol":$q173B2PairVol,""" +
       s""""q199_wedges":$q199Wedges,"q199_cand":$q199Cand,""" +
       s""""q201_pairvol":$q201PairVol,"q201_triplevol":$q201TripleVol,""" +
-      s""""q201_maxbasket":$q201MaxBasket,"q215_scores":$q215Scores}""")
+      s""""q201_maxbasket":$q201MaxBasket,"q215_scores":$q215Scores,""" +
+      s""""q201_histrows":$q201HistRows,"q218_versions":$q218Versions,""" +
+      s""""q219_cmp":$q219Cmp,"q221_ndv":$q221Ndv,"q222_pairs":$q222Pairs}""")
     spark.stop()
   }
 }

@@ -25,9 +25,15 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 def main(outdir: str, sfdir: str) -> None:
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     con = duckdb.connect()
+    import os
     for t in TABLES:
+        # driver testdata ships single files; graft.DataGen output (e.g.
+        # the sf1 scale-up) is a Spark directory of part files
+        path = f"{sfdir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     n_pass = n_fail = 0
     for name in sorted(oracle):
         sql = oracle[name]
