@@ -92,7 +92,7 @@ object Plans {
     "q198_jsd_drift" -> "JSD drift: one corpus scan collapses to a (type, bin, side) hash agg; entropy decomposition keeps every floor-ln term non-negative so integer truncation direction is moot; spine-sized joins after the scan",
     "q199_adamic_adar" -> "Adamic-Adar: 1/ln score attaches to the adjacency BEFORE the apex self-join (node-linear), wedge join shuffles once on the apex key, candidates collapse via (u,v) hash agg, LEFT ANTI drops existing edges, top-20 = TakeOrderedAndProject",
     "q200_pmi_collocations" -> "PMI: two corpus hash aggs checkpointed at vocab/vocab-squared size; marginals via broadcast joins + 1-row total cross-joins; single floor-ln per surviving bigram; top-20 = TakeOrderedAndProject",
-    "q201_apriori_triples" -> "A-Priori triples: baskets built ONCE as sorted distinct arrays (lazy ckpt, two consumers), pairs/triples explode by index arithmetic (C(w,2)/C(w,3), bounded w - no self-join planner trap), minsup'd pair frame broadcast into three monotonicity-witness joins",
+    "q201_apriori_triples" -> "A-Priori triples: baskets built ONCE as sorted distinct arrays (lazy ckpt), pairs/triples explode by index arithmetic (C(w,2)/C(w,3), bounded w - no self-join planner trap); minsup = ceil-quantile p99.995 of the triple-support histogram (two-level prefix sum); top-20 triples BROADCAST into three monotonicity-witness lookups over the pair frame",
     "q202_luby_mis" -> "Luby MIS round: arc-keyed neighbor-min hash agg + anti-join + two LEFT SEMI joins, all node-keyed; per-round frames lazily checkpointed (CheckpointTracker), 3-row census from one eager action",
     "q203_vocab_coverage" -> "Good-Turing/Chao1: one corpus scan -> (source, word) hash agg -> spectrum agg -> per-source row; pure integer, zero joins",
     "q204_markov_stationary" -> "stationary pi: corpus pays exactly q185's window exchange ONCE (eager ckpt of the <=25-row matrix); 5 power-iteration rounds are |types|-row joins against that broadcast",
@@ -106,7 +106,16 @@ object Plans {
     "q212_peak_concurrency" -> "two-level prefix sum: day-partitioned cumulative window + broadcast theta join day offsets - the global running sum without a partition-less window",
     "q213_robust_means" -> "robust means: ONE type-partitioned rank window + ONE hash agg; boundary values as conditional MINs at exact ranks",
     "q214_burstiness" -> "burstiness: one per-type lag window -> one moment hash agg; DECIMAL(38) products, Guard-enforced",
-    "q215_auc_ranksum" -> "exact AUC: one corpus scan -> score-domain frames; below(s) via the q212 two-level prefix sum (block window + broadcast offsets)")
+    "q215_auc_ranksum" -> "exact AUC: one corpus scan -> score-domain frames; below(s) via the q212 two-level prefix sum (block window + broadcast offsets)",
+    "q216_kll_quantiles" -> "KLL quantiles: ONE ObjectHashAggregate builds the 5 sketches (map-side combinable O(k log n) state); estimates explode to <=25 rows broadcast into one witness pass; exact side pays q81's per-type window - the cost the sketch exists to avoid",
+    "q217_ewma_anomaly" -> "EWMA monitor: one (type, day) hash agg; decay as the closed-form shift-weighted cumulative over the <=types x 63 spine (bounded partitions); anomaly = lag + integer ratio",
+    "q218_scd2_history" -> "SCD2 build: lag change-marks and lead/max version-ends share ONE user-keyed exchange; census = one (type) hash agg with the overflow guard riding it",
+    "q219_bradley_terry" -> "Bradley-Terry: (user, day, type) hash agg; comparisons join per user-day key (<=types^2 per key, linear); 5 MM rounds on <=types-row frames against checkpointed count matrices",
+    "q220_jl_distortion" -> "JL audit: sign matrix broadcast; projection = posexplode + broadcast join + (vec, k) hash agg (16x linear, exact ints); pair audit on consecutive-id keyed joins",
+    "q221_mcv_join_estimate" -> "MCV estimate: two map-combinable count aggs; MCVs via TakeOrderedAndProject(32); estimator on two 32-row broadcast frames; exact witness = one ndv-sized keyed join, never corpus x corpus",
+    "q222_theil_sen" -> "Theil-Sen: (type, day) hash agg; C(span,2) pair frame per type (span-bounded); medians via type-partitioned windows, no signed integer division anywhere",
+    "q223_rendezvous_reshard" -> "rendezvous reshard: 9x linear key x shard explode collapsed by ONE packed-argmax hash agg ((h>>1)*16+shard fills a Long exactly) - no per-key window; mod placement is a map-only projection",
+    "q224_xcorr_lag" -> "xcorr lags: one (type, day) hash agg; pair x lag cells live on the span-bounded spine (<=4.5k rows at any corpus size); DECIMAL(38) moments, one final double r")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")
@@ -139,7 +148,14 @@ object Plans {
     val sb = new StringBuilder
     sb ++= "# PLANS — formatted physical plans of the headline queries\n\n"
     sb ++= s"Generated by `graft.Plans` at $sfDir. Regenerate: " +
-      "`sbt \"runMain graft.Plans PLANS.md /root/testdata/sf0.01\"`.\n"
+      "`sbt \"runMain graft.Plans PLANS.md /root/testdata/sf0.01\"`.\n\n"
+    sb ++= "**Reading a timing next to a plan here?** The canonical " +
+      "statement of which\nnumber means what lives in " +
+      "`src/main/scala/graft/Bench.scala`'s scaladoc:\nbench medians are " +
+      "CONSTRUCTION-inclusive for iterative/tracker queries\n(their " +
+      "driver-side loops re-run per pass), while ExecPlan walls — and " +
+      "the\nLogicalRDD-rooted plans below for those queries — are " +
+      "MATERIALIZATION-only.\nCompare like with like across rounds.\n"
     Headline.foreach { case (name, why) =>
       val df = all(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(

@@ -536,9 +536,15 @@ object CurationQueries {
       val raw = wTot.join(den, Seq("i"))
         .select(col("i"), expr("wi * 1000000000000L div den").as("raw"))
       val tot = raw.agg(sum(col("raw")).as("traw"))
+      // eager per-round checkpoint: den references the strength frame
+      // TWICE (si and sj), so an un-checkpointed loop doubles the plan
+      // per iteration (2^5 subtree blowup, 6.2M plan chars measured —
+      // QueryInventorySpec's 100k bound caught it); the frame is
+      // ≤ |types| rows, so materializing is free.
       sdf = raw.crossJoin(broadcast(tot))
         .select(col("i"),
           expr("greatest(raw * 1000000L div traw, 1L)").as("s"))
+        .localCheckpoint(true)
     }
     val nComp = compG.groupBy(col("i")).agg(sum(col("c")).as("n_comparisons"))
     sdf.join(wTot, Seq("i")).join(nComp, Seq("i"))

@@ -605,6 +605,121 @@ object DriftQueries {
       |FROM rr WHERE rn = (n_days + 1) // 2
       |ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q224
+  /** Cross-correlation lag finder — "does signups' daily revenue LEAD
+    * purchases' by k days?", the causal-structure probe the per-series
+    * monitors (q183 trend, q217 level, q222 robust trend) cannot see:
+    * for every ordered event-type pair and every lag in [−7, 7], the
+    * Pearson correlation of the two gap-filled daily series over the
+    * overlapping window, reporting each pair's best lag. Lead/lag
+    * structure is what turns five isolated monitors into a system
+    * diagram (alert on the LEADER, not the follower).
+    *
+    * Exactness: all sums are exact DECIMAL(38) integer moments per
+    * (pair, lag) — products of guarded daily cents squared past Long
+    * (the q183/q191 promotion discipline) — and r is ONE final double
+    * expression of those exact integers (identical operands → identical
+    * IEEE result → identical round(…, 4) both engines; same contract as
+    * q183's R²). Zero-variance windows are excluded in both engines
+    * (r undefined). Argmax per pair breaks ties by (|lag|, lag).
+    *
+    * Scale shape: one corpus scan → (type, day) hash agg; everything
+    * after lives on the types×span spine × 15 lags (≤ 4.5k rows at any
+    * corpus size — the q217/q222 span-bounded family; the probe's
+    * q222_pairs counter measures the same flatness). */
+  private val q224: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        (money(col("value")) * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).as("x"))
+    val anchor = daily.agg(min(col("day")).as("d0"),
+      datediff(max(col("day")), min(col("day"))).cast("long").as("max_t"))
+    val spine = daily.select(col("event_type")).distinct()
+      .crossJoin(s.range(63).select(col("id").as("t")))
+      .crossJoin(broadcast(anchor))
+      .filter(col("t") <= col("max_t"))
+      .select(col("event_type"), col("t"))
+    val filled = spine.join(
+        daily.crossJoin(broadcast(anchor.select(col("d0"))))
+          .select(col("event_type"),
+            datediff(col("day"), col("d0")).cast("long").as("t"), col("x")),
+        Seq("event_type", "t"), "left")
+      .select(col("event_type"), col("t"), coalesce(col("x"), lit(0L)).as("x"))
+      .localCheckpoint(true) // span-bounded; self-joined across 15 lags
+    val lags = s.range(-7, 8).select(col("id").as("lag"))
+    val cells = filled.as("a")
+      .crossJoin(broadcast(lags))
+      .join(filled.as("b"),
+        col("a.event_type") < col("b.event_type") &&
+          col("a.t") + col("lag") === col("b.t"))
+      .select(col("a.event_type").as("ta"), col("b.event_type").as("tb"),
+        col("lag"), col("a.x").as("xa"), col("b.x").as("xb"))
+    val moments = cells.groupBy(col("ta"), col("tb"), col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(xa AS DECIMAL(38,0))")).as("sx"),
+        sum(expr("CAST(xb AS DECIMAL(38,0))")).as("sy"),
+        sum(expr("CAST(xa AS DECIMAL(38,0)) * xb")).as("sxy"),
+        sum(expr("CAST(xa AS DECIMAL(38,0)) * xa")).as("sxx"),
+        sum(expr("CAST(xb AS DECIMAL(38,0)) * xb")).as("syy"))
+      .select(col("ta"), col("tb"), col("lag"), col("n"),
+        expr("CAST(n AS DECIMAL(38,0)) * sxy - sx * sy").as("num"),
+        expr("CAST(n AS DECIMAL(38,0)) * sxx - sx * sx").as("denx"),
+        expr("CAST(n AS DECIMAL(38,0)) * syy - sy * sy").as("deny"))
+      .filter(col("denx") > 0 && col("deny") > 0)
+      .select(col("ta"), col("tb"), col("lag"), col("n"),
+        round(expr("CAST(num AS DOUBLE) / " +
+          "sqrt(CAST(denx AS DOUBLE) * CAST(deny AS DOUBLE))"), 4).as("r"))
+    val wP = Window.partitionBy(col("ta"), col("tb"))
+      .orderBy(col("r").desc, abs(col("lag")), col("lag"))
+    moments.withColumn("rn", row_number().over(wP))
+      .filter(col("rn") === 1)
+      .select(col("ta"), col("tb"), col("lag").as("best_lag"),
+        col("n").as("n_days"), col("r").as("best_r"))
+      .orderBy(col("ta"), col("tb"))
+  }
+
+  private val q224Sql =
+    """WITH daily AS MATERIALIZED (SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(15,2)) * 100 AS BIGINT))
+      |         AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |a0 AS (SELECT MIN(day) AS d0,
+      |    CAST(DATEDIFF('day', MIN(day), MAX(day)) AS BIGINT) AS max_t
+      |  FROM daily),
+      |spine AS (SELECT ty.event_type, CAST(tt.t AS BIGINT) AS t
+      |  FROM (SELECT DISTINCT event_type FROM daily) ty,
+      |       (SELECT UNNEST(range(0, 63)) AS t) tt, a0
+      |  WHERE tt.t <= a0.max_t),
+      |f AS MATERIALIZED (SELECT s.event_type, s.t, COALESCE(g.x, 0) AS x
+      |  FROM spine s LEFT JOIN (SELECT event_type,
+      |      CAST(DATEDIFF('day', a0.d0, day) AS BIGINT) AS t, x
+      |    FROM daily, a0) g
+      |    ON g.event_type = s.event_type AND g.t = s.t),
+      |cells AS (SELECT a.event_type AS ta, b.event_type AS tb, l.lag,
+      |    a.x AS xa, b.x AS xb
+      |  FROM f a, (SELECT UNNEST(range(-7, 8)) AS lag) l, f b
+      |  WHERE a.event_type < b.event_type AND a.t + l.lag = b.t),
+      |m AS (SELECT ta, tb, lag, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(xa AS HUGEINT)) AS sx, SUM(CAST(xb AS HUGEINT)) AS sy,
+      |    SUM(CAST(xa AS HUGEINT) * xb) AS sxy,
+      |    SUM(CAST(xa AS HUGEINT) * xa) AS sxx,
+      |    SUM(CAST(xb AS HUGEINT) * xb) AS syy
+      |  FROM cells GROUP BY 1, 2, 3),
+      |rv AS (SELECT ta, tb, lag, n,
+      |    round(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE) /
+      |      sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) *
+      |           CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE)), 4) AS r
+      |  FROM m
+      |  WHERE CAST(n AS HUGEINT) * sxx - sx * sx > 0
+      |    AND CAST(n AS HUGEINT) * syy - sy * sy > 0),
+      |rk AS (SELECT ta, tb, lag, n, r,
+      |    ROW_NUMBER() OVER (PARTITION BY ta, tb
+      |                       ORDER BY r DESC, abs(lag), lag) AS rn
+      |  FROM rv)
+      |SELECT ta, tb, lag AS best_lag, n AS n_days, r AS best_r
+      |FROM rk WHERE rn = 1 ORDER BY ta, tb""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q171_psi_drift" -> q171,
     "q172_ks_drift" -> q172,
@@ -612,7 +727,8 @@ object DriftQueries {
     "q183_ols_trend" -> q183,
     "q198_jsd_drift" -> q198,
     "q217_ewma_anomaly" -> q217,
-    "q222_theil_sen" -> q222)
+    "q222_theil_sen" -> q222,
+    "q224_xcorr_lag" -> q224)
 
   val oracle: Map[String, String] = Map(
     "q171_psi_drift" -> q171Sql,
@@ -621,5 +737,6 @@ object DriftQueries {
     "q183_ols_trend" -> q183Sql,
     "q198_jsd_drift" -> q198Sql,
     "q217_ewma_anomaly" -> q217Sql,
-    "q222_theil_sen" -> q222Sql)
+    "q222_theil_sen" -> q222Sql,
+    "q224_xcorr_lag" -> q224Sql)
 }

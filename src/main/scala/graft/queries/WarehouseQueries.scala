@@ -943,12 +943,99 @@ object WarehouseQueries {
       |       AS BIGINT) AS err_ppm
       |FROM est e, ex x""".stripMargin
 
+  // ---------------------------------------------------------------- q223
+  /** Rendezvous-hash reshard audit — the DATA-MOVEMENT bill an operator
+    * reads before growing a cluster: adding one shard to an 8-shard
+    * layout moves ~100 % of keys under mod-hash placement (every
+    * hash % 8 ≠ hash % 9 key relocates) but only ~1/9 under rendezvous
+    * (HRW) hashing, where a key lives on argmax_s h(key, s) and moves
+    * ONLY if the new shard wins its argmax — Thaler–Ravishankar '96,
+    * the consistent-placement primitive under storage reshards,
+    * stateful-stream rescaling, and cache rings. The audit computes
+    * both movement fractions exactly over the order keys plus the
+    * rendezvous layout's balance (max/min shard occupancy in ppm of
+    * ideal) — the two numbers that decide a reshard window.
+    *
+    * Exactness: placements are pure md5 functions (the portable-hash
+    * discipline — h(key, s) = md5Bucket60(key || '#' || s)), argmax
+    * breaks ties by shard id (both engines), so every row's old/new
+    * shard replays bit-identically in DuckDB.
+    *
+    * Scale shape: the rendezvous argmax is a 9× LINEAR explode (key ×
+    * shard) collapsed by ONE packed max hash agg — max(h·16 + s) packs
+    * winner-and-score into one Long (the q98/q115 PackedArgMin
+    * discipline; h < 2⁶⁰ makes the pack safe) — never a per-key window
+    * or sort; mod placement is a map-only projection. One corpus scan
+    * per layout, three scalar outputs. */
+  private val q223: Q = (s, d) => {
+    import graft.functions.PortableHash.md5Bucket60
+    def hrw(nShards: Int): DataFrame =
+      Tables.orders(s, d).select(col("o_orderkey").as("key"))
+        .crossJoin(broadcast(s.range(nShards).select(col("id").as("sh"))))
+        // pack = (h div 2)·16 + shard: 59 hash bits + 4 shard bits tops out
+        // at exactly 2⁶³−1 (a 60-bit h times 16 would wrap); halving costs
+        // one tie-bit, broken deterministically by the larger shard id.
+        .select(col("key"),
+          (shiftright(md5Bucket60(concat_ws("#", col("key"), col("sh"))), 1)
+            * 16L + col("sh")).as("packed"))
+        .groupBy(col("key"))
+        .agg((max(col("packed")) % 16L).as("shard"))
+    val oldNew = hrw(8).withColumnRenamed("shard", "s8")
+      .join(hrw(9).withColumnRenamed("shard", "s9"), Seq("key"))
+      .localCheckpoint(true) // movement + balance consumers
+    val moved = oldNew.agg(count(lit(1)).as("n_keys"),
+      sum((col("s8") =!= col("s9")).cast("long")).as("hrw_moved"))
+    val modMoved = Tables.orders(s, d).select(col("o_orderkey").as("key"))
+      .select(md5Bucket60(col("key").cast("string")).as("h"))
+      .agg(sum((col("h") % 8L =!= col("h") % 9L).cast("long")).as("mod_moved"))
+    val balance = oldNew.groupBy(col("s9")).agg(count(lit(1)).as("c"))
+      .agg(min(col("c")).as("min_c"), max(col("c")).as("max_c"))
+    moved.crossJoin(broadcast(modMoved)).crossJoin(broadcast(balance))
+      .select(col("n_keys"),
+        expr("hrw_moved * 1000000L div n_keys").as("hrw_moved_ppm"),
+        expr("mod_moved * 1000000L div n_keys").as("mod_moved_ppm"),
+        expr("max_c * 9000000L div n_keys").as("max_shard_ppm"),
+        expr("min_c * 9000000L div n_keys").as("min_shard_ppm"))
+  }
+
+  private val q223Sql =
+    """WITH keys AS (SELECT o_orderkey AS key FROM orders),
+      |hrw8 AS (SELECT key,
+      |    CAST(MAX((CAST(('0x' || substr(md5(CAST(key AS VARCHAR) || '#' ||
+      |      CAST(sh AS VARCHAR)), 1, 15)) AS BIGINT) >> 1) * 16 + sh) % 16
+      |      AS BIGINT) AS s8
+      |  FROM keys, (SELECT UNNEST(range(8)) AS sh) GROUP BY key),
+      |hrw9 AS (SELECT key,
+      |    CAST(MAX((CAST(('0x' || substr(md5(CAST(key AS VARCHAR) || '#' ||
+      |      CAST(sh AS VARCHAR)), 1, 15)) AS BIGINT) >> 1) * 16 + sh) % 16
+      |      AS BIGINT) AS s9
+      |  FROM keys, (SELECT UNNEST(range(9)) AS sh) GROUP BY key),
+      |onw AS MATERIALIZED (SELECT hrw8.key, s8, s9 FROM hrw8
+      |       JOIN hrw9 ON hrw9.key = hrw8.key),
+      |mv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |    CAST(SUM(CASE WHEN s8 <> s9 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS hrw_moved FROM onw),
+      |md AS (SELECT CAST(SUM(CASE WHEN h % 8 <> h % 9 THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS mod_moved
+      |  FROM (SELECT CAST(('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 15))
+      |               AS BIGINT) AS h FROM keys)),
+      |bal AS (SELECT CAST(MIN(c) AS BIGINT) AS min_c,
+      |               CAST(MAX(c) AS BIGINT) AS max_c
+      |  FROM (SELECT s9, COUNT(*) AS c FROM onw GROUP BY s9))
+      |SELECT mv.n_keys,
+      |  CAST(mv.hrw_moved * 1000000 // mv.n_keys AS BIGINT) AS hrw_moved_ppm,
+      |  CAST(md.mod_moved * 1000000 // mv.n_keys AS BIGINT) AS mod_moved_ppm,
+      |  CAST(bal.max_c * 9000000 // mv.n_keys AS BIGINT) AS max_shard_ppm,
+      |  CAST(bal.min_c * 9000000 // mv.n_keys AS BIGINT) AS min_shard_ppm
+      |FROM mv, md, bal""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q182_kmv_overlap" -> q182,
     "q201_apriori_triples" -> q201,
     "q205_decayed_popularity" -> q205,
     "q216_kll_quantiles" -> q216,
     "q221_mcv_join_estimate" -> q221,
+    "q223_rendezvous_reshard" -> q223,
     "q160_zorder_layout_audit" -> q160,
     "q161_incremental_agg_merge" -> q161,
     "q163_pivot_wide" -> q163,
@@ -963,6 +1050,7 @@ object WarehouseQueries {
     "q205_decayed_popularity" -> q205Sql,
     "q216_kll_quantiles" -> q216Sql,
     "q221_mcv_join_estimate" -> q221Sql,
+    "q223_rendezvous_reshard" -> q223Sql,
     "q160_zorder_layout_audit" -> q160Sql,
     "q161_incremental_agg_merge" -> q161Sql,
     "q163_pivot_wide" -> q163Sql,

@@ -111,7 +111,7 @@ class QueryInventorySpec extends AnyFunSuite {
       "q184_label_propagation", "q187_kcore_peel", "q193_cluster_safe_split",
       "q194_bpe_vocab_trainer", "q195_bpe_tokenize_audit", "q196_ktruss_peel",
       "q199_adamic_adar", "q201_apriori_triples", "q202_luby_mis",
-      "q204_markov_stationary", "q211_dup_spectrum")
+      "q204_markov_stationary", "q211_dup_spectrum", "q219_bradley_terry")
     val oversize = iterative.flatMap { name =>
       val len = SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString.length
