@@ -765,7 +765,9 @@ object WarehouseQueries {
     import s.implicits._
     graft.functions.KllSketch.register(s)
     val ppms = Seq(250000L, 500000L, 750000L, 900000L, 990000L)
-    val ppmSql = s"array(${ppms.mkString(", ")})"
+    // L-suffixed literals: an int array literal would make p_ppm INT on
+    // the Spark side while the oracle emits BIGINT
+    val ppmSql = s"array(${ppms.mkString("L, ")}L)"
     val ev = Tables.events(s, d).select(col("event_type"), col("event_id"),
       (money(col("value")) * 100).cast("long").as("cents"))
     val sk = ev.groupBy(col("event_type"))
