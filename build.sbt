@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"` as
+// JSON (BENCH_r10..r13 all `parsed: null`). Two sbt behaviors broke that:
+// the forked JVM's stdout was routed through sbt's logger (every line got
+// an "[info] " prefix) and "[success] Total time: ..." printed AFTER the
+// JSON. StdoutOutput passes the forked process's stdout through verbatim;
+// showSuccess kills the footer.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not a task, so the
+// unused-key lint misfires on it:
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

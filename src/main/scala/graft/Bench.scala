@@ -122,6 +122,10 @@ object Bench {
       if (results.nonEmpty) results.maxBy(_._3) else ("none", 0.0, 0.0)
     val contention = s""""load_start":"$loadStart","load_end":"$loadEnd",""" +
       s""""spread_total":${f3(spreadTotal)},"spread_max_q":"${shortKey(worstQ)}","spread_max_s":${f3(worstSpread)}"""
+    // Stop Spark BEFORE printing: its shutdown logging must not trail the
+    // JSON lines the driver tail-parses (build.sbt suppresses sbt's own
+    // "[info] " prefix and "[success]" footer for the same reason).
+    spark.stop()
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","passes":$passes,$contention,"queries":$qs,"sf":"$sfDir"}""")
     // The driver captures only the ~3 KB TAIL of stdout — and the tail
     // keeps the END. With 208+ short keys the full line above is itself
@@ -136,6 +140,5 @@ object Bench {
       .map { case (k, v, _) => "\"" + shortKey(k) + "\":" + f3(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","passes":$passes,$contention,"queries":$top5,"sf":"$sfDir"}""")
-    spark.stop()
   }
 }

@@ -306,6 +306,18 @@ object ScalingProbe {
       .filter(col("l_returnflag").isin("R", "A"))
       .select(col("l_returnflag"), col("l_partkey")).distinct().count()
 
+    // q81: the exact per-type quantile pays one window SORT per type —
+    // the honest witness cost q216's sketch exists to avoid. Its wall
+    // looks super-linear (4.6× at 10× data, round 13); the pin below
+    // ties that to the sort's Σ n·ceil(log2 n) comparison volume (which
+    // grows ~11.6× at 10× rows) and the largest single partition, so the
+    // ratio reads as n·log n, not as a plan defect.
+    val q81Row = Tables.events(spark, sfDir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(expr("n * CAST(ceil(log2(n)) AS BIGINT)")), lit(0L)),
+        coalesce(max(col("n")), lit(0L))).head()
+    val (q81SortVol, q81MaxPart) = (q81Row.getLong(0), q81Row.getLong(1))
+
     // q222: the pair frame is Σ C(days,2) per type — observation-span-
     // bounded, so it must stay FLAT as the corpus grows at fixed span.
     val q222Pairs = Tables.events(spark, sfDir)
@@ -335,7 +347,8 @@ object ScalingProbe {
       s""""q201_pairvol":$q201PairVol,"q201_triplevol":$q201TripleVol,""" +
       s""""q201_maxbasket":$q201MaxBasket,"q215_scores":$q215Scores,""" +
       s""""q201_histrows":$q201HistRows,"q218_versions":$q218Versions,""" +
-      s""""q219_cmp":$q219Cmp,"q221_ndv":$q221Ndv,"q222_pairs":$q222Pairs}""")
+      s""""q219_cmp":$q219Cmp,"q221_ndv":$q221Ndv,"q222_pairs":$q222Pairs,""" +
+      s""""q81_sortvol":$q81SortVol,"q81_maxpart":$q81MaxPart}""")
     spark.stop()
   }
 }

@@ -104,6 +104,72 @@ object StreamBench {
       triggers: Int, stateRowsPerTrigger: Seq[Long], stateBytesMax: Long,
       pairs: Long, expectedPairs: Long)
 
+  private def ewmaJson(etype: String, t: Long, cents: Long): String =
+    s"""{"etype": "$etype", "t": $t, "cents": $cents}"""
+
+  /** Drive the q217 twin ([[graft.streaming.StreamingEwma]], round 14's
+    * sixteenth member) through the loopback Kinesis wire with RocksDB
+    * state. Fixture: shard-local keys, one event per (key, day) in day
+    * order (the wire's per-shard sequence discharges the day-monotone
+    * contract exactly as runStateful's shard-local users do), cents
+    * deterministic from the event id. Identities asserted by the caller:
+    * with no gaps and one event per day, every record closes a day →
+    * sink rows == records exactly (exactly-once), and state is FLAT at
+    * one 24-byte row per key across every data trigger. */
+  private def runEwma(spark: SparkSession, label: String, shards: Int,
+      perShard: Int, keysPerShard: Int, limitPerPoll: Int,
+      maxPollsPerShard: Int): StatefulResult = {
+    import spark.implicits._
+    require(perShard % keysPerShard == 0 && perShard / keysPerShard <= 63,
+      "one event per (key, day); the day span must stay under the 63-day cap")
+    val fixture = (0 until shards).map { s =>
+      f"shardId-$s%012d" -> (0 until perShard).map { i =>
+        val key = s"s${s}e${i % keysPerShard}"
+        b64(ewmaJson(key, t = i.toLong / keysPerShard,
+          cents = (s.toLong * perShard + i) * 37L % 9000L + 100L))
+      }.toIndexedSeq
+    }
+    val server = new LoopbackKinesisServer(s"sb-ewma-$label", fixture)
+    val endpoint = server.start()
+    val (outDir, ckpt) = (tmp(s"sb_ewma_out_$label"), tmp(s"sb_ewma_ckpt_$label"))
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val raw = graft.sources.KinesisMicroBatchSource
+        .readStream(spark, endpoint, s"sb-ewma-$label", limitPerPoll, maxPollsPerShard)
+      val parsed = raw
+        .select(org.apache.spark.sql.functions.from_json(
+          org.apache.spark.sql.functions.unbase64(
+            org.apache.spark.sql.functions.col("data")).cast("string"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "etype STRING, t BIGINT, cents BIGINT")).as("j"))
+        .select("j.etype", "j.t", "j.cents")
+        .as[(String, Long, Long)]
+      val t0 = System.nanoTime()
+      val q = graft.streaming.StreamingEwma.monitor(parsed)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+      q.processAllAvailable()
+      val wallSec = (System.nanoTime() - t0) / 1e9
+      val progress = q.recentProgress.toSeq
+      q.stop()
+      server.stop()
+      val total = shards.toLong * perShard
+      val keys = shards.toLong * keysPerShard
+      val dataBatches = progress.filter(_.numInputRows > 0)
+      val statePerTrigger = dataBatches.map(_.stateOperators.map(_.numRowsTotal).sum)
+      val stateBytesMax = progress.flatMap(_.stateOperators.map(_.memoryUsedBytes))
+        .reduceOption(_ max _).getOrElse(0L)
+      val rows = spark.read.parquet(outDir).count()
+      StatefulResult(label, shards, total, keys, wallSec,
+        recordsPerSec = total / wallSec, triggers = dataBatches.size,
+        stateRowsPerTrigger = statePerTrigger, stateBytesMax = stateBytesMax,
+        pairs = rows, expectedPairs = total)
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   /** Drive the STATE-BEARING twin ([[graft.streaming.StreamingTransition]],
     * q185's continuous journey-flow monitor) through the same loopback
     * Kinesis wire harness as the fan-out runs — the round-11 verdict's
@@ -229,6 +295,17 @@ object StreamBench {
     }
     checkStateful(stateSteady)
     checkStateful(stateBurst)
+    // The q217 EWMA twin (round 14): one event per (key, day) → sink rows
+    // must equal records exactly; state flat at one row per key.
+    val ewma = runEwma(spark, "ewma_daily", shards = 4, perShard = 5000,
+      keysPerShard = 500, limitPerPoll = 500, maxPollsPerShard = 2)
+    require(ewma.pairs == ewma.expectedPairs,
+      s"ewma row count off: ${ewma.pairs} vs ${ewma.expectedPairs} — " +
+        "lost or duplicated day-close emissions")
+    require(ewma.stateRowsPerTrigger.nonEmpty &&
+        ewma.stateRowsPerTrigger.forall(_ == ewma.users),
+      s"ewma state not flat at one row per key: " +
+        s"${ewma.stateRowsPerTrigger.mkString(",")} vs ${ewma.users} keys")
     def js(r: StatefulResult): String =
       s"""{"label":"${r.label}","shards":${r.shards},"records":${r.records},""" +
         s""""users":${r.users},"wall_sec":${"%.3f".format(r.wallSec)},""" +
@@ -240,7 +317,7 @@ object StreamBench {
     val line =
       s"""{"metric":"stream_fanout_throughput","unit":"records_per_sec",""" +
         s""""runs":[${j(steady)},${j(burst)}],""" +
-        s""""stateful_runs":[${js(stateSteady)},${js(stateBurst)}]}"""
+        s""""stateful_runs":[${js(stateSteady)},${js(stateBurst)},${js(ewma)}]}"""
     println(line)
     Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes("UTF-8"))

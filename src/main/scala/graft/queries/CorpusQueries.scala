@@ -33,13 +33,17 @@ object CorpusQueries {
   private val q94: Q = (s, d) => {
     graft.functions.UnicodeKernels.register(s)
     Tables.documents(s, d)
-      .select(col("doc_id"), length(col("text")).as("n_raw"),
+      // lengths cast to long: Spark length() is INT where DuckDB's is
+      // BIGINT - the round-14 type sweep flagged the width mismatch
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_raw"),
         when(col("doc_id") % 3 === 0,
           expr("replace(text, 'a', 'á')")).otherwise(col("text")).as("m"))
-      .select(col("doc_id"), col("n_raw"), length(col("m")).as("n_decomposed"),
+      .select(col("doc_id"), col("n_raw"),
+        length(col("m")).cast("long").as("n_decomposed"),
         expr("nfc_normalize(m)").as("nfc"))
       .select(col("doc_id"), col("n_raw"), col("n_decomposed"),
-        length(col("nfc")).as("n_nfc"), md5(col("nfc")).as("norm_fp"))
+        length(col("nfc")).cast("long").as("n_nfc"),
+        md5(col("nfc")).as("norm_fp"))
       .orderBy(col("doc_id"))
   }
 

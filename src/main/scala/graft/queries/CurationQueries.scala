@@ -519,13 +519,20 @@ object CurationQueries {
         "q219: pair comparison count exceeds the c*10^12 Long bound - " +
           "promote the MM arithmetic to DECIMAL(38)")
       .localCheckpoint(true) // joined by every MM step
+    val spine = compG.select(col("i")).distinct()
+    // Win totals LEFT-joined to the spine with wi defaulted to 0: a type
+    // that loses every comparison still participates (raw_i = 0 → the
+    // 1-ppm floor) so its c_ij mass stays in opponents' denominators
+    // through all 5 iterations and it appears in the output — an inner
+    // join here silently dropped W_i = 0 types after round 1.
     val wTot = graft.functions.Guard.require(
-        wins.groupBy(col("i")).agg(sum(col("w")).as("wi")),
+        spine.join(wins.groupBy(col("i")).agg(sum(col("w")).as("wi")),
+            Seq("i"), "left")
+          .select(col("i"), coalesce(col("wi"), lit(0L)).as("wi")),
         col("wi") <= lit(9223372L),
         "q219: total win count exceeds the W*10^12 Long bound - " +
           "promote the MM arithmetic to DECIMAL(38)")
       .localCheckpoint(true)
-    val spine = compG.select(col("i")).distinct()
     var sdf = spine.select(col("i"), lit(1000000L).as("s"))
     for (_ <- 1 to 5) {
       val den = compG
@@ -576,8 +583,11 @@ object CurationQueries {
        |    SELECT i, j, w FROM wins
        |    UNION ALL SELECT j AS i, i AS j, w FROM wins)
        |  GROUP BY i, j),
-       |wtot AS MATERIALIZED (SELECT i, CAST(SUM(w) AS BIGINT) AS wi FROM wins GROUP BY i),
        |spine AS (SELECT DISTINCT i FROM comp),
+       |wtot AS MATERIALIZED (SELECT sp.i,
+       |    CAST(COALESCE(g.wi, 0) AS BIGINT) AS wi
+       |  FROM spine sp LEFT JOIN (SELECT i, SUM(w) AS wi FROM wins
+       |                           GROUP BY i) g ON g.i = sp.i),
        |s0 AS MATERIALIZED (SELECT i, CAST(1000000 AS BIGINT) AS s FROM spine),
        |${step(1)},
        |${step(2)},

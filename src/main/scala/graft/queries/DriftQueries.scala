@@ -420,12 +420,23 @@ object DriftQueries {
     * type×day spine (the q83/q198 spine rule) so decay sees calendar
     * time, not event time.
     *
-    * Long bounds, guarded in-band: x·2^t needs x ≤ 2^62/2^t (shift
-    * guard) and the ratio needs x ≤ Long.Max/10⁶; the observation span
-    * is capped at 63 days (the spine is the fixed range(0,63) filtered
-    * to the data's span, so both engines build it identically without a
-    * scalar-subquery table function). Beyond either bound the documented
-    * promotion is DECIMAL(38) / a longer half-life.
+    * Long bounds, guarded in-band: x ≥ 0 (Spark div truncates toward
+    * zero while DuckDB // floors, so the integer-division parity is a
+    * theorem only for non-negative numerators — the q198/q222 lesson),
+    * x·2^t needs x ≤ 2^62/2^t (shift guard), and the ratio needs
+    * x ≤ Long.Max/10⁶; the observation span is capped at 63 days (the
+    * spine is the fixed range(0,63) filtered to the data's span, so
+    * both engines build it identically without a scalar-subquery table
+    * function). The per-day shift guard bounds each TERM, not the
+    * cumulative sum, so a second guard asserts cum ≥ 0 after the
+    * window: with every term in [0, 2^62−1] the first overflowing step
+    * wraps into [Long.Min, Long.Min+2^62) — strictly negative — making
+    * non-negativity of every cum row a sound first-wrap detector.
+    * Beyond any bound the documented promotion is DECIMAL(38) / a
+    * longer half-life. Oracle note: DuckDB's windowed SUM(BIGINT)
+    * returns HUGEINT and it propagates through // and LAG, so the
+    * final SELECT casts ewma_cents and ratio_ppm back to BIGINT (the
+    * q216/q223 convention — the driver's hash is type-sensitive).
     *
     * Scale shape: one corpus scan → (type, day) map-side-combined hash
     * agg; everything after lives on the ≤ types×63-row spine
@@ -449,16 +460,28 @@ object DriftQueries {
     val filled = spine.join(g, Seq("event_type", "t"), "left")
       .select(col("event_type"), col("t"), coalesce(col("x"), lit(0L)).as("x"))
     val guarded = graft.functions.Guard.require(filled,
-      col("x") <= expr("shiftright(4611686018427387903L, CAST(t AS INT))") &&
+      col("x") >= lit(0L) &&
+        col("x") <= expr("shiftright(4611686018427387903L, CAST(t AS INT))") &&
         col("x") <= lit(9223372036854L),
-      "q217: daily total too large for the 2^t decay weight or the ppm " +
-        "ratio at Long width - promote to DECIMAL(38) or shorten the span")
+      "q217: daily total negative (div/floor parity needs x >= 0) or too " +
+        "large for the 2^t decay weight or the ppm ratio at Long width - " +
+        "promote to DECIMAL(38) or shorten the span")
     val wC = Window.partitionBy(col("event_type")).orderBy(col("t"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wL = Window.partitionBy(col("event_type")).orderBy(col("t"))
-    val lev = guarded
-      .withColumn("cum",
-        sum(expr("x * shiftleft(CAST(1 AS BIGINT), CAST(t AS INT))")).over(wC))
+    // The per-day shift guard bounds each TERM x*2^t <= 2^62-1 but not the
+    // running SUM; with all terms in [0, 2^62-1] the first step whose true
+    // sum exceeds Long.Max lands the wrapped value in
+    // [Long.Min, Long.Min + 2^62) - strictly negative - so cum >= 0 on
+    // every row is a sound first-overflow detector (the wrap cannot skip
+    // back to non-negative within the step that overflows).
+    val lev = graft.functions.Guard.require(
+      guarded
+        .withColumn("cum",
+          sum(expr("x * shiftleft(CAST(1 AS BIGINT), CAST(t AS INT))")).over(wC)),
+      col("cum") >= lit(0L),
+      "q217: cumulative decayed sum wrapped Long - promote to DECIMAL(38) " +
+        "or shorten the half-life/span")
       .withColumn("ewma",
         expr("cum div (shiftleft(CAST(1 AS BIGINT), CAST(t AS INT) + 1) - 1L)"))
       .withColumn("fc", lag(col("ewma"), 1).over(wL))
@@ -497,9 +520,9 @@ object DriftQueries {
       |  FROM c),
       |z AS (SELECT event_type, t, x, ewma,
       |    LAG(ewma) OVER (PARTITION BY event_type ORDER BY t) AS fc FROM w)
-      |SELECT event_type, t, x AS x_cents, ewma AS ewma_cents,
-      |  CASE WHEN fc IS NULL OR fc = 0 THEN NULL
-      |       ELSE (x * 1000000) // fc END AS ratio_ppm,
+      |SELECT event_type, t, x AS x_cents, CAST(ewma AS BIGINT) AS ewma_cents,
+      |  CAST(CASE WHEN fc IS NULL OR fc = 0 THEN NULL
+      |       ELSE (x * 1000000) // fc END AS BIGINT) AS ratio_ppm,
       |  CASE WHEN fc IS NULL OR fc = 0 THEN FALSE
       |       ELSE ((x * 1000000) // fc) NOT BETWEEN 250000 AND 4000000
       |  END AS is_anomaly

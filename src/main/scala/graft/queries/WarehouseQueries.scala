@@ -568,8 +568,21 @@ object WarehouseQueries {
     * triples explode by index arithmetic: per basket C(w,2)/C(w,3) with
     * schema-bounded w, both streams LINEAR in orders (ScalingProbe pins
     * the volumes at exactly 10× for 10× data), and no join touches
-    * anything basket-sized — the classical pre-count candidate prune is
-    * unnecessary when the candidate stream is linear by construction.
+    * anything basket-sized.
+    *
+    * Why the classical A-Priori frequent-pair pre-filter provably CANNOT
+    * engage here (evaluated round 14): minsup is the p99.995 quantile of
+    * the FULL triple-support distribution and is itself an output
+    * column, so any generation-time prune changes T and the histogram —
+    * hence the derived minsup — unless the pruned triples' supports are
+    * known, which requires counting them. And no pair-derived lower
+    * bound on the derived minsup exists: downward closure makes pair
+    * supports UPPER bounds on triple supports, which can prove
+    * minsup < B but never minsup ≥ B (that would need a lower bound on
+    * the count of high-support triples). The bound therefore degenerates
+    * to 1 at every scale and the lossless cheapener attacks the constant
+    * factor of the dominant stage instead — the packed single-BIGINT
+    * shuffle key below (Q201_DECOMP_r14.json decomposes the stages).
     * CheckpointTracker materializes the basket frame (pair + triple
     * explode consumers), the triple-count frame (histogram + top-k
     * consumers) and the pair-count frame (three witness-join consumers,
@@ -577,24 +590,36 @@ object WarehouseQueries {
   private val q201: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val tracker = new graft.operators.CheckpointTracker(Tables.lineitem(s, d))
-    val bk = tracker.lazyCkpt(Tables.lineitem(s, d)
-      .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("ps")))
+    // Packed keys: the explode+count stages dominate this query's wall
+    // (Q201_DECOMP_r14: the triple count alone is ~70% of the isolated
+    // run), and their shuffle key was a 3-field struct. Since ps is a
+    // sorted DISTINCT array of part keys guarded into [0, 2^21), a triple
+    // packs losslessly into ONE BIGINT (x<<42 | y<<21 | z) whose numeric
+    // order IS the (x, y, z) lexicographic order — the hash agg and its
+    // exchange move 1 long instead of 3, and the explode emits plain
+    // BIGINT arrays instead of struct arrays. Past 2M parts the guard
+    // fires and the documented fallback is the struct key (same plan
+    // shape, wider rows).
+    val bk = tracker.lazyCkpt(graft.functions.Guard.require(
+      Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps")),
+      expr("element_at(ps, 1) >= 0L AND element_at(ps, -1) < 2097152L"),
+      "q201: l_partkey outside [0, 2^21) - the packed 3x21-bit triple " +
+        "key would wrap; fall back to struct keys past 2M parts"))
     val pairCounts = tracker.lazyCkpt(bk.filter(size(col("ps")) >= 2)
       .select(explode(expr(
         "flatten(transform(sequence(0, size(ps) - 2), i -> " +
           "transform(sequence(i + 1, size(ps) - 1), j -> " +
-          "named_struct('x', ps[i], 'y', ps[j]))))")).as("s"))
-      .groupBy(col("s.x").as("x"), col("s.y").as("y"))
-      .agg(count(lit(1)).as("sup")))
+          "ps[i] * 2097152L + ps[j])))")).as("pk"))
+      .groupBy(col("pk")).agg(count(lit(1)).as("sup")))
     val tripleCounts = tracker.lazyCkpt(bk.filter(size(col("ps")) >= 3)
       .select(explode(expr(
         "flatten(flatten(transform(sequence(0, size(ps) - 3), i -> " +
           "transform(sequence(i + 1, size(ps) - 2), j -> " +
           "transform(sequence(j + 1, size(ps) - 1), k -> " +
-          "named_struct('x', ps[i], 'y', ps[j], 'z', ps[k]))))))")).as("s"))
-      .groupBy(col("s.x").as("x"), col("s.y").as("y"), col("s.z").as("z"))
-      .agg(count(lit(1)).as("sup")))
+          "ps[i] * 4398046511104L + ps[j] * 2097152L + ps[k])))))")).as("tk"))
+      .groupBy(col("tk")).agg(count(lit(1)).as("sup")))
     val hist = tracker.lazyCkpt(tripleCounts.groupBy(col("sup"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("blk", expr("sup div 4096")))
@@ -612,17 +637,23 @@ object WarehouseQueries {
       .filter(col("off") + col("cumw") >=
         expr("greatest(1L, (n_tr * 99995L) div 100000L)"))
       .agg(min(col("sup")).as("minsup"))
+    // packed tk order == (x, y, z) lexicographic order (non-negative
+    // fixed-width fields), so ordering by tk before the unpack is the
+    // identical total order the oracle states
     val top = tripleCounts.crossJoin(broadcast(minsupDf))
       .filter(col("sup") >= col("minsup"))
-      .orderBy(col("sup").desc, col("x"), col("y"), col("z"))
+      .orderBy(col("sup").desc, col("tk"))
       .limit(20)
+      .select(expr("shiftright(tk, 42)").as("x"),
+        expr("shiftright(tk, 21) % 2097152L").as("y"),
+        expr("tk % 2097152L").as("z"), col("sup"), col("minsup"))
     val out = broadcast(top)
-      .join(pairCounts.select(col("x"), col("y"), col("sup").as("sup_xy")),
-        Seq("x", "y"))
-      .join(pairCounts.select(col("x"), col("y").as("z"),
-        col("sup").as("sup_xz")), Seq("x", "z"))
-      .join(pairCounts.select(col("x").as("y"), col("y").as("z"),
-        col("sup").as("sup_yz")), Seq("y", "z"))
+      .join(pairCounts.select(col("pk"), col("sup").as("sup_xy")),
+        expr("pk = x * 2097152L + y"))
+      .join(pairCounts.select(col("pk").as("pk2"), col("sup").as("sup_xz")),
+        expr("pk2 = x * 2097152L + z"))
+      .join(pairCounts.select(col("pk").as("pk3"), col("sup").as("sup_yz")),
+        expr("pk3 = y * 2097152L + z"))
       .select(col("x"), col("y"), col("z"), col("sup"),
         col("sup_xy"), col("sup_xz"), col("sup_yz"), col("minsup"))
       .orderBy(col("sup").desc, col("x"), col("y"), col("z"))
@@ -748,11 +779,14 @@ object WarehouseQueries {
     * EXACT order statistics (the q81 ceil-rank convention, oracle-
     * replayed) plus an in-band boolean per quantile — the q44/q165
     * discipline: the estimate itself is not oracle-portable (compaction
-    * depends on merge order), but "its true rank lies within 3 %·n of
-    * the target" is a stable fact the oracle states as literal TRUE,
-    * with the 3 % ceiling ≥ the deterministic worst-case envelope
-    * n·L/(2k) for k = 256 at every driver scale (KllSketchSpec
-    * property-tests the bound under adversarial partitionings).
+    * depends on merge order), but "its true rank lies within tol of
+    * the target" is a stable fact the oracle states as literal TRUE.
+    * tol is DERIVED from the deterministic worst-case envelope
+    * n·L/(2k) for k = 256 (floored by 3 %·n and 16), so the band is a
+    * theorem at every scale — not an empirical ceiling that a
+    * within-contract sketch could outgrow once L = log2(n/k) passes
+    * 15.4 at n ≈ 1.2e7 (KllSketchSpec property-tests the bound under
+    * adversarial partitionings).
     *
     * Shape: one hash agg builds the 5 sketches (O(k·log n) state,
     * map-side combinable); the estimate rows explode to ≤ 25 and
@@ -784,7 +818,16 @@ object WarehouseQueries {
         sum((col("cents") <= col("est_v")).cast("long")).as("rank_le"))
       .select(col("event_type"), col("p_ppm"), col("n"),
         expr("greatest(1L, (n * p_ppm + 999999L) div 1000000L)").as("target"),
-        expr("greatest((n * 3L) div 100L, 16L)").as("tol"),
+        // tol is the deterministic worst-case envelope n·L/(2k), L =
+        // ceil(log2(ceil(n/k))) levels at k = 256, floored by the
+        // empirical 3%·n and an absolute 16 — a theorem at EVERY scale,
+        // not an empirical ceiling (at n ~ 1.2e7, L > 15 makes n·L/(2k)
+        // exceed 3%·n, so a within-contract sketch could otherwise flag
+        // in_band=false against the oracle's literal TRUE). L in pure
+        // integers: ceil(log2(m)) = length(bin(m-1)) for m > 1.
+        expr("greatest(n * (CASE WHEN (n + 255L) div 256L <= 1L THEN 0L " +
+          "ELSE CAST(length(bin((n + 255L) div 256L - 1L)) AS BIGINT) END) " +
+          "div 512L, (n * 3L) div 100L, 16L)").as("tol"),
         col("rank_lt"), col("rank_le"))
       .select(col("event_type"), col("p_ppm"), col("n"),
         (col("rank_lt") < col("target") + col("tol") &&

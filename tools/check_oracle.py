@@ -7,11 +7,18 @@ For each query dir in verify_out: load Spark's parquet result, run the oracle
 SQL in DuckDB over views of the testdata parquet tables, sort columns by
 name, and compare shape + values (exact for non-floats; floats reported with
 max abs diff so near-ulp issues are visible before the driver's exact hash).
+
+Declared column TYPES are compared too (DuckDB relation types vs the parquet
+footer): the driver's hash is type-sensitive, and comparing pandas dtypes
+alone is blind to it — pandas renders DuckDB HUGEINT and a nullable BIGINT
+both as float64, which is exactly how q217's oracle-side HUGEINT leak
+shipped in round 13.
 """
-import json, math, sys
+import glob, json, math, os, re, sys
 
 import duckdb
 import pandas as pd
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -20,6 +27,81 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1).reset_index(drop=True)
     return df
+
+
+def canon_duck(t) -> str:
+    """Canonical type kind for a DuckDB column type (str(DuckDBPyType))."""
+    s = str(t).upper()
+    if s in ("TINYINT", "SMALLINT", "INTEGER", "UTINYINT", "USMALLINT",
+             "UINTEGER"):
+        return "int32" if s == "INTEGER" else "int<64"
+    if s in ("BIGINT", "UBIGINT"):
+        return "int64"
+    if s == "HUGEINT":
+        return "int128"        # the q217 leak class: never matches parquet
+    if s in ("DOUBLE", "FLOAT", "REAL"):
+        return "float"
+    if s.startswith("DECIMAL"):
+        return "decimal"
+    if s in ("VARCHAR", "TEXT", "STRING"):
+        return "str"
+    if s == "BOOLEAN":
+        return "bool"
+    if s == "DATE":
+        return "date"
+    if s.startswith("TIMESTAMP"):
+        return "ts"
+    if s.endswith("[]") or s.startswith("LIST") or s.startswith("ARRAY"):
+        return "list"
+    return s
+
+
+def canon_arrow(t) -> str:
+    """Canonical type kind for a pyarrow field type (Spark parquet side)."""
+    import pyarrow as pa
+    if pa.types.is_int64(t):
+        return "int64"
+    if pa.types.is_int32(t):
+        return "int32"
+    if pa.types.is_integer(t):
+        return "int<64"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "ts"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "list"
+    return str(t)
+
+
+def spark_schema(result_dir: str):
+    """column -> canonical kind, from the parquet footer (NOT pandas dtypes:
+    pandas turns both HUGEINT and nullable-int into float64, which is the
+    exact blind spot that let q217's oracle-side HUGEINT leak ship)."""
+    parts = sorted(glob.glob(f"{result_dir}/*.parquet")) or [result_dir]
+    sch = pq.read_schema(parts[0])
+    return {f.name: canon_arrow(f.type) for f in sch}
+
+
+def type_problems(con, sql: str, result_dir: str):
+    duck = {c: canon_duck(t)
+            for c, t in zip(con.sql(sql).columns, con.sql(sql).types)}
+    spark = spark_schema(result_dir)
+    probs = []
+    for c in sorted(set(duck) | set(spark)):
+        dk, sk = duck.get(c), spark.get(c)
+        if dk is not None and sk is not None and dk != sk:
+            probs.append(f"TYPE col {c}: oracle={dk} spark={sk} "
+                         f"(driver hash is type-sensitive)")
+    return probs
 
 
 def main(outdir: str, sfdir: str) -> None:
@@ -45,6 +127,10 @@ def main(outdir: str, sfdir: str) -> None:
             n_fail += 1
             continue
         problems = []
+        try:
+            problems += type_problems(con, sql, f"{outdir}/{name}")
+        except Exception as e:
+            problems.append(f"TYPE check errored: {type(e).__name__}: {e}")
         if list(exp.columns) != list(got.columns):
             problems.append(f"cols exp={list(exp.columns)} got={list(got.columns)}")
         elif len(exp) != len(got):
