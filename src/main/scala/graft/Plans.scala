@@ -92,7 +92,7 @@ object Plans {
     "q198_jsd_drift" -> "JSD drift: one corpus scan collapses to a (type, bin, side) hash agg; entropy decomposition keeps every floor-ln term non-negative so integer truncation direction is moot; spine-sized joins after the scan",
     "q199_adamic_adar" -> "Adamic-Adar: 1/ln score attaches to the adjacency BEFORE the apex self-join (node-linear), wedge join shuffles once on the apex key, candidates collapse via (u,v) hash agg, LEFT ANTI drops existing edges, top-20 = TakeOrderedAndProject",
     "q200_pmi_collocations" -> "PMI: two corpus hash aggs checkpointed at vocab/vocab-squared size; marginals via broadcast joins + 1-row total cross-joins; single floor-ln per surviving bigram; top-20 = TakeOrderedAndProject",
-    "q201_apriori_triples" -> "A-Priori triples: baskets built ONCE as sorted distinct arrays (lazy ckpt), pairs/triples explode by index arithmetic (C(w,2)/C(w,3), bounded w - no self-join planner trap); minsup = ceil-quantile p99.995 of the triple-support histogram (two-level prefix sum); top-20 triples BROADCAST into three monotonicity-witness lookups over the pair frame",
+    "q201_apriori_triples" -> "A-Priori triples: baskets built ONCE as sorted distinct arrays (lazy ckpt), pairs/triples explode by index arithmetic into PACKED 3x21-bit BIGINT keys (C(w,2)/C(w,3), bounded w, guarded partkey < 2^21 - every exchange/hash-agg key is 1 long, not a struct); minsup = ceil-quantile p99.995 of the triple-support histogram (two-level prefix sum); top-20 triples BROADCAST into three monotonicity-witness lookups over the packed pair frame",
     "q202_luby_mis" -> "Luby MIS round: arc-keyed neighbor-min hash agg + anti-join + two LEFT SEMI joins, all node-keyed; per-round frames lazily checkpointed (CheckpointTracker), 3-row census from one eager action",
     "q203_vocab_coverage" -> "Good-Turing/Chao1: one corpus scan -> (source, word) hash agg -> spectrum agg -> per-source row; pure integer, zero joins",
     "q204_markov_stationary" -> "stationary pi: corpus pays exactly q185's window exchange ONCE (eager ckpt of the <=25-row matrix); 5 power-iteration rounds are |types|-row joins against that broadcast",

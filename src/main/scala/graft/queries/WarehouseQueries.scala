@@ -590,9 +590,12 @@ object WarehouseQueries {
   private val q201: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val tracker = new graft.operators.CheckpointTracker(Tables.lineitem(s, d))
-    // Packed keys: the explode+count stages dominate this query's wall
-    // (Q201_DECOMP_r14: the triple count alone is ~70% of the isolated
-    // run), and their shuffle key was a 3-field struct. Since ps is a
+    // Packed keys: Q201_DECOMP_r14 splits the isolated sf1 wall into
+    // baskets 3.1 / pairs 2.3 / triples 2.7 / quantile 1.6 / witness
+    // 2.6 s — no hot spot, so the lossless win is shaving the CONSTANT
+    // of every stage that moves pair/triple keys, whose shuffle key was
+    // a 3-field struct (isolated fresh-JVM median: 16-18 s round 13 →
+    // 8.96 s round 14 at sf1, output bit-identical). Since ps is a
     // sorted DISTINCT array of part keys guarded into [0, 2^21), a triple
     // packs losslessly into ONE BIGINT (x<<42 | y<<21 | z) whose numeric
     // order IS the (x, y, z) lexicographic order — the hash agg and its
