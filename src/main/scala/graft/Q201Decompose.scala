@@ -20,6 +20,16 @@ import org.apache.spark.sql.expressions.Window
   * stage timed around its own eager localCheckpoint/collect. Output is
   * ONE JSON line (stage seconds + work volumes), run fresh-JVM via
   * `SPARK_GRAFT_SF_DIR=... sbt "runMain graft.Q201Decompose"`.
+  *
+  * DELIBERATE DUPLICATION PIN: the five stage builders below restate
+  * `WarehouseQueries.q201`'s production stages verbatim (packing
+  * constants 2097152L / 4398046511104L, the [0, 2^21) guard, the
+  * block-4096 two-level prefix-sum quantile, the three witness joins)
+  * because the probe must time each stage around its OWN eager
+  * materialization — production's single lazy pipeline cannot be timed
+  * per-stage without restructuring it. If q201 changes shape, port the
+  * change HERE TOO or this decomposition silently measures a different
+  * pipeline (q201's body carries the mirror of this pin).
   */
 object Q201Decompose {
   def main(args: Array[String]): Unit = {

@@ -14,7 +14,7 @@ alone is blind to it — pandas renders DuckDB HUGEINT and a nullable BIGINT
 both as float64, which is exactly how q217's oracle-side HUGEINT leak
 shipped in round 13.
 """
-import glob, json, math, os, re, sys
+import glob, json, math, os, sys
 
 import duckdb
 import pandas as pd
