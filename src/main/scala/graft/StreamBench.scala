@@ -122,6 +122,15 @@ object StreamBench {
     import spark.implicits._
     require(perShard % keysPerShard == 0 && perShard / keysPerShard <= 63,
       "one event per (key, day); the day span must stay under the 63-day cap")
+    // The state-flat identity (numRowsTotal == shards*keysPerShard at EVERY
+    // data trigger) holds only because the FIRST trigger already sees every
+    // cycling key — i.e. each shard's first poll window covers a full key
+    // cycle. Tie the three constants so retuning any one fails loudly here
+    // rather than as a confusing flat-state assertion downstream.
+    require(limitPerPoll * maxPollsPerShard >= keysPerShard,
+      s"every trigger must see every key for the flat-state identity: " +
+        s"limitPerPoll($limitPerPoll) * maxPollsPerShard($maxPollsPerShard) " +
+        s"< keysPerShard($keysPerShard)")
     val fixture = (0 until shards).map { s =>
       f"shardId-$s%012d" -> (0 until perShard).map { i =>
         val key = s"s${s}e${i % keysPerShard}"
@@ -167,6 +176,81 @@ object StreamBench {
         recordsPerSec = total / wallSec, triggers = dataBatches.size,
         stateRowsPerTrigger = statePerTrigger, stateBytesMax = stateBytesMax,
         pairs = rows, expectedPairs = total)
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  private def scd2Json(user: Long, eid: Long, us: Long, etype: String): String =
+    s"""{"user_id": $user, "eid": $eid, "us": $us, "etype": "$etype"}"""
+
+  /** Drive the q218 twin ([[graft.streaming.StreamingScd2]], round 15's
+    * seventeenth member) through the loopback Kinesis wire with RocksDB
+    * state. Fixture: shard-local users (discharging the per-user
+    * (ts, event_id)-monotone contract exactly as runStateful does), each
+    * user's event type alternating every `typeRun` events, so a user
+    * with k events closes exactly floor((k−1)/typeRun) versions.
+    * Identities asserted by the caller: sink rows == records + closed
+    * versions exactly (one open-version row per event plus one closing
+    * row per type change — exactly-once), and state FLAT at one row per
+    * user across every data trigger. */
+  private def runScd2(spark: SparkSession, label: String, shards: Int,
+      perShard: Int, usersPerShard: Int, typeRun: Int, limitPerPoll: Int,
+      maxPollsPerShard: Int): StatefulResult = {
+    import spark.implicits._
+    require(perShard % usersPerShard == 0,
+      "every user must carry the same event count for the closed-version arithmetic")
+    require(limitPerPoll * maxPollsPerShard >= usersPerShard,
+      s"every trigger must see every user for the flat-state identity: " +
+        s"limitPerPoll($limitPerPoll) * maxPollsPerShard($maxPollsPerShard) " +
+        s"< usersPerShard($usersPerShard)")
+    val fixture = (0 until shards).map { s =>
+      f"shardId-$s%012d" -> (0 until perShard).map { i =>
+        val user = s.toLong * usersPerShard + i % usersPerShard
+        val step = i.toLong / usersPerShard // per-user event index
+        b64(scd2Json(user, eid = s.toLong * perShard + i,
+          us = step * 1000000L,
+          etype = if ((step / typeRun) % 2 == 0L) "active" else "dormant"))
+      }.toIndexedSeq
+    }
+    val server = new LoopbackKinesisServer(s"sb-scd2-$label", fixture)
+    val endpoint = server.start()
+    val (outDir, ckpt) = (tmp(s"sb_scd2_out_$label"), tmp(s"sb_scd2_ckpt_$label"))
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val raw = graft.sources.KinesisMicroBatchSource
+        .readStream(spark, endpoint, s"sb-scd2-$label", limitPerPoll, maxPollsPerShard)
+      val parsed = raw
+        .select(org.apache.spark.sql.functions.from_json(
+          org.apache.spark.sql.functions.unbase64(
+            org.apache.spark.sql.functions.col("data")).cast("string"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "user_id BIGINT, eid BIGINT, us BIGINT, etype STRING")).as("j"))
+        .select("j.user_id", "j.eid", "j.us", "j.etype")
+        .as[(Long, Long, Long, String)]
+      val t0 = System.nanoTime()
+      val q = graft.streaming.StreamingScd2.history(parsed)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+      q.processAllAvailable()
+      val wallSec = (System.nanoTime() - t0) / 1e9
+      val progress = q.recentProgress.toSeq
+      q.stop()
+      server.stop()
+      val total = shards.toLong * perShard
+      val users = shards.toLong * usersPerShard
+      val perUser = perShard.toLong / usersPerShard
+      val dataBatches = progress.filter(_.numInputRows > 0)
+      val statePerTrigger = dataBatches.map(_.stateOperators.map(_.numRowsTotal).sum)
+      val stateBytesMax = progress.flatMap(_.stateOperators.map(_.memoryUsedBytes))
+        .reduceOption(_ max _).getOrElse(0L)
+      val rows = spark.read.parquet(outDir).count()
+      StatefulResult(label, shards, total, users, wallSec,
+        recordsPerSec = total / wallSec, triggers = dataBatches.size,
+        stateRowsPerTrigger = statePerTrigger, stateBytesMax = stateBytesMax,
+        pairs = rows,
+        expectedPairs = total + users * ((perUser - 1) / typeRun))
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
@@ -306,6 +390,18 @@ object StreamBench {
         ewma.stateRowsPerTrigger.forall(_ == ewma.users),
       s"ewma state not flat at one row per key: " +
         s"${ewma.stateRowsPerTrigger.mkString(",")} vs ${ewma.users} keys")
+    // The q218 SCD2 twin (round 15): 10 events/user alternating type every
+    // 5 → exactly 1 closed version/user, so sink rows must equal
+    // records + users exactly; state flat at one row per user.
+    val scd2 = runScd2(spark, "scd2_history", shards = 4, perShard = 5000,
+      usersPerShard = 500, typeRun = 5, limitPerPoll = 500, maxPollsPerShard = 2)
+    require(scd2.pairs == scd2.expectedPairs,
+      s"scd2 row count off: ${scd2.pairs} vs ${scd2.expectedPairs} — " +
+        "lost or duplicated version emissions")
+    require(scd2.stateRowsPerTrigger.nonEmpty &&
+        scd2.stateRowsPerTrigger.forall(_ == scd2.users),
+      s"scd2 state not flat at one row per user: " +
+        s"${scd2.stateRowsPerTrigger.mkString(",")} vs ${scd2.users} users")
     def js(r: StatefulResult): String =
       s"""{"label":"${r.label}","shards":${r.shards},"records":${r.records},""" +
         s""""users":${r.users},"wall_sec":${"%.3f".format(r.wallSec)},""" +
@@ -317,7 +413,7 @@ object StreamBench {
     val line =
       s"""{"metric":"stream_fanout_throughput","unit":"records_per_sec",""" +
         s""""runs":[${j(steady)},${j(burst)}],""" +
-        s""""stateful_runs":[${js(stateSteady)},${js(stateBurst)},${js(ewma)}]}"""
+        s""""stateful_runs":[${js(stateSteady)},${js(stateBurst)},${js(ewma)},${js(scd2)}]}"""
     println(line)
     Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes("UTF-8"))

@@ -362,66 +362,152 @@ object GraphQueries {
     * portable-round contract). Census per round: surviving edges, their
     * distinct endpoints, pre-peel triangle count, pre-peel max support.
     *
-    * Scale shape per round: support rides [[graft.operators
-    * .TriangleCount]]'s degree-ordered orientation — the wedge join is
-    * keyed on the apex and every out-neighborhood is O(√|E|), so wedge
-    * volume is O(|E|^{3/2}) with no hub blowup; the closing check is one
-    * LEFT SEMI join against the canonical edge set; support is a hash
-    * agg over 3·|triangles| exploded edge keys; the keep-filter is the
-    * agg's own predicate. Round frames (triangles, supports, kept edges)
-    * are lazily checkpointed (the round-12 iterative discipline — round
-    * r's triangle join reads the kept-edge list THREE times, so an
-    * untruncated chain would blow up 3^r). The oracle replays the peel
-    * as unrolled MATERIALIZED CTEs (DuckDB re-inlines multiply-referenced
-    * CTEs otherwise — 242 s → 0.1 s at sf0.01) with the q162 brute
-    * 3-way-join triangle enumeration as the per-round witness. */
+    * Scale shape (round-15 delta rewrite): round 1 enumerates triangles
+    * ONCE via [[graft.operators.TriangleCount]]'s degree-ordered
+    * orientation — the wedge join is keyed on the apex and every
+    * out-neighborhood is O(√|E|), so wedge volume is O(|E|^{3/2}) with
+    * no hub blowup; the closing check is one LEFT SEMI join against the
+    * canonical edge set on a packed u·2²¹+v BIGINT key; support is a
+    * hash agg over 3·|triangles| exploded PACKED edge keys (the q201
+    * single-long-shuffle-key lever; the [0, 2^21) guard rides the edge
+    * frame in-band, struct-key fallback documented past 2M parts).
+    * Rounds 2-3 then recompute NOTHING from scratch: an edge's support
+    * changes only if a triangle through it lost an edge, so each delta
+    * round (a) marks DEAD triangles — those containing a peeled
+    * (support < k−2) edge — by one semi-join of the (tk, ek) frame
+    * against the peeled set plus a DISTINCT on the 63-bit packed
+    * triangle id tk = apex·2⁴² + wx·2²¹ + wy (a triangle holding 2+
+    * peeled edges dies once), (b) subtracts each dead triangle's 3
+    * edge-key contributions from the surviving supports — the loss agg
+    * and the subtract join are DELTA-sized — and (c) prunes the
+    * triangle list by LEFT ANTI on tk, skipped entirely for the final
+    * round because the census triangle count follows arithmetically
+    * (|tri_{r+1}| = |tri_r| − |dead|, a 1-row lazy frame) — textbook
+    * k-truss maintenance (the r14 verdict's prescription; the old form
+    * redid the full wedge join on an edge set that shrinks only
+    * ~10%/round, 12,272→11,027→10,901 at sf0.01). The census is
+    * set-identical to the recompute-from-scratch peel: tri_{r+1} =
+    * tri_r minus dead (a no-triangle peeled edge kills nothing, and the
+    * triangle SET is orientation-invariant even though degrees change
+    * across rounds), and sup_{r+1} = sup_r − loss on surviving edges —
+    * 0-support rows affect neither the max (coalesce handles the empty
+    * case) nor the keep-filter. Round frames ((tk, ek) lists, supports,
+    * dead ids) are lazily checkpointed (the round-12 iterative
+    * discipline). The oracle
+    * replays the peel as unrolled MATERIALIZED CTEs (DuckDB re-inlines
+    * multiply-referenced CTEs otherwise — 242 s → 0.1 s at sf0.01) with
+    * the q162 brute 3-way-join triangle enumeration as the per-round
+    * witness — deliberately the full recompute, so it also witnesses the
+    * delta identity. */
   private val q196: Q = (s, d) => {
     val MinSup = 2
-    val e0 = Tables.lineitem(s, d)
-      .filter(col("l_linenumber") <= 3)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-    val ed = e0.as("a").join(e0.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("x"), col("b.p").as("y")).distinct()
+    val P = 2097152L
+    // Basket-form edge derivation (round 15, the q201 shape): ONE
+    // order-keyed shuffle into sorted DISTINCT part arrays, C(w,2)
+    // packed-pair explode, DISTINCT on a single BIGINT — replacing the
+    // two-sided fact self-join plus a 2-field-struct DISTINCT (measured
+    // 4.37 s → the dominant q196 stage at sf1, Q196_DECOMP_r15). The
+    // edge SET is identical: collect_set dedups within an order, sorted
+    // i<j index pairs state exactly the a.p < b.p join predicate.
+    val ed = graft.functions.Guard.require(
+        Tables.lineitem(s, d)
+          .filter(col("l_linenumber") <= 3)
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_set(col("l_partkey"))).as("ps")),
+        expr("element_at(ps, 1) >= 0L AND element_at(ps, -1) < 2097152L"),
+        "q196: l_partkey outside [0, 2^21) - the packed edge BIGINT key " +
+          "would wrap; fall back to the two-field struct key past 2M parts")
+      .filter(size(col("ps")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(sequence(0, size(ps) - 2), i -> " +
+          "transform(sequence(i + 1, size(ps) - 1), j -> " +
+          "ps[i] * 2097152L + ps[j])))")).as("ek"))
+      .distinct()
+      .select(expr("shiftright(ek, 21)").as("x"), expr("ek % 2097152L").as("y"))
     val ck = new graft.operators.CheckpointTracker(ed)
-    var edges = ck.lazyCkpt(ed)
-    val rounds = (1 to 3).map { r =>
-      val deg = edges.select(col("x").as("node"))
-        .unionByName(edges.select(col("y").as("node")))
-        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-      val lower = col("dx") < col("dy") ||
-        (col("dx") === col("dy") && col("x") < col("y"))
-      val oriented = edges
-        .join(deg.select(col("node").as("x"), col("deg").as("dx")), Seq("x"))
-        .join(deg.select(col("node").as("y"), col("deg").as("dy")), Seq("y"))
-        .select(when(lower, col("x")).otherwise(col("y")).as("src"),
-          when(lower, col("y")).otherwise(col("x")).as("dst"))
-      // one row per triangle, at its unique (deg, node)-minimal apex
-      val tri = ck.lazyCkpt(oriented.as("a")
-        .join(oriented.as("b"),
-          col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
-        .select(col("a.src").as("apex"), col("a.dst").as("wx"), col("b.dst").as("wy"))
-        .join(edges.select(col("x").as("wx"), col("y").as("wy")),
-          Seq("wx", "wy"), "left_semi"))
-      val sup = ck.lazyCkpt(tri.select(explode(array(
-          struct(least(col("apex"), col("wx")).as("x"),
-            greatest(col("apex"), col("wx")).as("y")),
-          struct(least(col("apex"), col("wy")).as("x"),
-            greatest(col("apex"), col("wy")).as("y")),
-          struct(col("wx").as("x"), col("wy").as("y")))).as("e"))
-        .groupBy(col("e.x").as("x"), col("e.y").as("y"))
-        .agg(count(lit(1)).as("sup")))
-      val kept = ck.lazyCkpt(
-        sup.filter(col("sup") >= MinSup).select(col("x"), col("y")))
-      val row = kept.agg(count(lit(1)).as("n_edges"))
-        .crossJoin(kept.select(explode(array(col("x"), col("y"))).as("node"))
+    val edges = ck.lazyCkpt(ed)
+    // ---- round 1: the one full enumeration ----
+    val deg = edges.select(col("x").as("node"))
+      .unionByName(edges.select(col("y").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val lower = col("dx") < col("dy") ||
+      (col("dx") === col("dy") && col("x") < col("y"))
+    // checkpointed: the wedge self-join reads it TWICE, and each rebuild
+    // would redo the degree agg plus both degree joins
+    val oriented = ck.lazyCkpt(edges
+      .join(deg.select(col("node").as("x"), col("deg").as("dx")), Seq("x"))
+      .join(deg.select(col("node").as("y"), col("deg").as("dy")), Seq("y"))
+      .select(when(lower, col("x")).otherwise(col("y")).as("src"),
+        when(lower, col("y")).otherwise(col("x")).as("dst")))
+    // One row per (triangle, edge): the triangle at its unique
+    // (deg, node)-minimal apex, packed into a 63-bit id
+    // tk = apex·2⁴² + wx·2²¹ + wy, exploded over its 3 packed edge keys
+    // ek = u·2²¹ + v (u < v). This (tk, ek) frame IS the round state:
+    // every delta join below is keyed on ONE long (the struct keys of
+    // the first cut pushed estimated build sides over the broadcast
+    // threshold and forced full shuffles), |triE| = 3·|tri| exactly, so
+    // the census triangle count is count(triE) div 3.
+    var triE = ck.lazyCkpt(oriented.as("a")
+      .join(oriented.as("b"),
+        col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
+      .select(col("a.src").as("apex"), col("a.dst").as("wx"), col("b.dst").as("wy"))
+      .join(edges.select((col("x") * lit(P) + col("y")).as("wk")),
+        (col("wx") * lit(P) + col("wy")) === col("wk"), "left_semi")
+      .select((col("apex") * lit(P * P) + col("wx") * lit(P) + col("wy")).as("tk"),
+        explode(array(
+          least(col("apex"), col("wx")) * lit(P) + greatest(col("apex"), col("wx")),
+          least(col("apex"), col("wy")) * lit(P) + greatest(col("apex"), col("wy")),
+          col("wx") * lit(P) + col("wy"))).as("ek")))
+    var sup = ck.lazyCkpt(
+      triE.groupBy(col("ek")).agg(count(lit(1)).as("sup")))
+    // the triangle count rides ARITHMETIC across rounds (|tri_{r+1}| =
+    // |tri_r| − |dead|, a 1-row lazy frame), so the last round never
+    // materializes its pruned triangle list at all
+    var nTri = triE.agg(expr("count(1) div 3").as("n_triangles"))
+    def censusRow(r: Int, nTriR: DataFrame, supR: DataFrame): DataFrame = {
+      val kept = supR.filter(col("sup") >= MinSup)
+      kept.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(kept.select(explode(array(
+            expr("shiftright(ek, 21)"), expr("ek % 2097152L"))).as("node"))
           .agg(count_distinct(col("node")).as("n_nodes")))
-        .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
-        .crossJoin(sup.agg(coalesce(max(col("sup")), lit(0L)).as("max_support")))
+        .crossJoin(nTriR)
+        .crossJoin(supR.agg(coalesce(max(col("sup")), lit(0L)).as("max_support")))
         .select(lit(r.toLong).as("round"), col("n_edges"), col("n_nodes"),
           col("n_triangles"), col("max_support"))
-      edges = kept
-      row
+    }
+    var rounds = Vector(censusRow(1, nTri, sup))
+    // ---- rounds 2-3: delta maintenance ----
+    for (r <- 2 to 3) {
+      val peeled = sup.filter(col("sup") < MinSup).select(col("ek"))
+      // dead = triangles containing a peeled edge; the distinct rides a
+      // single-long id (a triangle holding 2+ peeled edges dies once)
+      val dead = ck.lazyCkpt(triE
+        .join(peeled, Seq("ek"), "left_semi")
+        .select(col("tk")).distinct())
+      // each dead triangle takes 1 support from each of its 3 edges —
+      // recover the edge keys by unpacking the id, so the loss agg and
+      // the support subtract stay DELTA-sized (the r14 verdict's point:
+      // never redo wedge-join work for a ~1-10% peel)
+      val loss = dead.select(explode(array(
+          least(expr("shiftright(tk, 42)"), expr("shiftright(tk, 21) % 2097152L"))
+            * lit(P) + greatest(expr("shiftright(tk, 42)"),
+              expr("shiftright(tk, 21) % 2097152L")),
+          least(expr("shiftright(tk, 42)"), expr("tk % 2097152L")) * lit(P)
+            + greatest(expr("shiftright(tk, 42)"), expr("tk % 2097152L")),
+          expr("shiftright(tk, 21) % 2097152L") * lit(P) + expr("tk % 2097152L")))
+          .as("ek"))
+        .groupBy(col("ek")).agg(count(lit(1)).as("loss"))
+      val supNext = ck.lazyCkpt(sup.filter(col("sup") >= MinSup)
+        .join(loss, Seq("ek"), "left")
+        .select(col("ek"),
+          (col("sup") - coalesce(col("loss"), lit(0L))).as("sup")))
+      // the pruned triangle list only exists to serve the NEXT round's
+      // dead-mark; the final round skips it and counts arithmetically
+      if (r < 3) triE = ck.lazyCkpt(triE.join(dead, Seq("tk"), "left_anti"))
+      nTri = nTri.crossJoin(dead.agg(count(lit(1)).as("n_dead")))
+        .select((col("n_triangles") - col("n_dead")).as("n_triangles"))
+      sup = supNext
+      rounds :+= censusRow(r, nTri, sup)
     }
     val census = rounds.reduce(_ unionByName _)
       .localCheckpoint(true)   // one action runs the whole peel
@@ -569,22 +655,43 @@ object GraphQueries {
     * data because co-purchase degree is bounded; on heavy-hub graphs the
     * standard mitigation is an apex-degree cap, which drops only
     * hub-mediated near-zero AA terms). The candidate set then collapses
-    * by one (u, v) hash agg, existing edges leave via LEFT ANTI against
-    * the canonical edge list, and the top-20 rides
-    * TakeOrderedAndProject under the (aa_micro DESC, u, v) total order —
-    * never a global sort. */
+    * by one hash agg whose key is the (u, v) pair PACKED into a single
+    * guarded BIGINT u·2²¹+v (the q201 lever, round 15: the 52.5M-row
+    * wedge stream and the 49.8M-row candidate aggregate each move 1 long
+    * instead of a 2-field struct; packed order == (u, v) lexicographic
+    * order for non-negative 21-bit fields, so the final total order is
+    * stated on the packed key and unpacked after the LIMIT), existing
+    * edges leave via LEFT ANTI on the same packed key, and the top-20
+    * rides TakeOrderedAndProject under the (aa_micro DESC, uv) ==
+    * (aa_micro DESC, u, v) total order — never a global sort. Past 2M
+    * parts the in-band guard fires and the documented fallback is the
+    * struct key (same plan shape, wider rows). */
   private val q199: Q = (s, d) => {
-    val e0 = Tables.lineitem(s, d)
-      .filter(col("l_linenumber") <= 3)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-    // The edge derivation (fact self-join + DISTINCT) has FIVE downstream
-    // consumers (both sym arms, the degree agg via sym, both sides of the
-    // wedge self-join, the LEFT ANTI) — without the tracked checkpoint it
-    // re-executed per consumer (measured 22.4 s at sf1, 2.9 s after).
+    // The edge derivation has FIVE downstream consumers (both sym arms,
+    // the degree agg via sym, both sides of the wedge self-join, the
+    // LEFT ANTI) — without the tracked checkpoint it re-executed per
+    // consumer (measured 22.4 s at sf1, 2.9 s after). Round 15: the
+    // derivation itself moved to the q201 basket form — one order-keyed
+    // shuffle into sorted DISTINCT part arrays, C(w,2) packed explode,
+    // DISTINCT on one BIGINT — replacing the two-sided fact self-join
+    // plus a 2-field-struct DISTINCT (the edge SET is identical: sorted
+    // i<j index pairs state exactly the a.p < b.p join predicate).
     val tracker = new graft.operators.CheckpointTracker(Tables.lineitem(s, d))
-    val ed = tracker.lazyCkpt(e0.as("a").join(e0.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("x"), col("b.p").as("y")).distinct())
+    val ed = tracker.lazyCkpt(graft.functions.Guard.require(
+        Tables.lineitem(s, d)
+          .filter(col("l_linenumber") <= 3)
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_set(col("l_partkey"))).as("ps")),
+        expr("element_at(ps, 1) >= 0L AND element_at(ps, -1) < 2097152L"),
+        "q199: l_partkey outside [0, 2^21) - the packed (u, v) BIGINT key " +
+          "would wrap; fall back to the two-field struct key past 2M parts")
+      .filter(size(col("ps")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(sequence(0, size(ps) - 2), i -> " +
+          "transform(sequence(i + 1, size(ps) - 1), j -> " +
+          "ps[i] * 2097152L + ps[j])))")).as("ek"))
+      .distinct()
+      .select(expr("shiftright(ek, 21)").as("x"), expr("ek % 2097152L").as("y")))
     val sym = ed.select(col("x").as("w"), col("y").as("n"))
       .unionByName(ed.select(col("y").as("w"), col("x").as("n")))
     val score = sym.groupBy(col("w")).agg(count(lit(1)).as("deg"))
@@ -594,13 +701,17 @@ object GraphQueries {
     val nbrs = tracker.lazyCkpt(sym.join(score, Seq("w")))
     val cand = nbrs.as("a").join(nbrs.as("b"),
         col("a.w") === col("b.w") && col("a.n") < col("b.n"))
-      .select(col("a.n").as("u"), col("b.n").as("v"), col("a.t").as("t"))
-      .groupBy(col("u"), col("v"))
+      .select((col("a.n") * lit(2097152L) + col("b.n")).as("uv"),
+        col("a.t").as("t"))
+      .groupBy(col("uv"))
       .agg(count(lit(1)).as("n_common"), sum(col("t")).as("aa_micro"))
     val out = cand
-      .join(ed, cand("u") === ed("x") && cand("v") === ed("y"), "left_anti")
-      .orderBy(col("aa_micro").desc, col("u"), col("v"))
+      .join(ed.select((col("x") * lit(2097152L) + col("y")).as("uv")),
+        Seq("uv"), "left_anti")
+      .orderBy(col("aa_micro").desc, col("uv"))
       .limit(20)
+      .select(expr("shiftright(uv, 21)").as("u"),
+        expr("uv % 2097152L").as("v"), col("n_common"), col("aa_micro"))
       // One eager action runs the pipeline while the lazy blocks are
       // alive; the 20-row result outlives them (CheckpointTracker contract).
       .localCheckpoint(true)

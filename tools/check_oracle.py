@@ -104,8 +104,9 @@ def type_problems(con, sql: str, result_dir: str):
     return probs
 
 
-def main(outdir: str, sfdir: str) -> None:
+def main(outdir: str, sfdir: str, json_out: str = None) -> None:
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    results = {}
     con = duckdb.connect()
     import os
     for t in TABLES:
@@ -124,6 +125,7 @@ def main(outdir: str, sfdir: str) -> None:
             got = norm(pd.read_parquet(f"{outdir}/{name}"))
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {e}")
+            results[name] = False
             n_fail += 1
             continue
         problems = []
@@ -158,6 +160,7 @@ def main(outdir: str, sfdir: str) -> None:
                         problems.append(
                             f"col {c} ({e_col.dtype}/{g_col.dtype}): {int(bad.sum())} diffs "
                             f"first@{i} exp={e_col[i]!r} got={got[c][i]!r}")
+        results[name] = not problems
         if problems:
             n_fail += 1
             print(f"FAIL {name}")
@@ -167,7 +170,16 @@ def main(outdir: str, sfdir: str) -> None:
             n_pass += 1
             print(f"ok   {name} ({len(exp)} rows)")
     print(f"\n{n_pass} pass, {n_fail} fail")
+    if json_out:
+        # the committed TYPESWEEP_r{N}.json artifact: one {query: ok} row
+        # per oracle-paired query, ok meaning rows+schema+values+DECLARED
+        # types all agree with DuckDB on this sf
+        json.dump({"sf_dir": sfdir, "n_pass": n_pass, "n_fail": n_fail,
+                   "queries": results}, open(json_out, "w"), indent=0,
+                  sort_keys=True)
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    out = sys.argv[3][7:] if len(sys.argv) > 3 and \
+        sys.argv[3].startswith("--json=") else None
+    main(sys.argv[1], sys.argv[2], out)
