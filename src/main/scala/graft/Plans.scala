@@ -87,10 +87,10 @@ object Plans {
     "q193_cluster_safe_split" -> "cluster-safe split: q101's LSH+components machinery, map-only split assignment, leakage join linear in |pairs|; safe arm leaks ZERO by construction",
     "q194_bpe_vocab_trainer" -> "BPE trainer: corpus-sized work is ONE word hash agg regardless of K; each round's pair-count+argmax+merge is vocabulary-sized on a lazily checkpointed frame, merge = one string replace (greedy left-to-right in both engines)",
     "q195_bpe_tokenize_audit" -> "BPE tokenize audit: learned merges fold into ONE nested-replace projection over the DISTINCT vocab; corpus work = word explode + broadcast vocab join + doc-keyed hash agg",
-    "q196_ktruss_peel" -> "k-truss peel: per-round support via degree-ordered wedge join (apex-keyed, O(|E|^1.5) wedges) + LEFT SEMI close + 3|tri| explode hash agg; round frames lazily checkpointed",
+    "q196_ktruss_peel" -> "k-truss peel (r15 delta form): ONE degree-ordered wedge join (apex-keyed, O(|E|^1.5) wedges) + packed-key LEFT SEMI close into a (tk, ek) frame; rounds 2-3 are delta maintenance (single-long semi-join dead-mark, delta-sized loss subtract, final round counts arithmetically); round frames lazily checkpointed",
     "q197_byte_entropy" -> "byte entropy: ONE codegen pass per row (256-cell count array, floor(ln) micro-nats) - map-only, no explode; oracle pays the per-char UNNEST the kernel avoids",
     "q198_jsd_drift" -> "JSD drift: one corpus scan collapses to a (type, bin, side) hash agg; entropy decomposition keeps every floor-ln term non-negative so integer truncation direction is moot; spine-sized joins after the scan",
-    "q199_adamic_adar" -> "Adamic-Adar: 1/ln score attaches to the adjacency BEFORE the apex self-join (node-linear), wedge join shuffles once on the apex key, candidates collapse via (u,v) hash agg, LEFT ANTI drops existing edges, top-20 = TakeOrderedAndProject",
+    "q199_adamic_adar" -> "Adamic-Adar: 1/ln score attaches to the adjacency BEFORE the apex self-join (node-linear), wedge join shuffles once on the apex key, candidates collapse via a packed u*2^21+v single-BIGINT hash agg (r15), LEFT ANTI drops existing edges on the packed key, top-20 = TakeOrderedAndProject",
     "q200_pmi_collocations" -> "PMI: two corpus hash aggs checkpointed at vocab/vocab-squared size; marginals via broadcast joins + 1-row total cross-joins; single floor-ln per surviving bigram; top-20 = TakeOrderedAndProject",
     "q201_apriori_triples" -> "A-Priori triples: baskets built ONCE as sorted distinct arrays (lazy ckpt), pairs/triples explode by index arithmetic into PACKED 3x21-bit BIGINT keys (C(w,2)/C(w,3), bounded w, guarded partkey < 2^21 - every exchange/hash-agg key is 1 long, not a struct); minsup = ceil-quantile p99.995 of the triple-support histogram (two-level prefix sum); top-20 triples BROADCAST into three monotonicity-witness lookups over the packed pair frame",
     "q202_luby_mis" -> "Luby MIS round: arc-keyed neighbor-min hash agg + anti-join + two LEFT SEMI joins, all node-keyed; per-round frames lazily checkpointed (CheckpointTracker), 3-row census from one eager action",
