@@ -43,22 +43,16 @@ object Q196Decompose {
     val P = 2097152L
     val MinSup = 2
 
+    val e0 = Tables.lineitem(spark, sfDir)
+      .filter(col("l_linenumber") <= 3)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
     val (edges, tEdges) = timed {
       graft.functions.Guard.require(
-          Tables.lineitem(spark, sfDir)
-            .filter(col("l_linenumber") <= 3)
-            .groupBy(col("l_orderkey"))
-            .agg(sort_array(collect_set(col("l_partkey"))).as("ps")),
-          expr("element_at(ps, 1) >= 0L AND element_at(ps, -1) < 2097152L"),
-          "q196 decompose: partkey outside packed range")
-        .filter(size(col("ps")) >= 2)
-        .select(explode(expr(
-          "flatten(transform(sequence(0, size(ps) - 2), i -> " +
-            "transform(sequence(i + 1, size(ps) - 1), j -> " +
-            "ps[i] * 2097152L + ps[j])))")).as("ek"))
-        .distinct()
-        .select(expr("shiftright(ek, 21)").as("x"), expr("ek % 2097152L").as("y"))
-        .localCheckpoint(true)
+        e0.as("a").join(e0.as("b"),
+            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .select(col("a.p").as("x"), col("b.p").as("y")).distinct(),
+        expr("x >= 0L AND y < 2097152L"),
+        "q196 decompose: partkey outside packed range").localCheckpoint(true)
     }
     val (oriented, tOrient) = timed {
       val deg = edges.select(col("x").as("node"))

@@ -402,28 +402,16 @@ object GraphQueries {
   private val q196: Q = (s, d) => {
     val MinSup = 2
     val P = 2097152L
-    // Basket-form edge derivation (round 15, the q201 shape): ONE
-    // order-keyed shuffle into sorted DISTINCT part arrays, C(w,2)
-    // packed-pair explode, DISTINCT on a single BIGINT — replacing the
-    // two-sided fact self-join plus a 2-field-struct DISTINCT (measured
-    // 4.37 s → the dominant q196 stage at sf1, Q196_DECOMP_r15). The
-    // edge SET is identical: collect_set dedups within an order, sorted
-    // i<j index pairs state exactly the a.p < b.p join predicate.
+    val e0 = Tables.lineitem(s, d)
+      .filter(col("l_linenumber") <= 3)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
     val ed = graft.functions.Guard.require(
-        Tables.lineitem(s, d)
-          .filter(col("l_linenumber") <= 3)
-          .groupBy(col("l_orderkey"))
-          .agg(sort_array(collect_set(col("l_partkey"))).as("ps")),
-        expr("element_at(ps, 1) >= 0L AND element_at(ps, -1) < 2097152L"),
-        "q196: l_partkey outside [0, 2^21) - the packed edge BIGINT key " +
-          "would wrap; fall back to the two-field struct key past 2M parts")
-      .filter(size(col("ps")) >= 2)
-      .select(explode(expr(
-        "flatten(transform(sequence(0, size(ps) - 2), i -> " +
-          "transform(sequence(i + 1, size(ps) - 1), j -> " +
-          "ps[i] * 2097152L + ps[j])))")).as("ek"))
-      .distinct()
-      .select(expr("shiftright(ek, 21)").as("x"), expr("ek % 2097152L").as("y"))
+      e0.as("a").join(e0.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("x"), col("b.p").as("y")).distinct(),
+      expr("x >= 0L AND y < 2097152L"),
+      "q196: l_partkey outside [0, 2^21) - the packed edge BIGINT key " +
+        "would wrap; fall back to the two-field struct key past 2M parts")
     val ck = new graft.operators.CheckpointTracker(ed)
     val edges = ck.lazyCkpt(ed)
     // ---- round 1: the one full enumeration ----
@@ -670,28 +658,23 @@ object GraphQueries {
     // The edge derivation has FIVE downstream consumers (both sym arms,
     // the degree agg via sym, both sides of the wedge self-join, the
     // LEFT ANTI) — without the tracked checkpoint it re-executed per
-    // consumer (measured 22.4 s at sf1, 2.9 s after). Round 15: the
-    // derivation itself moved to the q201 basket form — one order-keyed
-    // shuffle into sorted DISTINCT part arrays, C(w,2) packed explode,
-    // DISTINCT on one BIGINT — replacing the two-sided fact self-join
-    // plus a 2-field-struct DISTINCT (the edge SET is identical: sorted
-    // i<j index pairs state exactly the a.p < b.p join predicate).
+    // consumer (measured 22.4 s at sf1, 2.9 s after). The q201
+    // basket-explode derivation was A/B'd here in round 15 and REJECTED:
+    // its mandatory order-keyed groupBy shuffle costs what the self-join
+    // costs at sf1 and LOSES at small SF, where Catalyst broadcasts one
+    // fact side of this join and skips the shuffle entirely (isolated
+    // sf0.1: 3.9 s self-join vs 6.5 s baskets).
     val tracker = new graft.operators.CheckpointTracker(Tables.lineitem(s, d))
+    val e0 = Tables.lineitem(s, d)
+      .filter(col("l_linenumber") <= 3)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
     val ed = tracker.lazyCkpt(graft.functions.Guard.require(
-        Tables.lineitem(s, d)
-          .filter(col("l_linenumber") <= 3)
-          .groupBy(col("l_orderkey"))
-          .agg(sort_array(collect_set(col("l_partkey"))).as("ps")),
-        expr("element_at(ps, 1) >= 0L AND element_at(ps, -1) < 2097152L"),
-        "q199: l_partkey outside [0, 2^21) - the packed (u, v) BIGINT key " +
-          "would wrap; fall back to the two-field struct key past 2M parts")
-      .filter(size(col("ps")) >= 2)
-      .select(explode(expr(
-        "flatten(transform(sequence(0, size(ps) - 2), i -> " +
-          "transform(sequence(i + 1, size(ps) - 1), j -> " +
-          "ps[i] * 2097152L + ps[j])))")).as("ek"))
-      .distinct()
-      .select(expr("shiftright(ek, 21)").as("x"), expr("ek % 2097152L").as("y")))
+      e0.as("a").join(e0.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("x"), col("b.p").as("y")).distinct(),
+      expr("x >= 0L AND y < 2097152L"),
+      "q199: l_partkey outside [0, 2^21) - the packed (u, v) BIGINT key " +
+        "would wrap; fall back to the two-field struct key past 2M parts"))
     val sym = ed.select(col("x").as("w"), col("y").as("n"))
       .unionByName(ed.select(col("y").as("w"), col("x").as("n")))
     val score = sym.groupBy(col("w")).agg(count(lit(1)).as("deg"))
