@@ -1,0 +1,269 @@
+package graft.multimodal
+
+import java.io.ByteArrayOutputStream
+import java.util.zip.{CRC32, Deflater, Inflater}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+
+/** REAL PNG codec — the round-14 verdict's sandbox-feasible stretch item
+  * ("IDAT is zlib-deflate; `java.util.zip.Inflater` is in the JDK"):
+  * upgrades the multimodal image leg from container-walk (q63's
+  * signature + chunk walk) to a genuine pixel codec. Both directions are
+  * the actual PNG format, not a sketch of it:
+  *
+  *  - [[pngFor]] ENCODES a deterministic 8-bit RGB image as a
+  *    spec-compliant PNG: real IHDR/IDAT/IEND chunk framing with CRC32s,
+  *    scanlines filtered with ALL FIVE PNG filter types (type = row
+  *    mod 5 — None/Sub/Up/Average/Paeth all exercised on every image
+  *    taller than 4 rows), the filtered stream zlib-DEFLATED and split
+  *    across multiple IDAT chunks. `javax.imageio.ImageIO` decodes these
+  *    bytes bit-for-bit (PngCodecSpec pins it).
+  *  - [[pixelSums]] DECODES any 8-bit RGB non-interlaced PNG: signature
+  *    check, chunk walk with PER-CHUNK CRC32 VERIFICATION (a corrupted
+  *    chunk fails loudly, like a real decoder), IDAT concatenation,
+  *    zlib INFLATE with an exact-length contract, and per-row reverse
+  *    filtering for all five filter types (Paeth predictor per the PNG
+  *    spec). PngCodecSpec round-trips it against ImageIO in BOTH
+  *    directions — decoding ImageIO-encoded PNGs (an independent
+  *    encoder's filter choices) and having ImageIO decode [[pngFor]]'s.
+  *
+  * The q225 oracle contract (the q63/q152 synthesis-kernel discipline):
+  * pixel values are a deterministic function of (doc_id, byte index), so
+  * DuckDB replays the per-channel sums ARITHMETICALLY while Spark must
+  * EARN them through the full byte path — a wrong Paeth tie-break, a
+  * swapped filter, a mis-framed IDAT boundary, or a bad inflate all
+  * yield wrong sums and fail the hash compare.
+  *
+  * Scale shape: both kernels are map-only codegen expressions (scan →
+  * one WholeStageCodegen projection → sort); one bounded feature row per
+  * image regardless of pixel count, nothing image-sized ever shuffles.
+  */
+object Png {
+
+  /** Deterministic pixel byte stream (row-major RGB): byte i of doc d is
+    * (d·131 + i·7) mod 256 — replayable in one line of SQL. */
+  def pixelByte(docId: Long, i: Long): Int = ((docId * 131 + i * 7) % 256).toInt
+
+  def widthFor(docId: Long): Int = (8 + docId % 25).toInt // 8..32
+  def heightFor(docId: Long): Int = (8 + (docId * 7) % 17).toInt // 8..24
+
+  private val Signature = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+  private val Bpp = 3 // 8-bit RGB
+  /** Compressed-stream split size: forces multi-IDAT images so the
+    * decoder's chunk concatenation is load-bearing, not theoretical. */
+  private val IdatSplit = 512
+
+  private def chunk(out: ByteArrayOutputStream, tpe: String, data: Array[Byte]): Unit = {
+    def be32(v: Int): Array[Byte] =
+      Array(((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+        ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val t = tpe.getBytes("US-ASCII")
+    out.write(be32(data.length)); out.write(t); out.write(data)
+    val crc = new CRC32(); crc.update(t); crc.update(data)
+    out.write(be32(crc.getValue.toInt))
+  }
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Encode the deterministic (doc_id-derived) RGB image as a real PNG. */
+  def pngFor(docId: Long): Array[Byte] = {
+    val w = widthFor(docId); val h = heightFor(docId)
+    val stride = w * Bpp
+    val raw = Array.tabulate(h, stride)((y, x) => pixelByte(docId, y.toLong * stride + x))
+    // filter each scanline with type y mod 5 (all five types exercised)
+    val filtered = new Array[Byte]((stride + 1) * h)
+    for (y <- 0 until h) {
+      val f = y % 5
+      filtered(y * (stride + 1)) = f.toByte
+      for (x <- 0 until stride) {
+        val cur = raw(y)(x)
+        val left = if (x >= Bpp) raw(y)(x - Bpp) else 0
+        val up = if (y >= 1) raw(y - 1)(x) else 0
+        val ul = if (x >= Bpp && y >= 1) raw(y - 1)(x - Bpp) else 0
+        val v = f match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - ((left + up) >> 1)
+          case 4 => cur - paeth(left, up, ul)
+        }
+        filtered(y * (stride + 1) + 1 + x) = (v & 0xff).toByte
+      }
+    }
+    val deflater = new Deflater()
+    deflater.setInput(filtered); deflater.finish()
+    val zOut = new ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!deflater.finished()) zOut.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val z = zOut.toByteArray
+    val out = new ByteArrayOutputStream()
+    out.write(Signature)
+    val ihdr = new ByteArrayOutputStream()
+    def be32(v: Int): Unit = { ihdr.write(v >>> 24); ihdr.write((v >>> 16) & 0xff)
+      ihdr.write((v >>> 8) & 0xff); ihdr.write(v & 0xff) }
+    be32(w); be32(h)
+    ihdr.write(8); ihdr.write(2); ihdr.write(0); ihdr.write(0); ihdr.write(0)
+    chunk(out, "IHDR", ihdr.toByteArray)
+    var off = 0
+    while (off < z.length) { // multi-IDAT on purpose (decoder must concat)
+      val n = math.min(IdatSplit, z.length - off)
+      chunk(out, "IDAT", java.util.Arrays.copyOfRange(z, off, off + n))
+      off += n
+    }
+    if (z.isEmpty) chunk(out, "IDAT", Array.emptyByteArray)
+    chunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Decode an 8-bit RGB non-interlaced PNG and reduce it to exact
+    * per-channel pixel sums (the feature-extraction primitive: one
+    * bounded row out per image, never a pixel array on the wire). */
+  def pixelSums(png: Array[Byte]): InternalRow = {
+    require(png.length >= 8 && java.util.Arrays.equals(
+      java.util.Arrays.copyOfRange(png, 0, 8), Signature),
+      "png_pixel_sums: bad PNG signature")
+    def be32(o: Int): Int =
+      ((png(o) & 0xff) << 24) | ((png(o + 1) & 0xff) << 16) |
+        ((png(o + 2) & 0xff) << 8) | (png(o + 3) & 0xff)
+    var pos = 8
+    var w = -1; var h = -1; var nIdat = 0L
+    val idat = new ByteArrayOutputStream()
+    var done = false
+    while (!done) {
+      require(pos + 8 <= png.length, "png_pixel_sums: truncated chunk header")
+      val len = be32(pos)
+      val tpe = new String(png, pos + 4, 4, "US-ASCII")
+      require(pos + 12 + len <= png.length, s"png_pixel_sums: truncated $tpe chunk")
+      val crc = new CRC32()
+      crc.update(png, pos + 4, 4 + len)
+      require(crc.getValue.toInt == be32(pos + 8 + len),
+        s"png_pixel_sums: CRC mismatch in $tpe chunk")
+      tpe match {
+        case "IHDR" =>
+          w = be32(pos + 8); h = be32(pos + 12)
+          val bitDepth = png(pos + 16) & 0xff; val colorType = png(pos + 17) & 0xff
+          val interlace = png(pos + 20) & 0xff
+          require(bitDepth == 8 && colorType == 2 && interlace == 0,
+            s"png_pixel_sums: unsupported PNG (bitDepth=$bitDepth " +
+              s"colorType=$colorType interlace=$interlace; 8-bit RGB " +
+              "non-interlaced only)")
+        case "IDAT" => idat.write(png, pos + 8, len); nIdat += 1
+        case "IEND" => done = true
+        case _ => () // ancillary chunks (ImageIO may emit them) are skipped
+      }
+      pos += 12 + len
+    }
+    require(w > 0 && h > 0, "png_pixel_sums: missing IHDR")
+    val stride = w * Bpp
+    val inflater = new Inflater()
+    inflater.setInput(idat.toByteArray)
+    val filtered = new Array[Byte]((stride + 1) * h)
+    var got = 0
+    while (got < filtered.length && !inflater.finished()) {
+      val n = inflater.inflate(filtered, got, filtered.length - got)
+      require(n > 0 || inflater.finished(), "png_pixel_sums: stalled inflate")
+      got += n
+    }
+    require(got == filtered.length,
+      s"png_pixel_sums: inflated $got bytes, expected ${filtered.length}")
+    inflater.end()
+    val prev = new Array[Int](stride) // reconstructed prior scanline
+    val cur = new Array[Int](stride)
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    for (y <- 0 until h) {
+      val f = filtered(y * (stride + 1)) & 0xff
+      require(f <= 4, s"png_pixel_sums: invalid filter type $f on row $y")
+      for (x <- 0 until stride) {
+        val v = filtered(y * (stride + 1) + 1 + x) & 0xff
+        val left = if (x >= Bpp) cur(x - Bpp) else 0
+        val up = prev(x)
+        val ul = if (x >= Bpp) prevLeft(prev, x) else 0
+        val recon = f match {
+          case 0 => v
+          case 1 => v + left
+          case 2 => v + up
+          case 3 => v + ((left + up) >> 1)
+          case 4 => v + paeth(left, up, ul)
+        }
+        cur(x) = recon & 0xff
+        (x % Bpp: @unchecked) match {
+          case 0 => sumR += cur(x)
+          case 1 => sumG += cur(x)
+          case 2 => sumB += cur(x)
+        }
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+    }
+    new GenericInternalRow(Array[Any](
+      w.toLong, h.toLong, nIdat, sumR, sumG, sumB))
+  }
+
+  private def prevLeft(prev: Array[Int], x: Int): Int = prev(x - Bpp)
+}
+
+/** `png_for(doc_id) -> binary`: the deterministic real-PNG synthesis
+  * kernel (all five filter types, multi-IDAT zlib stream). */
+case class PngFor(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "png_for"
+
+  override def nullSafeEval(input: Any): Any =
+    Png.pngFor(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.multimodal.Png.pngFor($x);")
+
+  override protected def withNewChildInternal(newChild: Expression): PngFor =
+    copy(child = newChild)
+}
+
+/** `png_pixel_sums(bin) -> struct`: full PNG pixel decode (CRC-verified
+  * chunk walk, zlib inflate, 5-filter reconstruction) reduced to exact
+  * per-channel sums. */
+case class PngPixelSums(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("n_idat", LongType, nullable = false),
+    StructField("sum_r", LongType, nullable = false),
+    StructField("sum_g", LongType, nullable = false),
+    StructField("sum_b", LongType, nullable = false)))
+  override def prettyName: String = "png_pixel_sums"
+
+  override def nullSafeEval(input: Any): Any =
+    Png.pixelSums(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.multimodal.Png.pixelSums($x);")
+
+  override protected def withNewChildInternal(newChild: Expression): PngPixelSums =
+    copy(child = newChild)
+}
+
+object PngKernels {
+  /** Register `png_for` / `png_pixel_sums` for expr()/SQL use. */
+  def register(spark: SparkSession): Unit = {
+    graft.functions.RegisterOnce(spark, "png_for") {
+      case Seq(id) => PngFor(id)
+    }
+    graft.functions.RegisterOnce(spark, "png_pixel_sums") {
+      case Seq(b) => PngPixelSums(b)
+    }
+  }
+}
