@@ -98,6 +98,7 @@ object Plans {
     "q204_markov_stationary" -> "stationary pi: corpus pays exactly q185's window exchange ONCE (eager ckpt of the <=25-row matrix); 5 power-iteration rounds are |types|-row joins against that broadcast",
     "q205_decayed_popularity" -> "half-life decay as integer right-shift: anchor = 1-row broadcast below ONE fact-scan hash agg; top-15 = TakeOrderedAndProject",
     "q206_audio_vad" -> "VAD: scan -> one WholeStageCodegen wav_vad(wav_for(...)) projection -> sort; run census folds in-kernel, no per-sample explode or island window",
+    "q225_png_pixel_decode" -> "real PNG codec roundtrip: scan -> one WholeStageCodegen png_pixel_sums(png_for(...)) projection -> sort; zlib deflate/inflate + 5-filter reconstruction in-kernel, pixels never leave the expression",
     "q207_linkage_weights" -> "FS weights: q173's blocked candidates (never a cross product) + ONE 1-row flag aggregate; 3-row output = constant projections off the checkpointed agg",
     "q208_source_crossentropy" -> "cross-entropy matrix: two corpus passes -> checkpointed per-source count frames; 400-cell matrix = broadcast joins on those frames only, corpus never re-read",
     "q209_survival_curve" -> "KM curve: ONE user-keyed hash agg (no window) collapses the corpus; suffix/prefix sums ride broadcast theta self-joins on the <=31-row day frame",
