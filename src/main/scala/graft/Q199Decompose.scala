@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Isolated stage decomposition of q199 (Adamic–Adar link prediction) —
+  * the round-15 verdict's prescribed profiling companion (same protocol
+  * as [[Q196Decompose]] / [[Q201Decompose]]): each stage eagerly
+  * materialized so the next stage's timer starts from its predecessor's
+  * output.
+  *
+  *   edges   — lineitem scan -> co-purchase DISTINCT edge list (guarded)
+  *   score   — degree agg + 1/ln micro-score + attach to adjacency (nbrs)
+  *   wedges  — apex-keyed self-join -> packed (uv, t) stream -> hash agg
+  *             (n_common, aa_micro per packed pair)  [the suspected bulk]
+  *   anti    — LEFT ANTI against the packed edge list
+  *   topk    — TakeOrderedAndProject top-20 + unpack
+  *
+  * DELIBERATE DUPLICATION PIN: restates GraphQueries.q199's stages
+  * verbatim (packing constant 2097152L, the [0, 2^21) guard, the deg ≥ 2
+  * filter, the double-floored 10¹² div floor(10⁶·ln deg) score); if q199
+  * changes shape, port the change HERE TOO (q199's body carries the
+  * mirror of this pin).
+  *
+  * Output: ONE JSON line (stage seconds + work volumes), run fresh-JVM
+  * via `SPARK_GRAFT_SF_DIR=... sbt "runMain graft.Q199Decompose"`.
+  */
+object Q199Decompose {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy("l_returnflag").count().collect()
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val P = 2097152L
+
+    val e0 = Tables.lineitem(spark, sfDir)
+      .filter(col("l_linenumber") <= 3)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    val (edges, tEdges) = timed {
+      graft.functions.Guard.require(
+        e0.as("a").join(e0.as("b"),
+            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .select(col("a.p").as("x"), col("b.p").as("y")).distinct(),
+        expr("x >= 0L AND y < 2097152L"),
+        "q199 decompose: partkey outside packed range").localCheckpoint(true)
+    }
+    val (nbrs, tScore) = timed {
+      val sym = edges.select(col("x").as("w"), col("y").as("n"))
+        .unionByName(edges.select(col("y").as("w"), col("x").as("n")))
+      val score = sym.groupBy(col("w")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= 2)
+        .select(col("w"), expr("1000000000000L div CAST(floor(1000000.0 * " +
+          "ln(CAST(deg AS DOUBLE))) AS BIGINT)").as("t"))
+      sym.join(score, Seq("w")).localCheckpoint(true)
+    }
+    val (cand, tWedge) = timed {
+      nbrs.as("a").join(nbrs.as("b"),
+          col("a.w") === col("b.w") && col("a.n") < col("b.n"))
+        .select((col("a.n") * lit(P) + col("b.n")).as("uv"),
+          col("a.t").as("t"))
+        .groupBy(col("uv"))
+        .agg(count(lit(1)).as("n_common"), sum(col("t")).as("aa_micro"))
+        .localCheckpoint(true)
+    }
+    val (kept, tAnti) = timed {
+      cand.join(edges.select((col("x") * lit(P) + col("y")).as("uv")),
+          Seq("uv"), "left_anti")
+        .localCheckpoint(true)
+    }
+    val (top, tTopk) = timed {
+      kept.orderBy(col("aa_micro").desc, col("uv")).limit(20)
+        .select(expr("shiftright(uv, 21)").as("u"),
+          expr("uv % 2097152L").as("v"), col("n_common"), col("aa_micro"))
+        .localCheckpoint(true)
+    }
+    val nEdges = edges.count()
+    val nNbrs = nbrs.count()
+    val nCand = cand.count()
+    val nKept = kept.count()
+    // interference-immune scale counter: wedge-stream volume Σ C(deg w, 2)
+    // over scored apexes — exactly the rows the self-join emits
+    val wedgeVolume = nbrs.groupBy(col("w"))
+      .agg(count(lit(1)).as("n"))
+      .agg(sum(expr("n * (n - 1) div 2")).as("wv"))
+      .collect()(0).getLong(0)
+    val topRows = top.count()
+    spark.stop()
+    val stages = Seq("edges" -> tEdges, "score" -> tScore,
+      "wedges_agg" -> tWedge, "anti" -> tAnti, "topk" -> tTopk)
+    val stageJson = stages.map { case (n, t) =>
+      s""""$n":${"%.3f".format(t)}""" }.mkString(",")
+    println(s"""{"metric":"q199_stage_seconds","sf":"$sfDir",""" +
+      s""""edges_rows":$nEdges,"nbrs_rows":$nNbrs,""" +
+      s""""wedge_volume":$wedgeVolume,"cand_rows":$nCand,""" +
+      s""""kept_rows":$nKept,"top_rows":$topRows,""" +
+      s""""stages":{$stageJson}}""")
+  }
+}

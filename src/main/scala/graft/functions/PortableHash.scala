@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.{conv, md5, substring}
+import org.apache.spark.sql.graft.bridge
 
 /** The repo's one portable hash trick, in one place: the first 60 bits of
   * md5 as a non-negative BIGINT. md5 is bit-identical in Spark and DuckDB,
@@ -10,13 +10,20 @@ import org.apache.spark.sql.functions.{conv, md5, substring}
   * BIGINT)` — the foundation of every deterministic sampling / splitting /
   * LSH query here. Centralized so the Spark and SQL twins cannot drift
   * independently (six inline copies had accumulated by round 5).
+  *
+  * Round 16: the Spark-side implementation is [[Md5Kernels]]' digest-bytes
+  * codegen expression instead of the old `conv(substring(md5(x), 1, 15),
+  * 16, 10) CAST long` chain — bit-identical (Md5KernelsSpec pins it against
+  * the old formula), but skipping the hex string, the substring copy,
+  * conv's base-10 STRING output, and the final cast reparse per evaluated
+  * row. The oracle SQL twin is unchanged.
   */
 object PortableHash {
 
   /** First 60 bits of md5(expr) as a long. `expr` must already be a
     * string column (hash inputs are byte-exact; no implicit casts). */
   def md5Bucket60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    bridge.column(Bits60(Md5Digest128(bridge.expression(c)), hi = false))
 
   /** Hex chars 16–30 of md5(expr) as a long — a second 60-bit value
     * independent of [[md5Bucket60]]'s, from the SAME digest. Exists for
@@ -24,7 +31,10 @@ object PortableHash {
     * k-hash MinHash signature then costs ONE md5 per input instead of k —
     * measured 4× on the q66 LSH family — while staying byte-replayable in
     * the oracle as `CAST(('0x' || substr(md5(x), 16, 15)) AS BIGINT)`.
-    * No overflow in either engine: h1 + 7·h2 < 8·2⁶⁰ = 2⁶³. */
+    * No overflow in either engine: h1 + 7·h2 < 8·2⁶⁰ = 2⁶³. The shared
+    * [[Md5Digest128]] subtree is eliminated by whole-stage codegen's
+    * subexpression elimination when a projection evaluates both halves on
+    * the same input. */
   def md5Bucket60Hi(c: Column): Column =
-    conv(substring(md5(c), 16, 15), 16, 10).cast("long")
+    bridge.column(Bits60(Md5Digest128(bridge.expression(c)), hi = true))
 }

@@ -99,12 +99,16 @@ object Png {
         filtered(y * (stride + 1) + 1 + x) = (v & 0xff).toByte
       }
     }
+    // try/finally: end() releases native zlib state even if a caller's
+    // thread dies mid-deflate — these kernels run per row inside codegen,
+    // so a leaked native block per failure would accumulate across retries
     val deflater = new Deflater()
-    deflater.setInput(filtered); deflater.finish()
     val zOut = new ByteArrayOutputStream()
-    val buf = new Array[Byte](4096)
-    while (!deflater.finished()) zOut.write(buf, 0, deflater.deflate(buf))
-    deflater.end()
+    try {
+      deflater.setInput(filtered); deflater.finish()
+      val buf = new Array[Byte](4096)
+      while (!deflater.finished()) zOut.write(buf, 0, deflater.deflate(buf))
+    } finally deflater.end()
     val z = zOut.toByteArray
     val out = new ByteArrayOutputStream()
     out.write(Signature)
@@ -165,18 +169,23 @@ object Png {
     }
     require(w > 0 && h > 0, "png_pixel_sums: missing IHDR")
     val stride = w * Bpp
+    // try/finally: the require()s below throw on corrupt input (truncated
+    // stream, stalled inflate) — without the finally, each such row leaks
+    // the Inflater's native zlib block until finalization (a batch of
+    // corrupt inputs retried by the driver accumulates native memory)
     val inflater = new Inflater()
-    inflater.setInput(idat.toByteArray)
     val filtered = new Array[Byte]((stride + 1) * h)
-    var got = 0
-    while (got < filtered.length && !inflater.finished()) {
-      val n = inflater.inflate(filtered, got, filtered.length - got)
-      require(n > 0 || inflater.finished(), "png_pixel_sums: stalled inflate")
-      got += n
-    }
-    require(got == filtered.length,
-      s"png_pixel_sums: inflated $got bytes, expected ${filtered.length}")
-    inflater.end()
+    try {
+      inflater.setInput(idat.toByteArray)
+      var got = 0
+      while (got < filtered.length && !inflater.finished()) {
+        val n = inflater.inflate(filtered, got, filtered.length - got)
+        require(n > 0 || inflater.finished(), "png_pixel_sums: stalled inflate")
+        got += n
+      }
+      require(got == filtered.length,
+        s"png_pixel_sums: inflated $got bytes, expected ${filtered.length}")
+    } finally inflater.end()
     val prev = new Array[Int](stride) // reconstructed prior scanline
     val cur = new Array[Int](stride)
     var sumR = 0L; var sumG = 0L; var sumB = 0L

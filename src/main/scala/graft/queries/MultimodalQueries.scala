@@ -241,10 +241,20 @@ object MultimodalQueries {
     * of (doc_id, byte index), so the oracle replays the sums
     * arithmetically while Spark must EARN them through the byte path —
     * a wrong Paeth tie-break or a mis-framed IDAT boundary fails the
-    * hash compare (the q63/q152 synthesis-kernel discipline). The
-    * multi-IDAT pin (n_idat = ceil(compressed/512) ≥ 1) rides the
-    * output so single-chunk shortcuts can't pass. Map-only codegen;
-    * one bounded row per image, pixels never shuffle. */
+    * hash compare (the q63/q152 synthesis-kernel discipline).
+    *
+    * Multi-IDAT pinning, stated honestly (round-15 advisor finding —
+    * the old scaladoc claimed the in-band column blocked single-chunk
+    * shortcuts, which it does not): the ORACLE pins only n_idat ≥ 1 —
+    * zlib output length is not SQL-replayable, and no raw-size bound can
+    * force multi-chunk in-band either (deflate ratios are unbounded; a
+    * round-16 corpus-wide probe found highly-compressible ramp images
+    * past PngCodecSpec's 2048-raw-byte heuristic that legitimately fit
+    * ONE 512-byte chunk). Multi-IDAT decode — chunk concatenation across
+    * the 512-byte encoder split — is exercised and pinned by
+    * PngCodecSpec on specific doc ids whose streams measurably span
+    * chunks, plus both ImageIO cross-decodes. Map-only codegen; one
+    * bounded row per image, pixels never shuffle. */
   private val q225: Q = (s, d) => {
     graft.multimodal.PngKernels.register(s)
     Tables.documents(s, d)

@@ -50,7 +50,12 @@ final case class Scd2State(openType: String, startUs: Long,
   * user's cursor fails loudly (revising emitted history is the batch
   * rebuild path, not the monitor's). Duplicate (ts, event_id) pairs
   * also fail: the batch window order would make their version split
-  * ambiguous. */
+  * ambiguous. A TYPE CHANGE at the open version's start microsecond is
+  * likewise excluded (loud require): it would close a zero-duration
+  * version sharing the new open version's (user_id, valid_from_us)
+  * key, and the downstream latest-row-per-key convention would drop it
+  * while batch q218 counts it — that input is the batch rebuild path
+  * (round-15 advisor finding). */
 class Scd2Processor
     extends StatefulProcessor[Long, (Long, Long, Long, String), Scd2Version] {
   @transient private var st: ValueState[Scd2State] = _
@@ -78,6 +83,21 @@ class Scd2Processor
             s = Some(cur.copy(lastUs = us, lastEid = eid,
               nEvents = cur.nEvents + 1L))
           else {
+            // A type change at the open version's own start microsecond
+            // would close a ZERO-duration version whose (user, valid_from)
+            // key equals the new open version's — downstream "latest row
+            // per key" would silently drop the closed version while batch
+            // q218 counts it (round-15 advisor finding). The twin contract
+            // excludes that input loudly; replaying it is the batch
+            // rebuild path. (us > startUs suffices: the cursor require
+            // above already gives us ≥ lastUs ≥ startUs, so the collision
+            // is exactly the all-same-microsecond open version.)
+            require(us > cur.startUs,
+              s"q218 twin [user $key]: type change at the open version's " +
+                s"start microsecond (us=$us) would collide on the " +
+                "(user_id, valid_from_us) downstream key and drop the " +
+                "zero-duration closed version - equal-timestamp type flips " +
+                "are the batch rebuild path")
             // close the open version: its end IS this event's start
             out += Scd2Version(key, cur.openType, cur.startUs,
               us - cur.startUs, cur = false, cur.nEvents)

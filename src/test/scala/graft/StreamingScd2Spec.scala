@@ -127,4 +127,22 @@ class StreamingScd2Spec extends AnyFunSuite {
     val msg = Option(thrown.getCause).map(_.toString).getOrElse(thrown.toString)
     assert(msg.contains("monotone") || thrown.toString.contains("monotone"))
   }
+
+  test("type change at the open version's start microsecond fails loudly") {
+    // Round-15 advisor finding: (us=100, eid=10, A) then (us=100, eid=11, B)
+    // passes the monotone cursor but would close a zero-duration A version
+    // keyed (user, 100) AND open B at the same (user, 100) — downstream
+    // latest-per-key would drop the closed version batch q218 counts. The
+    // contract excludes it loudly; same-us events of the SAME type stay
+    // legal (version extension, no new key).
+    val thrown = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runStream(Seq(Seq((1L, 10L, 100L, "A")), Seq((1L, 11L, 100L, "B"))))
+    }
+    val all = Iterator.iterate[Throwable](thrown)(_.getCause)
+      .takeWhile(_ != null).map(_.toString).mkString("\n")
+    assert(all.contains("valid_from_us"), s"expected the key-collision message, got: $all")
+    // same microsecond, same type: legal extension (eid advances the cursor)
+    val (got, _) = runStream(Seq(Seq((2L, 1L, 100L, "A")), Seq((2L, 2L, 100L, "A"))))
+    assert(got == Map((2L, 100L) -> (("A", 0L, true, 2L))), s"got: $got")
+  }
 }
