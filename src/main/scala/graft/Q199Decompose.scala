@@ -43,16 +43,10 @@ object Q199Decompose {
     }
     val P = 2097152L
 
-    val e0 = Tables.lineitem(spark, sfDir)
-      .filter(col("l_linenumber") <= 3)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    // round 16: q199 now derives edges via the shared CoPurchaseGraph
+    // (packed-key distinct) — restated here BY CALL, so the pin holds.
     val (edges, tEdges) = timed {
-      graft.functions.Guard.require(
-        e0.as("a").join(e0.as("b"),
-            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .select(col("a.p").as("x"), col("b.p").as("y")).distinct(),
-        expr("x >= 0L AND y < 2097152L"),
-        "q199 decompose: partkey outside packed range").localCheckpoint(true)
+      graft.operators.CoPurchaseGraph.derive(spark, sfDir).localCheckpoint(true)
     }
     val (nbrs, tScore) = timed {
       val sym = edges.select(col("x").as("w"), col("y").as("n"))

@@ -45,6 +45,34 @@ object ShingleKernel {
     new GenericArrayData(out)
   }
 
+  /** NON-overlapping `n`-word segments (last one possibly shorter), joined
+    * by single spaces — the q112 span unit. Exactly equivalent to the
+    * declarative `transform(sequence(0, ceil(size(t)/n) - 1), i ->
+    * array_join(slice(t, i*n + 1, n), ' '))` over `t = split(text, ' ')`
+    * (empty text ⇒ one empty segment, same as split's [""]), but one
+    * linear codegen pass instead of an interpreted higher-order lambda
+    * chain re-slicing the word array per segment. */
+  def segments(text: UTF8String, n: Int): ArrayData = {
+    val words = text.split(Space, -1)
+    val m = words.length
+    val nseg = (m + n - 1) / n
+    val out = new Array[Any](math.max(nseg, 0))
+    var i = 0
+    while (i < nseg) {
+      val from = i * n
+      val to = math.min(from + n, m)
+      var g = words(from)
+      var j = from + 1
+      while (j < to) {
+        g = UTF8String.concat(g, Space, words(j))
+        j += 1
+      }
+      out(i) = g
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Distinct consecutive `n`-word shingles, first-occurrence order
     * (matches `array_distinct` semantics). */
   def shingles(text: UTF8String, n: Int): ArrayData = {
@@ -88,6 +116,28 @@ case class WordShingles(child: Expression, n: Int = 3)
     copy(child = newChild)
 }
 
+/** `word_segments(text[, n]) -> array<string>`: NON-overlapping n-word
+  * segments (default n=3, last segment possibly shorter) — the q112 exact
+  * span-dedup unit. */
+case class WordSegments(child: Expression, n: Int = 3)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1 && n <= 64, "segment width out of range")
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_segments"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernel.segments(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.ShingleKernel.segments($x, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `word_ngrams(text[, n]) -> array<string>`: ALL consecutive n-word grams
   * (default n=2), duplicates kept — the bigram/frequency-count unit. */
 case class WordNgrams(child: Expression, n: Int = 2)
@@ -126,6 +176,10 @@ object TextKernels {
     RegisterOnce(spark, "word_ngrams") {
       case Seq(t)    => WordNgrams(t)
       case Seq(t, n) => WordNgrams(t, lit(n))
+    }
+    RegisterOnce(spark, "word_segments") {
+      case Seq(t)    => WordSegments(t)
+      case Seq(t, n) => WordSegments(t, lit(n))
     }
   }
 }

@@ -34,22 +34,40 @@ object TriangleCount {
     * duplicates allowed — canonicalized and deduplicated here, self-loops
     * dropped). Returns one row:
     * (n_nodes, n_edges, n_wedges, n_triangles). */
-  def census(edges: DataFrame): DataFrame = {
-    val canon = edges
+  def census(edges: DataFrame): DataFrame =
+    censusCanonical(edges
       .filter(col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("x"),
         greatest(col("u"), col("v")).as("y"))
-      .distinct()
+      .distinct(), null)
+
+  /** [[census]] over an ALREADY-canonical edge list (x < y, distinct,
+    * self-loop-free — e.g. [[CoPurchaseGraph.edges]]). When `ck` is
+    * non-null, the multi-consumer intermediates (degree table: 3 readers;
+    * oriented edges: both wedge-join sides) are lazily checkpointed
+    * through it — round-16 measurement showed the UN-checkpointed census
+    * re-executing the whole edge derivation once per consumer because
+    * static ReuseExchange does not unify the structurally-identical
+    * subtrees (plans/r16/q162_*_before.txt: four lineitem self-join +
+    * distinct executions in one query). The caller owns the tracker
+    * contract (one eager action on the final frame, then releaseAll). */
+  def censusCanonical(canon0: DataFrame, ck: CheckpointTracker): DataFrame = {
+    val ckpt: DataFrame => DataFrame =
+      if (ck == null) identity else ck.lazyCkpt
+    val canon = canon0
 
     // Degree census. The degree table is |V| rows — shuffle-joined by node
-    // key below, never broadcast: at 100 TB |V| can be billions.
-    val deg = canon.select(col("x").as("node"))
+    // key below, never broadcast: at 100 TB |V| can be billions. Three
+    // consumers (both orientation joins + the node/edge census) ⇒
+    // checkpointed when a tracker is supplied.
+    val deg = ckpt(canon.select(col("x").as("node"))
       .unionAll(canon.select(col("y").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .groupBy("node").agg(count(lit(1)).as("deg")))
 
     // Orient by the (deg, node) total order. Two node-keyed shuffle joins;
     // AQE is free to pick broadcast when the graph is actually small.
-    val oriented = canon
+    // Two consumers (both wedge-join sides) ⇒ checkpointed when tracked.
+    val oriented = ckpt(canon
       .join(deg.select(col("node").as("x"), col("deg").as("dx")), Seq("x"))
       .join(deg.select(col("node").as("y"), col("deg").as("dy")), Seq("y"))
       .select(
@@ -58,7 +76,7 @@ object TriangleCount {
           .otherwise(col("y")).as("src"),
         when(col("dx") < col("dy") ||
           (col("dx") === col("dy") && col("x") < col("y")), col("y"))
-          .otherwise(col("x")).as("dst"))
+          .otherwise(col("x")).as("dst")))
 
     // Wedges: both heads of an apex's out-neighborhood, ordered dst1 < dst2
     // so each unordered head pair appears once.

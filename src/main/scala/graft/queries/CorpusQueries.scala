@@ -323,22 +323,27 @@ object CorpusQueries {
     * The rebuild's collect_list is bounded by document length, never by
     * corpus size. */
   private val q112: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    // Round 16 (guide §2.4/§4): span construction is the codegen
+    // word_segments kernel (the old transform/slice/array_join chain ran
+    // as an interpreted higher-order lambda), and the keep decision is a
+    // min-over-seg-partition WINDOW instead of aggregate + join-back: the
+    // old plan generated the span stream TWICE (once per join side) and
+    // AQE then broadcast the WRONG side — the full 20 MiB exploded span
+    // stream instead of the distinct-span aggregate
+    // (plans/r16/q112_*_before.txt op (7) vs _after.txt: one Generate,
+    // one seg-keyed exchange, zero broadcasts; a corpus-sized broadcast
+    // is also the one piece of the old shape that breaks at 100 TB).
+    // min(key) per seg is unchanged, so keep flags and output are
+    // byte-identical; the oracle SQL is unchanged.
+    graft.functions.TextKernels.register(s)
     val segs = Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .select(col("doc_id"), posexplode(expr(
-        "transform(sequence(0, cast(ceil(size(t) / 3.0) as int) - 1), " +
-          "i -> array_join(slice(t, i * 3 + 1, 3), ' '))")).as(Seq("pos", "seg")))
+      .select(col("doc_id"),
+        posexplode(expr("word_segments(text, 3)")).as(Seq("pos", "seg")))
       .withColumn("key", col("doc_id") * 1000000L + col("pos"))
-    val firsts = segs.groupBy(col("seg")).agg(min(col("key")).as("keep_key"))
-      .withColumnRenamed("seg", "first_seg")
-    // Every span has exactly one firsts row, so the join is 1:1; the keep
-    // flag rides into ONE per-doc aggregate that counts all spans, counts
-    // kept spans, and rebuilds the cleaned text together (collect_list
-    // drops the CASE's NULLs, so only kept spans are collected) — no
-    // separate n_seg aggregate and no final join.
-    segs.join(firsts, col("seg") === col("first_seg"))
-      .select(col("doc_id"), col("pos"), col("seg"),
-        (col("key") === col("keep_key")).as("keep"))
+    segs
+      .withColumn("keep",
+        col("key") === min(col("key")).over(Window.partitionBy(col("seg"))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_seg"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),

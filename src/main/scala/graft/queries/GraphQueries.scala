@@ -35,13 +35,21 @@ object GraphQueries {
     * (a<b<c) — the quadratic witness that proves the oriented wedge join
     * result-invariant. */
   private val q162: Q = (s, d) => {
-    val e0 = Tables.lineitem(s, d)
-      .filter(col("l_linenumber") <= 3)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-    val edges = e0.as("a").join(e0.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("u"), col("b.p").as("v"))
-    graft.operators.TriangleCount.census(edges)
+    // Round 16: the edge derivation + census intermediates are derived ONCE
+    // through the shared CoPurchaseGraph/CheckpointTracker path — the old
+    // un-checkpointed plan executed the lineitem self-join + DISTINCT four
+    // times (once per census consumer; static ReuseExchange does not unify
+    // the identical subtrees — plans/r16/q162_*_before.txt vs _after.txt).
+    // The derivation already yields canonical x < y distinct pairs, so the
+    // census skips its own canonicalization pass. Oracle SQL unchanged.
+    val ck = new graft.operators.CheckpointTracker(Tables.lineitem(s, d))
+    val canon = graft.operators.CoPurchaseGraph.edges(s, d, ck)
+    // One eager action runs the census while the lazy blocks are alive;
+    // the 1-row result outlives them (CheckpointTracker contract).
+    val out = graft.operators.TriangleCount.censusCanonical(canon, ck)
+      .localCheckpoint(true)
+    ck.releaseAll()
+    out
   }
 
   private val q162Sql =
@@ -87,24 +95,22 @@ object GraphQueries {
     * co-purchase hops of a poisoned part"). The oracle replays the rounds
     * as unrolled CTEs over the same edge relation. */
   private val q179: Q = (s, d) => {
-    val e0 = Tables.lineitem(s, d)
-      .filter(col("l_linenumber") <= 3)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-    val ed = e0.as("a").join(e0.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("x"), col("b.p").as("y")).distinct()
-    val sym = ed.select(col("x"), col("y"))
-      .unionByName(ed.select(col("y").as("x"), col("x").as("y")))
-    val part = Tables.part(s, d)
-    var dist = part.filter(col("p_size") === 1)
-      .select(col("p_partkey").as("node"), lit(0L).as("dist"))
     // round r references dist_{r-1} TWICE (union arm + relaxation join),
     // so without truncation the plan doubles per round and the final
     // census re-executes the whole chain (measured 11.0 s → 0.9 s
     // isolated at sf1); the tracked release below keeps those blocks
     // from outliving construction and evicting neighbours' working sets
-    // (the CheckpointTracker contract).
-    val ck = new graft.operators.CheckpointTracker(dist)
+    // (the CheckpointTracker contract). Round 16: the edge list itself is
+    // ALSO checkpointed (CoPurchaseGraph.edges) — each of the three
+    // relaxation rounds joins `sym`, and the un-checkpointed plan
+    // re-derived the lineitem self-join + DISTINCT once per round.
+    val ck = new graft.operators.CheckpointTracker(Tables.lineitem(s, d))
+    val ed = graft.operators.CoPurchaseGraph.edges(s, d, ck)
+    val sym = ed.select(col("x"), col("y"))
+      .unionByName(ed.select(col("y").as("x"), col("x").as("y")))
+    val part = Tables.part(s, d)
+    var dist = part.filter(col("p_size") === 1)
+      .select(col("p_partkey").as("node"), lit(0L).as("dist"))
     for (_ <- 1 to 3) {
       val step = dist.join(sym, col("node") === col("x"))
         .select(col("y").as("node"), (col("dist") + 1L).as("dist"))
@@ -176,17 +182,15 @@ object GraphQueries {
     * outright: the initial labeling is the identity over the part
     * universe, so lab⋈sym IS sym with x as the label. */
   private val q184: Q = (s, d) => {
-    val e0 = Tables.lineitem(s, d)
-      .filter(col("l_linenumber") <= 3)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-    val ed = e0.as("a").join(e0.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("x"), col("b.p").as("y")).distinct()
+    // Round 16: edge list checkpointed once (CoPurchaseGraph.edges) — the
+    // vote joins of rounds 2-3 each re-derived the lineitem self-join +
+    // DISTINCT before (round 1 skips its join by the identity argument).
+    val ck = new graft.operators.CheckpointTracker(Tables.lineitem(s, d))
+    val ed = graft.operators.CoPurchaseGraph.edges(s, d, ck)
     val sym = ed.select(col("x"), col("y"))
       .unionByName(ed.select(col("y").as("x"), col("x").as("y")))
     var lab = Tables.part(s, d)
       .select(col("p_partkey").as("node"), col("p_partkey").as("label"))
-    val ck = new graft.operators.CheckpointTracker(lab)
     for (round <- 1 to 3) {
       import graft.functions.PackedArgMin
       // Round 1's labels are the IDENTITY map over the part universe (and
@@ -284,14 +288,13 @@ object GraphQueries {
     * as unrolled CTEs. */
   private val q187: Q = (s, d) => {
     val K = 16
-    val e0 = Tables.lineitem(s, d)
-      .filter(col("l_linenumber") <= 3)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-    val ed = e0.as("a").join(e0.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("x"), col("b.p").as("y")).distinct()
+    // Round 16: the round-1 edge list is checkpointed (CoPurchaseGraph
+    // .edges) — it has three consumers (both degree-union arms + the
+    // semi-join restriction), each of which re-derived the lineitem
+    // self-join + DISTINCT before.
+    val ck = new graft.operators.CheckpointTracker(Tables.lineitem(s, d))
+    val ed = graft.operators.CoPurchaseGraph.edges(s, d, ck)
     var edges = ed
-    val ck = new graft.operators.CheckpointTracker(ed)
     val rounds = (1 to 3).map { r =>
       val keep = ck.lazyCkpt(edges.select(col("x").as("node"))
         .unionByName(edges.select(col("y").as("node")))
@@ -402,18 +405,11 @@ object GraphQueries {
   private val q196: Q = (s, d) => {
     val MinSup = 2
     val P = 2097152L
-    val e0 = Tables.lineitem(s, d)
-      .filter(col("l_linenumber") <= 3)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-    val ed = graft.functions.Guard.require(
-      e0.as("a").join(e0.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("x"), col("b.p").as("y")).distinct(),
-      expr("x >= 0L AND y < 2097152L"),
-      "q196: l_partkey outside [0, 2^21) - the packed edge BIGINT key " +
-        "would wrap; fall back to the two-field struct key past 2M parts")
-    val ck = new graft.operators.CheckpointTracker(ed)
-    val edges = ck.lazyCkpt(ed)
+    // Round 16: the shared CoPurchaseGraph derivation (packed-key distinct,
+    // checkpointed once) replaces the inline one; its in-band Guard pins
+    // the same [0, 2^21) bound the packed keys below rely on.
+    val ck = new graft.operators.CheckpointTracker(Tables.lineitem(s, d))
+    val edges = graft.operators.CoPurchaseGraph.edges(s, d, ck)
     // ---- round 1: the one full enumeration ----
     val deg = edges.select(col("x").as("node"))
       .unionByName(edges.select(col("y").as("node")))
@@ -558,15 +554,17 @@ object GraphQueries {
     * map-side-combined 1-row aggregate of the moment sums — the same
     * |E|-linear posture as q179/q184; nothing driver-side. */
   private val q191: Q = (s, d) => {
-    val e0 = Tables.lineitem(s, d)
-      .filter(col("l_linenumber") <= 3)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-    val ed = e0.as("a").join(e0.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("x"), col("b.p").as("y")).distinct()
+    // Round 16: edge list + degree table checkpointed once — `sym` is
+    // consumed by the degree agg AND the arc attach, and `deg` by both
+    // orientation joins; the un-checkpointed plan re-derived the lineitem
+    // self-join + DISTINCT once per consumer (4 SortMergeJoin arms in
+    // plans/r16/q191_*_before.txt collapse to one derivation).
+    val ck = new graft.operators.CheckpointTracker(Tables.lineitem(s, d))
+    val ed = graft.operators.CoPurchaseGraph.edges(s, d, ck)
     val sym = ed.select(col("x"), col("y"))
       .unionByName(ed.select(col("y").as("x"), col("x").as("y")))
-    val deg = sym.groupBy(col("x").as("node")).agg(count(lit(1)).as("deg"))
+    val deg = ck.lazyCkpt(
+      sym.groupBy(col("x").as("node")).agg(count(lit(1)).as("deg")))
     val arcs = sym
       .join(deg.select(col("node").as("x"), col("deg").as("dx")), Seq("x"))
       .join(deg.select(col("node").as("y"), col("deg").as("dy")), Seq("y"))
@@ -577,7 +575,7 @@ object GraphQueries {
       max(col("dx")).as("max_deg"),
       sum(expr("CAST(dx AS DECIMAL(19,0)) * CAST(dy AS DECIMAL(19,0))")).as("sdxdy"),
       sum(expr("CAST(dx AS DECIMAL(19,0)) * CAST(dx AS DECIMAL(19,0))")).as("sdx2"))
-    graft.functions.Guard.require(sums,
+    val out = graft.functions.Guard.require(sums,
         col("max_deg") <= lit(1000000L) &&
           col("m_arcs") <= lit(20000000000L) &&
           expr("CAST(m_arcs AS DECIMAL(38,0)) * sdx2" +
@@ -593,6 +591,11 @@ object GraphQueries {
             |  div ((CAST(m_arcs AS DECIMAL(38,0)) * sdx2
             |       - CAST(sum_dx AS DECIMAL(38,0)) * CAST(sum_dx AS DECIMAL(38,0)))
             |       div 1000000) AS BIGINT)""".stripMargin).as("r_ppm"))
+      // One eager action runs the pipeline while the lazy blocks are
+      // alive; the 1-row result outlives them (CheckpointTracker contract).
+      .localCheckpoint(true)
+    ck.releaseAll()
+    out
   }
 
   private val q191Sql =
@@ -665,16 +668,9 @@ object GraphQueries {
     // fact side of this join and skips the shuffle entirely (isolated
     // sf0.1: 3.9 s self-join vs 6.5 s baskets).
     val tracker = new graft.operators.CheckpointTracker(Tables.lineitem(s, d))
-    val e0 = Tables.lineitem(s, d)
-      .filter(col("l_linenumber") <= 3)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-    val ed = tracker.lazyCkpt(graft.functions.Guard.require(
-      e0.as("a").join(e0.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("x"), col("b.p").as("y")).distinct(),
-      expr("x >= 0L AND y < 2097152L"),
-      "q199: l_partkey outside [0, 2^21) - the packed (u, v) BIGINT key " +
-        "would wrap; fall back to the two-field struct key past 2M parts"))
+    // Round 16: shared CoPurchaseGraph derivation (packed-key distinct,
+    // same in-band [0, 2^21) Guard the packed (u, v) key below relies on).
+    val ed = graft.operators.CoPurchaseGraph.edges(s, d, tracker)
     val sym = ed.select(col("x").as("w"), col("y").as("n"))
       .unionByName(ed.select(col("y").as("w"), col("x").as("n")))
     val score = sym.groupBy(col("w")).agg(count(lit(1)).as("deg"))
@@ -747,13 +743,10 @@ object GraphQueries {
     * 3-row census is eagerly checkpointed by ONE action, and every
     * tracked block is released before returning. */
   private val q202: Q = (s, d) => {
-    val e0 = Tables.lineitem(s, d)
-      .filter(col("l_linenumber") <= 3)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-    val ed = e0.as("a").join(e0.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("x"), col("b.p").as("y")).distinct()
     val tracker = new graft.operators.CheckpointTracker(Tables.lineitem(s, d))
+    // Round 16: shared checkpointed derivation — both arms of the `arcs`
+    // union re-derived the lineitem self-join + DISTINCT before.
+    val ed = graft.operators.CoPurchaseGraph.edges(s, d, tracker)
     var arcs = tracker.lazyCkpt(ed.select(col("x").as("u"), col("y").as("v"))
       .unionByName(ed.select(col("y").as("u"), col("x").as("v"))))
     var act = tracker.lazyCkpt(graft.operators.LubyMis.init(arcs))

@@ -35,6 +35,33 @@ class TextKernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("word_segments == transform(slice(...)) spans incl. empty/short/ragged docs") {
+    import spark.implicits._
+    graft.functions.TextKernels.register(spark)
+    // q112's old declarative span builder, restated verbatim as the truth:
+    // non-overlapping 3-word slices joined by ' ', last one possibly short,
+    // empty text -> one empty segment (split(' ') keeps the empty token).
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog the quick brown fox",
+      "one two three four",   // ragged tail (1-word last segment)
+      "a b c",                // exactly one full segment
+      "a b",                  // single short segment
+      "",                     // empty text -> [""]
+      "x  y z  w",            // double spaces -> empty tokens kept
+      " leading and trailing "
+    ).toDF("text")
+    val both = docs.select(
+      expr("word_segments(text, 3)").as("kernel"),
+      expr("transform(sequence(0, cast(ceil(size(split(text, ' ')) / 3.0) as int) - 1), " +
+        "i -> array_join(slice(split(text, ' '), i * 3 + 1, 3), ' '))").as("declarative"))
+      .collect()
+    both.foreach { r =>
+      val k = r.getSeq[String](0)
+      val d = r.getSeq[String](1)
+      assert(k == d, s"kernel=$k declarative=$d")
+    }
+  }
+
   test("word_ngrams == transform(...) bigrams with duplicates kept") {
     import spark.implicits._
     graft.functions.TextKernels.register(spark)
