@@ -81,6 +81,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(t)    => WordNgrams(t)
         case Seq(t, n) => WordNgrams(t, intLit(n))
       }: Seq[Expression] => Expression))
+    ext.injectFunction((FunctionIdentifier("word_segments"),
+      info("word_segments",
+        "word_segments(text[, n]) - non-overlapping n-word segments"),
+      {
+        case Seq(t)    => WordSegments(t)
+        case Seq(t, n) => WordSegments(t, intLit(n))
+      }: Seq[Expression] => Expression))
     ext.injectFunction((FunctionIdentifier("rolling_fp"),
       info("rolling_fp", "rolling_fp(text) - Rabin-Karp min-window fingerprint"),
       (es: Seq[Expression]) => RollingFingerprint(es.head)))

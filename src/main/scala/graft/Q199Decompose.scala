@@ -10,9 +10,12 @@ import org.apache.spark.sql.functions._
   *
   *   edges   — lineitem scan -> co-purchase DISTINCT edge list (guarded)
   *   score   — degree agg + 1/ln micro-score + attach to adjacency (nbrs)
-  *   wedges  — apex-keyed self-join -> packed (uv, t) stream -> hash agg
-  *             (n_common, aa_micro per packed pair)  [the suspected bulk]
-  *   anti    — LEFT ANTI against the packed edge list
+  *   wedges  — apex-keyed self-join -> packed (uv, t) stream -> map-side
+  *             broadcast LEFT ANTI on the packed edge list (round 16:
+  *             below the aggregate) -> hash agg (n_common, aa_micro per
+  *             packed pair)  [the bulk]
+  *   anti    — gone since round 16 (folded into wedges as the broadcast
+  *             anti; reported as 0.0 for key compatibility)
   *   topk    — TakeOrderedAndProject top-20 + unpack
   *
   * DELIBERATE DUPLICATION PIN: restates GraphQueries.q199's stages
@@ -57,20 +60,22 @@ object Q199Decompose {
           "ln(CAST(deg AS DOUBLE))) AS BIGINT)").as("t"))
       sym.join(score, Seq("w")).localCheckpoint(true)
     }
+    // round 16: the anti join rides BELOW the aggregate as a broadcast
+    // anti on the packed edge list (ported from q199 — the pin). The
+    // wedge stage therefore includes the map-side edge filter; the old
+    // post-agg anti stage is gone from the pipeline.
     val (cand, tWedge) = timed {
       nbrs.as("a").join(nbrs.as("b"),
           col("a.w") === col("b.w") && col("a.n") < col("b.n"))
         .select((col("a.n") * lit(P) + col("b.n")).as("uv"),
           col("a.t").as("t"))
+        .join(broadcast(edges.select((col("x") * lit(P) + col("y")).as("uv"))),
+          Seq("uv"), "left_anti")
         .groupBy(col("uv"))
         .agg(count(lit(1)).as("n_common"), sum(col("t")).as("aa_micro"))
         .localCheckpoint(true)
     }
-    val (kept, tAnti) = timed {
-      cand.join(edges.select((col("x") * lit(P) + col("y")).as("uv")),
-          Seq("uv"), "left_anti")
-        .localCheckpoint(true)
-    }
+    val (kept, tAnti) = (cand, 0.0)
     val (top, tTopk) = timed {
       kept.orderBy(col("aa_micro").desc, col("uv")).limit(20)
         .select(expr("shiftright(uv, 21)").as("u"),

@@ -30,11 +30,22 @@ object SetSimilarityJoin {
     * `threshold`, as (id_a, id_b, jaccard), id_a < id_b. Duplicate tokens
     * are normalized away up front (`array_distinct`) — the length/prefix
     * bounds are only valid on distinct-set cardinalities, and the Jaccard
-    * verify is distinct-set semantics anyway. */
+    * verify is distinct-set semantics anyway.
+    *
+    * `ck` (round 16): when supplied, the multi-consumer frames — the
+    * normalized sets (candidate stage + verify arrays), the df-ordered
+    * token arrays (both prefix sides) and the hashed verify arrays (both
+    * candidate-attach sides) — are lazily checkpointed through the
+    * caller's tracker; the un-checkpointed plan re-runs the caller's
+    * set-construction pipeline (typically the shingle kernel over the
+    * whole corpus) once per consumer (WorkProbe: q103 read the documents
+    * table 4×, q86 3×). Caller owns the tracker contract (one eager
+    * action, then releaseAll). */
   def jaccardJoin(sets: DataFrame, idCol: String, setCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, ck: CheckpointTracker = null): DataFrame = {
+    val ckpt: DataFrame => DataFrame = if (ck == null) identity else ck.lazyCkpt
     graft.functions.SetKernels.register(sets.sparkSession)
-    val ss = sets.select(col(idCol), array_distinct(col(setCol)).as("_set"))
+    val ss = ckpt(sets.select(col(idCol), array_distinct(col(setCol)).as("_set")))
     // Verify the RAW candidate stream and dedup the verified output, not
     // the candidates: measured multiplicity of the pruned stream is only
     // ~1.05 (a qualifying pair rarely shares more than one prefix token
@@ -43,7 +54,7 @@ object SetSimilarityJoin {
     // 5% of it — while the verified output is orders of magnitude smaller
     // and dedups for free. Duplicate pairs verify to byte-identical rows,
     // so the result set is unchanged.
-    val cand = rawCandidatePairs(ss, idCol, "_set", threshold)
+    val cand = rawCandidatePairs(ss, idCol, "_set", threshold, ckpt)
     // Verify on the normalized sets, sorted ONCE per document so each
     // candidate pair's overlap is an allocation-free codegen merge scan
     // instead of a per-pair array_intersect hash set; |a∪b| = |a| + |b| −
@@ -53,8 +64,8 @@ object SetSimilarityJoin {
     // 8 B/token instead of string payloads and the merge scan compares
     // longs, not UTF8 bytes. |set| and overlap are hash-collision-exact up
     // to a ~k²/2⁶⁵ per-pair collision the string-side oracle would expose.
-    val sorted = ss.select(col(idCol),
-      sort_array(transform(col("_set"), t => xxhash64(t))).as("_hset"))
+    val sorted = ckpt(ss.select(col(idCol),
+      sort_array(transform(col("_set"), t => xxhash64(t))).as("_hset")))
     val a = sorted.select(col(idCol).as("id_a"), col("_hset").as("toks_a"))
     val b = sorted.select(col(idCol).as("id_b"), col("_hset").as("toks_b"))
     cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
@@ -85,15 +96,17 @@ object SetSimilarityJoin {
     * A's prefix, by the same argument): overlap ≤ 1 + min(n_a − p_a,
     * n_b − p_b). Verified exactly on candidates via `sorted_overlap`. */
   def containmentJoin(sets: DataFrame, idCol: String, setCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, ck: CheckpointTracker = null): DataFrame = {
+    val ckpt: DataFrame => DataFrame = if (ck == null) identity else ck.lazyCkpt
     graft.functions.SetKernels.register(sets.sparkSession)
-    val ss = sets.select(col(idCol), array_distinct(col(setCol)).as("_set"))
+    val ss = ckpt(sets.select(col(idCol), array_distinct(col(setCol)).as("_set")))
     // Raw candidate stream + verified-output dedup, same reasoning as
     // [[jaccardJoin]] (measured multiplicity ~1.04 here).
-    val cand = rawContainmentCandidates(ss, idCol, "_set", threshold)
-    // Hashed-long verify arrays, same trade as [[jaccardJoin]].
-    val s2 = ss.select(col(idCol),
-      sort_array(transform(col("_set"), t => xxhash64(t))).as("_hset"))
+    val cand = rawContainmentCandidates(ss, idCol, "_set", threshold, ckpt)
+    // Hashed-long verify arrays, same trade as [[jaccardJoin]];
+    // checkpointed when tracked (both candidate-attach sides read it).
+    val s2 = ckpt(ss.select(col(idCol),
+      sort_array(transform(col("_set"), t => xxhash64(t))).as("_hset")))
     cand
       .join(s2.select(col(idCol).as("id_a"), col("_hset").as("toks_a")), Seq("id_a"))
       .join(s2.select(col(idCol).as("id_b"), col("_hset").as("toks_b")), Seq("id_b"))
@@ -113,21 +126,25 @@ object SetSimilarityJoin {
     * candidate counts are not). `setCol` elements must be distinct. */
   def containmentCandidates(sets: DataFrame, idCol: String, setCol: String,
       threshold: Double): DataFrame =
-    rawContainmentCandidates(sets, idCol, setCol, threshold).distinct()
+    rawContainmentCandidates(sets, idCol, setCol, threshold, identity).distinct()
 
   /** [[containmentCandidates]] before pair dedup — one row per qualifying
     * (pair, prefix-token, bucket) occurrence. The verify path consumes
-    * this directly (see [[containmentJoin]]). */
+    * this directly (see [[containmentJoin]]). `ckpt` checkpoints the
+    * df-ordered token arrays, which BOTH the prefix and full-list sides
+    * re-derive otherwise (two collect_list shuffles + two upstream
+    * re-executions). */
   private def rawContainmentCandidates(sets: DataFrame, idCol: String,
-      setCol: String, threshold: Double): DataFrame = {
+      setCol: String, threshold: Double,
+      ckpt: DataFrame => DataFrame): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
     val ex = sets.select(col(idCol), explode(col(setCol)).as("tok"))
     val dfreq = ex.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val sorted = ex.join(dfreq, Seq("tok"))
+    val sorted = ckpt(ex.join(dfreq, Seq("tok"))
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("st"))
       .select(col(idCol), expr("transform(st, x -> x.tok)").as("toks"))
-      .withColumn("n", size(col("toks")))
+      .withColumn("n", size(col("toks"))))
     val pref = sorted
       .withColumn("plen", (col("n") - ceil(col("n") * threshold) + 1).cast("int"))
       .select(col(idCol), col("n"),
@@ -181,22 +198,25 @@ object SetSimilarityJoin {
     * must be distinct (jaccardJoin normalizes first). */
   def candidatePairs(sets: DataFrame, idCol: String, setCol: String,
       threshold: Double): DataFrame =
-    rawCandidatePairs(sets, idCol, setCol, threshold).distinct()
+    rawCandidatePairs(sets, idCol, setCol, threshold, identity).distinct()
 
   /** [[candidatePairs]] before pair dedup — one row per qualifying
     * (pair, prefix-token) occurrence; measured multiplicity ~1.05. The
-    * verify path consumes this directly (see [[jaccardJoin]]). */
+    * verify path consumes this directly (see [[jaccardJoin]]). `ckpt`
+    * checkpoints the df-ordered prefix arrays, which BOTH candidate-join
+    * sides re-derive otherwise. */
   private def rawCandidatePairs(sets: DataFrame, idCol: String,
-      setCol: String, threshold: Double): DataFrame = {
+      setCol: String, threshold: Double,
+      ckpt: DataFrame => DataFrame): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
     val ex = sets.select(col(idCol), explode(col(setCol)).as("tok"))
     val dfreq = ex.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val sorted = ex.join(dfreq, Seq("tok"))
+    val sorted = ckpt(ex.join(dfreq, Seq("tok"))
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("st"))
       .select(col(idCol), expr("transform(st, x -> x.tok)").as("toks"))
       .withColumn("n", size(col("toks")))
-      .withColumn("plen", (col("n") - ceil(col("n") * threshold) + 1).cast("int"))
+      .withColumn("plen", (col("n") - ceil(col("n") * threshold) + 1).cast("int")))
     // Candidates travel as bare id pairs — the set arrays are attached only
     // AFTER dedup, once per surviving pair (shuffling payload arrays through
     // the token join + distinct measured ~3× slower on self-similar corpora).

@@ -652,7 +652,10 @@ object GraphQueries {
     * instead of a 2-field struct; packed order == (u, v) lexicographic
     * order for non-negative 21-bit fields, so the final total order is
     * stated on the packed key and unpacked after the LIMIT), existing
-    * edges leave via LEFT ANTI on the same packed key, and the top-20
+    * edges leave via a broadcast LEFT ANTI on the same packed key BELOW
+    * the aggregate (round 16 — drops edge-owned wedge rows map-side and
+    * removes the post-agg anti exchange; equivalent because the anti
+    * removes whole uv groups), and the top-20
     * rides TakeOrderedAndProject under the (aa_micro DESC, uv) ==
     * (aa_micro DESC, u, v) total order — never a global sort. Past 2M
     * parts the in-band guard fires and the documented fallback is the
@@ -678,15 +681,26 @@ object GraphQueries {
       .select(col("w"), expr("1000000000000L div CAST(floor(1000000.0 * " +
         "ln(CAST(deg AS DOUBLE))) AS BIGINT)").as("t"))
     val nbrs = tracker.lazyCkpt(sym.join(score, Seq("w")))
+    // Round 16 (the r15 verdict's prescribed lever, guide §3.2): the
+    // existing-edge LEFT ANTI moves BELOW the aggregate as a broadcast
+    // anti on the packed edge list — wedge rows belonging to an existing
+    // edge are dropped map-side before the candidate hash agg, so the
+    // post-agg anti join's own exchange (|cand| rows against |E|)
+    // disappears from the plan entirely. Dropping whole uv groups before
+    // vs after a per-uv aggregate is result-identical; the oracle keeps
+    // its NOT EXISTS after grouping. Broadcasting |E| packed longs is the
+    // documented posture while the edge list fits the broadcast cap
+    // (~8 bytes/edge); past that the fallback is this same anti join
+    // unhinted (planner picks the shuffle anti, i.e. the old plan).
     val cand = nbrs.as("a").join(nbrs.as("b"),
         col("a.w") === col("b.w") && col("a.n") < col("b.n"))
       .select((col("a.n") * lit(2097152L) + col("b.n")).as("uv"),
         col("a.t").as("t"))
+      .join(broadcast(ed.select((col("x") * lit(2097152L) + col("y")).as("uv"))),
+        Seq("uv"), "left_anti")
       .groupBy(col("uv"))
       .agg(count(lit(1)).as("n_common"), sum(col("t")).as("aa_micro"))
     val out = cand
-      .join(ed.select((col("x") * lit(2097152L) + col("y")).as("uv")),
-        Seq("uv"), "left_anti")
       .orderBy(col("aa_micro").desc, col("uv"))
       .limit(20)
       .select(expr("shiftright(uv, 21)").as("u"),

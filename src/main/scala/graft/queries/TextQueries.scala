@@ -505,10 +505,19 @@ object TextQueries {
     * an over-bound corpus fails loudly instead of wrapping silently. */
   /** The q110 scored-document chain (doc_id, n_terms, score), shared with
     * q190's lexical arm — same guards, same integer-exact arithmetic. */
-  private def bm25ScoredDocs(s: SparkSession, d: String): DataFrame = {
+  private def bm25ScoredDocs(s: SparkSession, d: String,
+      ck: graft.operators.CheckpointTracker = null): DataFrame = {
+    // Round 16: the exploded token stream has THREE consumers (document
+    // lengths, corpus token count, query-term postings) and the
+    // un-checkpointed plan re-ran split+explode over every document per
+    // consumer (WorkProbe: 5 documents scans in q110). Tracked lazy
+    // checkpoint when the caller supplies a tracker; null keeps the old
+    // shape.
+    val ckpt: DataFrame => DataFrame = if (ck == null) identity else ck.lazyCkpt
     val docs = Tables.documents(s, d)
-    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .filter(col("w") =!= "")
+    val tok = ckpt(docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= ""))
     val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val consts = docs.agg(count(lit(1)).as("n_docs"))
       .crossJoin(tok.agg(count(lit(1)).as("s_tok")))
@@ -536,10 +545,17 @@ object TextQueries {
       .agg(count(lit(1)).as("n_terms"), sum(col("term_score")).as("score"))
   }
 
-  private val q110: Q = (s, d) =>
-    bm25ScoredDocs(s, d)
+  private val q110: Q = (s, d) => {
+    val ck = new graft.operators.CheckpointTracker(Tables.documents(s, d))
+    // One eager action runs the probe while the token blocks are alive;
+    // the 15-row result outlives them (CheckpointTracker contract).
+    val out = bm25ScoredDocs(s, d, ck)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(15)
+      .localCheckpoint(true)
+    ck.releaseAll()
+    out
+  }
 
   private val q110Sql =
     """WITH t AS (SELECT doc_id, w FROM
@@ -583,13 +599,18 @@ object TextQueries {
   private val q190: Q = (s, d) => {
     graft.functions.VectorOps.register(s)
     import graft.functions.GlobalIndex
+    // Round 16: the lexical arm shares q110's tracked token checkpoint;
+    // the eager top-20 checkpoint right below materializes the blocks,
+    // so the tracker releases them as soon as the arm is built.
+    val ck = new graft.operators.CheckpointTracker(Tables.documents(s, d))
     val lex = GlobalIndex.withRowNumber(
-        bm25ScoredDocs(s, d)
+        bm25ScoredDocs(s, d, ck)
           .orderBy(col("score").desc, col("doc_id")).limit(20)
           .localCheckpoint(true),
         "lex_rank", col("score").desc, col("doc_id"))
       .select(col("doc_id"), col("lex_rank"))
       .localCheckpoint(true)
+    ck.releaseAll()
     val e = Tables.embeddings(s, d)
     val qv = e.join(broadcast(lex.filter(col("lex_rank") === 1)
         .select(col("doc_id").as("vec_id"))), Seq("vec_id"))

@@ -301,11 +301,18 @@ object WarehouseQueries {
     * loudly instead of returning a wrapped estimate); there, promote the
     * products to DECIMAL(38) (q143's documented fallback). */
   private val q170: Q = (s, d) => {
+    // Round 16: the per-key frequency tables are tracked lazy checkpoints —
+    // fa had THREE consumers (grid build, exact join, exact self-join) and
+    // fb two, each of which re-scanned and re-aggregated lineitem
+    // (WorkProbe: 5 lineitem scans -> 3; `keyed` itself stays inline, its
+    // three readers now being the two ~|parts|-row aggs + the counts row).
+    // Eager final + releaseAll per the CheckpointTracker contract.
+    val tracker = new graft.operators.CheckpointTracker(Tables.lineitem(s, d))
     val keyed = Tables.lineitem(s, d)
       .select(col("l_partkey").as("k"), col("l_quantity"))
-    val fa = keyed.groupBy("k").agg(count(lit(1)).as("f"))
-    val fb = keyed.filter(col("l_quantity") >= 25)
-      .groupBy("k").agg(count(lit(1)).as("f"))
+    val fa = tracker.lazyCkpt(keyed.groupBy("k").agg(count(lit(1)).as("f")))
+    val fb = tracker.lazyCkpt(keyed.filter(col("l_quantity") >= 25)
+      .groupBy("k").agg(count(lit(1)).as("f")))
     def grid(freq: DataFrame, out: String): DataFrame =
       freq.select(col("f"), explode(array((0 until 4).map(r =>
           struct(lit(r).as("r"),
@@ -329,13 +336,18 @@ object WarehouseQueries {
       col("n_rows_a") <= 3000000000L && col("n_rows_b") <= 3000000000L,
       "q170: integer-exact CMS bound exceeded (inner product <= |A|*|B| " +
         "would overflow Long past ~3e9 rows per side) - promote to DECIMAL(38)")
-    counts.crossJoin(exactJoin).crossJoin(estJoin)
+    val out = counts.crossJoin(exactJoin).crossJoin(estJoin)
       .crossJoin(exactSelf).crossJoin(estSelf)
       .select(col("n_rows_a"), col("n_rows_b"),
         col("exact_join"), col("est_join"),
         (col("est_join") >= col("exact_join")).as("join_one_sided"),
         col("exact_self"), col("est_self"),
         (col("est_self") >= col("exact_self")).as("self_one_sided"))
+      // One eager action runs the pipeline while the lazy blocks are
+      // alive; the 1-row result outlives them (CheckpointTracker contract).
+      .localCheckpoint(true)
+    tracker.releaseAll()
+    out
   }
 
   private val q170Sql =
