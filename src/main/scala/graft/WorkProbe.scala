@@ -36,6 +36,7 @@ object WorkProbe {
 
     val tasks = new LongAdder; val inB = new LongAdder; val inR = new LongAdder
     val swB = new LongAdder; val swR = new LongAdder; val spB = new LongAdder
+    val cpuNs = new LongAdder; val runMs = new LongAdder
     val listener = new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         val m = t.taskMetrics
@@ -46,6 +47,11 @@ object WorkProbe {
           swB.add(m.shuffleWriteMetrics.bytesWritten)
           swR.add(m.shuffleWriteMetrics.recordsWritten)
           spB.add(m.diskBytesSpilled + m.memoryBytesSpilled)
+          // round 17: CPU-time proxy for per-task kernel-constant changes
+          // (input/shuffle counters are blind to map-side CPU; cpu time is
+          // steal-resistant — interference delays wall, not cycles consumed)
+          cpuNs.add(m.executorCpuTime)
+          runMs.add(m.executorRunTime)
         }
       }
     }
@@ -61,6 +67,7 @@ object WorkProbe {
     val out = names.map { name =>
       Thread.sleep(500) // listener bus drain (waitUntilEmpty is private[spark])
       tasks.reset(); inB.reset(); inR.reset(); swB.reset(); swR.reset(); spB.reset()
+      cpuNs.reset(); runMs.reset()
       val t0 = System.nanoTime()
       all(name)(spark, sfDir).queryExecution.toRdd.count()
       val wall = (System.nanoTime() - t0) / 1e9
@@ -68,7 +75,9 @@ object WorkProbe {
       def mb(l: LongAdder): String = f"${l.sum() / 1048576.0}%.1f"
       s"""{"query":"$name","tasks":${tasks.sum()},"input_mb":${mb(inB)},""" +
         s""""input_rows":${inR.sum()},"shuffle_write_mb":${mb(swB)},""" +
-        s""""shuffle_rows":${swR.sum()},"spill_mb":${mb(spB)},"wall_s":${f"$wall%.2f"}}"""
+        s""""shuffle_rows":${swR.sum()},"spill_mb":${mb(spB)},""" +
+        s""""cpu_s":${f"${cpuNs.sum() / 1e9}%.2f"},"run_s":${f"${runMs.sum() / 1e3}%.2f"},""" +
+        s""""wall_s":${f"$wall%.2f"}}"""
     }
     spark.stop()
     out.foreach(println)
