@@ -88,6 +88,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(t)    => WordSegments(t)
         case Seq(t, n) => WordSegments(t, intLit(n))
       }: Seq[Expression] => Expression))
+    ext.injectFunction((FunctionIdentifier("word_count"),
+      info("word_count",
+        "word_count(text) - size(split(text, ' ')) without building the array"),
+      (es: Seq[Expression]) => WordCount(es.head)))
     ext.injectFunction((FunctionIdentifier("rolling_fp"),
       info("rolling_fp", "rolling_fp(text) - Rabin-Karp min-window fingerprint"),
       (es: Seq[Expression]) => RollingFingerprint(es.head)))

@@ -64,13 +64,17 @@ object Q199Decompose {
     // anti on the packed edge list (ported from q199 — the pin). The
     // wedge stage therefore includes the map-side edge filter; the old
     // post-agg anti stage is gone from the pipeline.
+    // round 17 (ported from q199 — the pin): the broadcast hint is gated
+    // on the measured edge count; past 2e7 edges the same anti runs
+    // unhinted (shuffle anti fallback).
     val (cand, tWedge) = timed {
+      val edPacked = edges.select((col("x") * lit(P) + col("y")).as("uv"))
+      val antiSide = if (edges.count() <= 20000000L) broadcast(edPacked) else edPacked
       nbrs.as("a").join(nbrs.as("b"),
           col("a.w") === col("b.w") && col("a.n") < col("b.n"))
         .select((col("a.n") * lit(P) + col("b.n")).as("uv"),
           col("a.t").as("t"))
-        .join(broadcast(edges.select((col("x") * lit(P) + col("y")).as("uv"))),
-          Seq("uv"), "left_anti")
+        .join(antiSide, Seq("uv"), "left_anti")
         .groupBy(col("uv"))
         .agg(count(lit(1)).as("n_common"), sum(col("t")).as("aa_micro"))
         .localCheckpoint(true)

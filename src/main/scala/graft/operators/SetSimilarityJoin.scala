@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Exact all-pairs set-similarity join (Jaccard ≥ t) with prefix filtering
@@ -40,12 +40,20 @@ object SetSimilarityJoin {
     * set-construction pipeline (typically the shingle kernel over the
     * whole corpus) once per consumer (WorkProbe: q103 read the documents
     * table 4×, q86 3×). Caller owns the tracker contract (one eager
-    * action, then releaseAll). */
+    * action, then releaseAll).
+    *
+    * `normalized` (round 17): callers whose `setCol` is ALREADY distinct
+    * (the `word_shingles` kernel's contract — every bench call site) skip
+    * the per-document `array_distinct` normalization pass, which over
+    * StringType runs off the specialized fast path. Semantics unchanged:
+    * array_distinct over a distinct array is the identity. */
   def jaccardJoin(sets: DataFrame, idCol: String, setCol: String,
-      threshold: Double, ck: CheckpointTracker = null): DataFrame = {
+      threshold: Double, ck: CheckpointTracker = null,
+      normalized: Boolean = false): DataFrame = {
     val ckpt: DataFrame => DataFrame = if (ck == null) identity else ck.lazyCkpt
     graft.functions.SetKernels.register(sets.sparkSession)
-    val ss = ckpt(sets.select(col(idCol), array_distinct(col(setCol)).as("_set")))
+    val norm: Column => Column = if (normalized) identity else array_distinct
+    val ss = ckpt(sets.select(col(idCol), norm(col(setCol)).as("_set")))
     // Verify the RAW candidate stream and dedup the verified output, not
     // the candidates: measured multiplicity of the pruned stream is only
     // ~1.05 (a qualifying pair rarely shares more than one prefix token
@@ -96,10 +104,12 @@ object SetSimilarityJoin {
     * A's prefix, by the same argument): overlap ≤ 1 + min(n_a − p_a,
     * n_b − p_b). Verified exactly on candidates via `sorted_overlap`. */
   def containmentJoin(sets: DataFrame, idCol: String, setCol: String,
-      threshold: Double, ck: CheckpointTracker = null): DataFrame = {
+      threshold: Double, ck: CheckpointTracker = null,
+      normalized: Boolean = false): DataFrame = {
     val ckpt: DataFrame => DataFrame = if (ck == null) identity else ck.lazyCkpt
     graft.functions.SetKernels.register(sets.sparkSession)
-    val ss = ckpt(sets.select(col(idCol), array_distinct(col(setCol)).as("_set")))
+    val norm: Column => Column = if (normalized) identity else array_distinct
+    val ss = ckpt(sets.select(col(idCol), norm(col(setCol)).as("_set")))
     // Raw candidate stream + verified-output dedup, same reasoning as
     // [[jaccardJoin]] (measured multiplicity ~1.04 here).
     val cand = rawContainmentCandidates(ss, idCol, "_set", threshold, ckpt)

@@ -389,7 +389,7 @@ object CorpusQueries {
   private val q113: Q = (s, d) => {
     graft.functions.TextKernels.register(s)
     val sh = Tables.documents(s, d)
-      .filter(size(split(col("text"), " ")) >= 3)
+      .filter(expr("word_count(text) >= 3"))
       .select(col("source"), explode(expr("word_shingles(text, 3)")).as("shingle"))
       .distinct()
     val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
@@ -481,9 +481,13 @@ object CorpusQueries {
     * + one tiny-key join; the exploded shingle stream is shuffled once. */
   private val q117: Q = (s, d) => {
     graft.functions.TextKernels.register(s)
+    // word_shingles output is ALREADY distinct (first-occurrence order, the
+    // kernel's contract, pinned in TextKernelsSpec) — the former
+    // array_distinct wrapper re-deduplicated an already-unique string array
+    // per document, a quadratic-on-strings no-op removed in round 17.
     val docs = Tables.documents(s, d)
-      .filter(size(split(col("text"), " ")) >= 3)
-      .select(col("doc_id"), array_distinct(expr("word_shingles(text, 3)")).as("sh"))
+      .filter(expr("word_count(text) >= 3"))
+      .select(col("doc_id"), expr("word_shingles(text, 3)").as("sh"))
     val perDoc = docs.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"))
     val novel = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
       .groupBy(col("shingle")).agg(min(col("doc_id")).as("first_doc"))
@@ -579,7 +583,7 @@ object CorpusQueries {
   private val q124: Q = (s, d) => {
     graft.functions.TextKernels.register(s)
     val B = 256
-    val docs = Tables.documents(s, d).filter(size(split(col("text"), " ")) >= 2)
+    val docs = Tables.documents(s, d).filter(expr("word_count(text) >= 2"))
     val feats = docs.select(col("doc_id"), col("lang"),
         explode(expr("word_ngrams(text, 2)")).as("bigram"))
       .withColumn("bucket", pmod(md5Bucket60(col("bigram")), lit(B.toLong)))

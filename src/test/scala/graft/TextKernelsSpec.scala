@@ -62,6 +62,56 @@ class TextKernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("round-17 substring kernel: multi-byte UTF-8, n=1, dup-heavy, space-edge docs") {
+    // The round-17 kernel builds every gram as a byte-range view into one
+    // private copy of the text (0x20 never occurs inside a multi-byte UTF-8
+    // sequence, so byte scanning == word splitting). Pin byte-identity
+    // against the declarative formulation on inputs chosen to break that
+    // reasoning if it were wrong: multi-byte code points adjacent to
+    // spaces, width-1 grams (whole-word identity), interleaved duplicates
+    // (hash-slot dedup order), and leading/trailing/double spaces.
+    import spark.implicits._
+    graft.functions.TextKernels.register(spark)
+    val docs = Seq(
+      "héllo wörld héllo wörld naïve",     // 2-byte code points
+      "日本 語 テスト 日本 語",                // 3-byte code points, dup shingle
+      "a b c a b c",             // non-breaking space is NOT a separator
+      "🙂 emoji 🙂 emoji pair",             // 4-byte surrogate-pair code points
+      "", " ", "  ", "one ", " one",       // space edges: empty/blank/trailing/leading
+      "dup dup dup dup dup dup dup dup"    // all-duplicate heavy doc
+    ).toDF("text")
+    for (n <- Seq(1, 2, 3)) {
+      val wide = s"size(split(text, ' ')) >= $n"
+      val rows = docs.select(
+        expr(s"word_shingles(text, $n)").as("sk"),
+        array_distinct(expr(s"if($wide, transform(sequence(0, size(split(text, ' ')) - $n), " +
+          s"i -> array_join(slice(split(text, ' '), i + 1, $n), ' ')), array())")).as("sd"),
+        expr(s"word_ngrams(text, $n)").as("nk"),
+        expr(s"if($wide, transform(sequence(0, size(split(text, ' ')) - $n), " +
+          s"i -> array_join(slice(split(text, ' '), i + 1, $n), ' ')), array())").as("nd"),
+        expr(s"word_segments(text, $n)").as("gk"),
+        expr(s"transform(sequence(0, cast(ceil(size(split(text, ' ')) / $n.0) as int) - 1), " +
+          s"i -> array_join(slice(split(text, ' '), i * $n + 1, $n), ' '))").as("gd"))
+        .collect()
+      rows.foreach { r =>
+        def s(i: Int) = Option(r.getSeq[String](i)).getOrElse(Seq.empty)
+        assert(s(0) == s(1), s"n=$n shingles: kernel=${s(0)} declarative=${s(1)}")
+        assert(s(2) == s(3), s"n=$n ngrams: kernel=${s(2)} declarative=${s(3)}")
+        assert(s(4) == s(5), s"n=$n segments: kernel=${s(4)} declarative=${s(5)}")
+      }
+    }
+  }
+
+  test("word_count == size(split(text, ' ')) on non-null text") {
+    import spark.implicits._
+    graft.functions.TextKernels.register(spark)
+    val docs = Seq("", " ", "  ", "one", "one two", "a b c a b c",
+      "héllo wörld", " lead", "trail ", "x  y z  w").toDF("text")
+    val rows = docs.select(expr("word_count(text)").as("k"),
+      size(split(col("text"), " ")).as("d")).collect()
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1), s"$r"))
+  }
+
   test("word_ngrams == transform(...) bigrams with duplicates kept") {
     import spark.implicits._
     graft.functions.TextKernels.register(spark)
