@@ -601,6 +601,16 @@ object DedupQueries {
     * contamination signal and is exactly the hot-key skew an all-shingle
     * join would suffer at 100 TB); the df filter is one hash aggregate. */
   private val q93: Q = (s, d) => {
+    // Round 17 (the r16 verdict's item #8): checkpointing the exploded
+    // shingle stream for its three consumers was TRIED and measured WORSE
+    // (interleaved A/B, 4 pairs at sf0.1×32: checkpointed mins
+    // 1.374-1.426 s vs un-checkpointed 1.129-1.291 s, un-checkpointed
+    // wins every pair) — the stream is corpus×shingles-sized, and with
+    // the round-17 substring kernel two extra scan+kernel+explode passes
+    // are cheaper than materializing and re-reading those blocks. The
+    // q219/q110 lesson generalized: checkpoint small multi-consumer
+    // frames (q113's distinct (source, shingle)), never wide streams a
+    // cheap kernel can regenerate.
     val docs = withShingles(Tables.documents(s, d), "text")
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
     val informative = docs.groupBy(col("shingle"))
@@ -693,25 +703,29 @@ object DedupQueries {
     * the new doc id. Every new doc emits exactly one verdict row —
     * including sub-3-word docs that never enter the shingle pipeline. */
   private val q122: Q = (s, d) => {
-    // Round 16: the fingerprint frame (both exact-join sides) and the
-    // shingled frame (signature stream + sorted verify arrays) are
-    // tracked lazy checkpoints — the un-checkpointed plan re-scanned and
-    // re-kerneled the documents table once per consumer (WorkProbe: 7
-    // documents scans); eager final + releaseAll below.
+    // Round 16 checkpointed the fingerprint and shingled frames (the
+    // un-checkpointed plan re-kerneled the documents table per consumer —
+    // WorkProbe: 7 documents scans). Round 17 REVERTED both: with the
+    // substring shingle kernel the recompute became cheaper than
+    // materializing + re-reading the blocks (interleaved sf1 A/B, 3
+    // pairs: checkpointed mins 1.92-5.79 s vs un-checkpointed 1.80-2.80,
+    // un-checkpointed min wins; sf0.1 was flat in round 16 already). The
+    // final eager checkpoint of the small verdict frame stays (it cuts
+    // the multi-join lineage the bench action would otherwise re-analyze).
     val tracker = new graft.operators.CheckpointTracker(Tables.documents(s, d))
     val docs = Tables.documents(s, d)
       .withColumn("is_new", (col("doc_id") % 10 === 0).cast("boolean"))
     // exact layer: lowest old doc sharing the text fingerprint
-    val fp = tracker.lazyCkpt(
-      docs.select(col("doc_id"), col("is_new"), md5(col("text")).as("fp")))
+    val fp =
+      docs.select(col("doc_id"), col("is_new"), md5(col("text")).as("fp"))
     val exact = fp.filter(col("is_new"))
       .join(fp.filter(!col("is_new")).select(col("fp"), col("doc_id").as("old_id")),
         Seq("fp"))
       .groupBy(col("doc_id")).agg(min(col("old_id")).as("exact_id"))
     // near layer: q66's signature/band scheme, candidates old×new only
     // (word_shingles output is already distinct — kernel contract)
-    val sh = tracker.lazyCkpt(withShingles(docs, "text")
-      .select(col("doc_id"), col("is_new"), col("sh")))
+    val sh = withShingles(docs, "text")
+      .select(col("doc_id"), col("is_new"), col("sh"))
     val ex = sh.select(col("doc_id"), col("is_new"), explode(col("sh")).as("s"))
       .withColumn("h1", graft.functions.PortableHash.md5Bucket60(col("s")))
       .withColumn("h2", graft.functions.PortableHash.md5Bucket60Hi(col("s")))
