@@ -64,13 +64,22 @@ object WorkProbe {
       }
     } catch { case _: Throwable => () }
     val all = SparkEntry.queries ++ SparkEntry.perfQueries
+    // SPARK_GRAFT_PROBE_PASSES > 1 (round 17): run the query N times and
+    // report counters for the LAST pass only — a single fresh-JVM pass
+    // charges JIT compilation of the generated code to executorCpuTime,
+    // which swamps per-task kernel deltas; the last of N passes is
+    // steady-state (same reasoning as the bench's median-of-3).
+    val probePasses = sys.env.getOrElse("SPARK_GRAFT_PROBE_PASSES", "1").toInt.max(1)
     val out = names.map { name =>
-      Thread.sleep(500) // listener bus drain (waitUntilEmpty is private[spark])
-      tasks.reset(); inB.reset(); inR.reset(); swB.reset(); swR.reset(); spB.reset()
-      cpuNs.reset(); runMs.reset()
-      val t0 = System.nanoTime()
-      all(name)(spark, sfDir).queryExecution.toRdd.count()
-      val wall = (System.nanoTime() - t0) / 1e9
+      var wall = 0.0
+      (1 to probePasses).foreach { _ =>
+        Thread.sleep(500) // listener bus drain (waitUntilEmpty is private[spark])
+        tasks.reset(); inB.reset(); inR.reset(); swB.reset(); swR.reset(); spB.reset()
+        cpuNs.reset(); runMs.reset()
+        val t0 = System.nanoTime()
+        all(name)(spark, sfDir).queryExecution.toRdd.count()
+        wall = (System.nanoTime() - t0) / 1e9
+      }
       Thread.sleep(500) // listener bus drain (waitUntilEmpty is private[spark])
       def mb(l: LongAdder): String = f"${l.sum() / 1048576.0}%.1f"
       s"""{"query":"$name","tasks":${tasks.sum()},"input_mb":${mb(inB)},""" +
