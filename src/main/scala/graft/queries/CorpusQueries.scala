@@ -388,19 +388,20 @@ object CorpusQueries {
     * absent from the output (inner semantics, matching the oracle). */
   private val q113: Q = (s, d) => {
     graft.functions.TextKernels.register(s)
-    // Round 17 (the r16 verdict's item #7): the distinct (source, shingle)
-    // stream has TWO consumers (per-source sizes, per-shingle source sets)
-    // and the un-checkpointed plan re-ran the scan+kernel+explode+distinct
-    // pipeline per consumer. Tracked lazy checkpoint, measured by the
-    // interleaved A/B recorded in OPTIMIZATION_r17.md §changes (the r16
-    // q219 lesson said measure, not assume: here both downstream joins are
-    // explicitly broadcast-hinted, so the checkpointed frame's missing
-    // stats cannot demote a broadcast).
-    val tracker = new graft.operators.CheckpointTracker(Tables.documents(s, d))
-    val sh = tracker.lazyCkpt(Tables.documents(s, d)
+    // Round 17 (the r16 verdict's item #7): checkpointing the distinct
+    // (source, shingle) stream for its two consumers was measured BOTH
+    // ways — it wins at sf0.1 (4/4 interleaved pairs, min 1.47 vs 1.75 s)
+    // but LOSES at sf1 (3 interleaved pairs: ckpt min 2.86 vs plain 2.21 s
+    // with the plain side under higher load), because the distinct's own
+    // exchange already carries ≈ the frame itself — materializing saves
+    // only the map-side kernel pass (cheap since the substring kernel)
+    // while the corpus-linear block round-trip grows with the data. The
+    // 100 TB direction governs: NOT checkpointed. Full A/B in
+    // OPTIMIZATION_r17.md.
+    val sh = Tables.documents(s, d)
       .filter(expr("word_count(text) >= 3"))
       .select(col("source"), explode(expr("word_shingles(text, 3)")).as("shingle"))
-      .distinct())
+      .distinct()
     val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val inter = sh.groupBy(col("shingle"))
       .agg(sort_array(collect_set(col("source"))).as("srcs"))
@@ -410,17 +411,12 @@ object CorpusQueries {
         .as("p"))
       .select(col("p.sa").as("sa"), col("p.sb").as("sb"))
       .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("n_inter"))
-    val out = inter
+    inter
       .join(broadcast(sizes.select(col("source").as("sa"), col("n").as("n_a"))), Seq("sa"))
       .join(broadcast(sizes.select(col("source").as("sb"), col("n").as("n_b"))), Seq("sb"))
       .select(col("sa"), col("sb"), col("n_inter"), col("n_a"), col("n_b"),
         expr("n_inter * 1000000 div (n_a + n_b - n_inter)").as("jaccard_ppm"))
       .orderBy(col("sa"), col("sb"))
-      // One eager action runs the pipeline while the lazy blocks are
-      // alive; the 190-row result outlives them (CheckpointTracker contract).
-      .localCheckpoint(true)
-    tracker.releaseAll()
-    out
   }
 
   private val q113Sql =
